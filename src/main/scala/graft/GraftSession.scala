@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-aware defaults this engine assumes.
+  *
+  * Local testing runs `local[N]` in one JVM; the settings are chosen so the
+  * same logical plans survive a 1000-executor cluster: AQE on (runtime
+  * partition coalescing + skew-join splitting), shuffle partitions sized to
+  * the parallelism actually available (not the 200 default), UTC everywhere
+  * so results are reproducible against external oracles.
+  */
+object GraftSession {
+  def builder(cores: Int, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // The events table carries TIMESTAMP(NANOS) parquet, which Spark
+      // rejects by default; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(cores, cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

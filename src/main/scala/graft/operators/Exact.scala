@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine deterministic aggregation helpers.
+  *
+  * Floating-point SUM/AVG are accumulation-order dependent, and the order
+  * differs run-to-run (partial aggregation) and engine-to-engine — so a
+  * hash-compared oracle would flake. Casting each term to DECIMAL(18,4)
+  * first makes the sum exact and order-independent; casting the exact
+  * decimal result back to DOUBLE is then bit-deterministic in any engine.
+  * The same trick at 100 TB: decimal sums are also what you want for money
+  * columns on a real cluster (no catastrophic cancellation at 1e12 rows).
+  *
+  * Mirror in DuckDB oracle SQL:
+  *   CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+  *   CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+  */
+object Exact {
+  private val D = DecimalType(18, 4)
+
+  /** Order-independent double sum (exact decimal accumulate). */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Order-independent double average: exact sum / count, one IEEE
+    * division — identical bits in Spark and DuckDB. */
+  def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+
+  /** SQL fragment mirrors (for building oracle strings). */
+  def sqlSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlAvg(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+
+  // A product of ≥3 doubles is NOT bit-identical across engines (fma /
+  // association differences surfaced as a 4th-decimal drift in TPC-H Q1's
+  // sum_charge). For money × rate-factor products, cast each FACTOR to
+  // decimal first: the inputs are 2-decimal values, so the casts are
+  // unambiguous and the whole product is exact in both engines.
+  private val F = DecimalType(8, 4)
+
+  /** price * (1 - d) * (1 + t) as exact decimal; stays within
+    * DECIMAL(38,12) so no rounding anywhere. */
+  def chargeProd(price: Column, disc: Column, tax: Column): Column =
+    price.cast(D) * (lit(1).cast(F) - disc.cast(F)) * (lit(1).cast(F) + tax.cast(F))
+
+  def sqlChargeProd(p: String, d: String, t: String): String =
+    s"CAST($p AS DECIMAL(18,4)) * (1 - CAST($d AS DECIMAL(8,4))) * (1 + CAST($t AS DECIMAL(8,4)))"
+
+  /** Exact-decimal sum of an already-decimal expression, surfaced as double. */
+  def dsumRaw(c: Column): Column = sum(c).cast("double")
+  def sqlSumRaw(x: String): String = s"CAST(SUM($x) AS DOUBLE)"
+}

@@ -1,0 +1,351 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.Exact.{dsum, davg, sqlSum, sqlAvg}
+
+/** Relational query surface over the TPC-H-ish corpus.
+  *
+  * The reference engine can only express scan → flatMap → combine → shuffle
+  * → reduce (SURVEY.md §2.1); everything here is the declared relational
+  * extension surface (SURVEY.md §2.3) built on Catalyst so that pushdown,
+  * pruning, partial aggregation and AQE come for free. Scale notes per
+  * query explain why the plan survives 100 TB.
+  *
+  * Oracle discipline: every double aggregate goes through [[Exact]] so the
+  * result is accumulation-order independent and hash-comparable against
+  * DuckDB.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 — pricing summary. One wide scan, partial agg map-side,
+    * 4-group output: the shuffle moves ~nothing at any scale. */
+  private val q01: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Exact.dsumRaw(Exact.chargeProd(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q6 — selective filter + global sum. Predicates push to parquet;
+    * single-row result, no shuffle pressure. */
+  private val q02: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+             col("l_shipdate") <  to_timestamp(lit("1997-01-01")) &&
+             col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** Customer ⋈ orders ⋈ lineitem revenue by market segment. customer is
+    * the small side at every scale relative to lineitem → broadcast it;
+    * orders⋈lineitem shuffles on orderkey once. */
+  private val q03: Q = (s, d) => {
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Semi join (EXISTS): orders having any heavy line item, counted by
+    * priority. left_semi never multiplies rows — safe at any fan-in. */
+  private val q04: Q = (s, d) => {
+    val heavy = Tables.lineitem(s, d)
+      .where(col("l_quantity") >= 45).select("l_orderkey")
+    Tables.orders(s, d)
+      .join(heavy, col("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q5 shape — fact ⋈ three dims. All dims broadcast (supplier,
+    * nation, region stay tiny at any SF); zero shuffle on the fact side
+    * until the final 25-group agg. */
+  private val q05: Q = (s, d) => {
+    val l  = Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice", "l_discount")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n  = Tables.nation(s, d).select("n_nationkey", "n_regionkey", "n_name")
+    val r  = Tables.region(s, d).select("r_regionkey", "r_name")
+    l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Anti join (NOT EXISTS): customers that never ordered. */
+  private val q06: Q = (s, d) => {
+    val o = Tables.orders(s, d).select("o_custkey")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_lonely"))
+  }
+
+  /** TPC-H Q13 — outer join + double aggregation (orders-per-customer
+    * histogram). count(o_orderkey) counts non-null = orders actually
+    * matched. */
+  private val q07: Q = (s, d) => {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    Tables.customer(s, d).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** DISTINCT → hash aggregate; map-side partial dedup keeps the shuffle
+    * proportional to distinct values (6 rows), not input rows. */
+  private val q08: Q = (s, d) =>
+    Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+
+  /** Broadcast dim join + COUNT(DISTINCT): partial distinct sets are
+    * merged per group; p_brand keeps cardinality tiny. */
+  private val q09: Q = (s, d) => {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Top-k by aggregate: agg first (shrinks to |customers|), then a global
+    * top-10 — Spark's TakeOrderedAndProject avoids a full sort. */
+  private val q10: Q = (s, d) => {
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** Window: per-partition top-3 by row_number. Partition count =
+    * |priorities| is small here, but the pattern (rank-filter) pushes the
+    * limit before any downstream join at scale. */
+  private val q11: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+  }
+
+  /** Running total window. The sum runs over DECIMAL so the result is
+    * association-independent (DuckDB evaluates sliding frames with a
+    * segment tree — a double sum would differ in the low bits). */
+  private val q12: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).where(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("running_total"))
+  }
+
+  /** lag() — per-user event deltas, deterministic order via (ts, id). */
+  private val q13: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).where(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+  }
+
+  /** ROLLUP — hierarchical subtotals in one pass (partial aggregation
+    * applies per grouping set). */
+  private val q14: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** CUBE over two order dimensions. */
+  private val q15: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  /** UNION (distinct) of two key sets. */
+  private val q16: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+      .distinct()
+
+  /** INTERSECT: customers with both open and finished orders. */
+  private val q17: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("ck"))
+      .intersect(o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
+  }
+
+  /** EXCEPT: ordering customers minus big spenders. */
+  private val q18: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.select(col("o_custkey").as("ck"))
+      .except(o.where(col("o_totalprice") > 400000).select(col("o_custkey").as("ck")))
+  }
+
+  /** GROUP BY … HAVING on the aggregate. */
+  private val q19: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .where(col("sum_qty") > 900)
+
+  /** Scalar subquery: orders 1.5× above the global mean. The single-row
+    * aggregate is broadcast — no correlated re-evaluation. */
+  private val q20: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val avgDf = o.agg(davg(col("o_totalprice")).as("av"))
+    o.join(broadcast(avgDf))
+      .where(col("o_totalprice") > lit(1.5) * col("av"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_big"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_revenue_filter" -> q02,
+    "q03_segment_revenue" -> q03,
+    "q04_priority_semi" -> q04,
+    "q05_nation_revenue" -> q05,
+    "q06_no_orders_anti" -> q06,
+    "q07_order_histogram" -> q07,
+    "q08_distinct_flags" -> q08,
+    "q09_brand_stats" -> q09,
+    "q10_top_customers" -> q10,
+    "q11_priority_top3" -> q11,
+    "q12_running_total" -> q12,
+    "q13_event_delta" -> q13,
+    "q14_rollup_qty" -> q14,
+    "q15_cube_orders" -> q15,
+    "q16_union_nations" -> q16,
+    "q17_intersect_cust" -> q17,
+    "q18_except_cust" -> q18,
+    "q19_having_parts" -> q19,
+    "q20_above_avg" -> q20,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${sqlSum("l_quantity")} AS sum_qty,
+         ${sqlSum("l_extendedprice")} AS sum_base_price,
+         ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         ${Exact.sqlSumRaw(Exact.sqlChargeProd("l_extendedprice", "l_discount", "l_tax"))} AS sum_charge,
+         ${sqlAvg("l_quantity")} AS avg_qty,
+         ${sqlAvg("l_extendedprice")} AS avg_price,
+         ${sqlAvg("l_discount")} AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_filter" ->
+      s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""",
+    "q03_segment_revenue" ->
+      s"""SELECT c_mktsegment,
+         ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         COUNT(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_priority_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         GROUP BY o_orderpriority""",
+    "q05_nation_revenue" ->
+      s"""SELECT r_name, n_name,
+         ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q06_no_orders_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_lonely FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q07_order_histogram" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) GROUP BY n_orders""",
+    "q08_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q09_brand_stats" ->
+      s"""SELECT p_brand,
+         ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q10_top_customers" ->
+      s"""SELECT c_custkey, c_name,
+         ${sqlSum("o_totalprice")} AS total_spent, COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY total_spent DESC, c_custkey LIMIT 10""",
+    "q11_priority_top3" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q12_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+         FROM orders WHERE o_custkey < 100""",
+    "q13_event_delta" ->
+      """SELECT user_id, event_id,
+           value - LAG(value, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS delta
+         FROM events WHERE user_id < 50""",
+    "q14_rollup_qty" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q15_cube_orders" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ${sqlSum("o_totalprice")} AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q16_union_nations" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION SELECT s_nationkey AS nk FROM supplier""",
+    "q17_intersect_cust" ->
+      """SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'""",
+    "q18_except_cust" ->
+      """SELECT o_custkey AS ck FROM orders
+         EXCEPT
+         SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 400000""",
+    "q19_having_parts" ->
+      s"""SELECT l_partkey, ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY l_partkey
+         HAVING ${sqlSum("l_quantity")} > 900""",
+    "q20_above_avg" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_big FROM orders
+         WHERE o_totalprice > 1.5 * (SELECT ${sqlAvg("o_totalprice")} FROM orders)
+         GROUP BY o_orderstatus""",
+  )
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table catalog over a scale-factor directory.
+  *
+  * The reference streams raw text files into 500-char "slices" through a
+  * socket FileSystem (reference `data_handler.py:13-62`, `file_system.py:
+  * 290-351`); on Spark the same capability is the parquet/csv/json/text
+  * readers with split planning handled by the engine. Each loader here is a
+  * thin, partition-aware `spark.read` so Catalyst keeps pushdown/pruning.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory. Column pruning + predicate
+    * pushdown stay intact because this is a bare relation. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader won't map to its µs TimestampType; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as epoch
+    * nanos (long). The data is µs-precision, so `ts div 1000` is a
+    * lossless integer conversion (a double division would lose precision
+    * above 2^53 ns). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Text-file scan, the reference's S1 operator (`data_handler.py:13-62`):
+    * one string column `value`, split sizing left to
+    * `spark.sql.files.maxPartitionBytes` instead of 500-char slices. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** The reference's `data_type='table'` convention (`client.py:24-28`,
+    * `README.md:30-33`): headerless CSV, schema supplied by the caller. */
+  def csvTable(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).option("header", "false").csv(path)
+}
