@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.mr.{MapReduce, MapReduceJob}
+import graft.sources.Tables
+
+/** The reference's declared query set (SURVEY.md §2.2) — word count,
+  * distinct words (whitespace + regex tokenizers), and the README
+  * group-by-average recipe — run THROUGH the MapReduce façade over the
+  * `documents` table, each with a DuckDB oracle.
+  *
+  * Semantics ported (not code): tokenizers match the reference's
+  * `str.split()` (any whitespace, no empties — `count_functions.py:2`)
+  * and `re.findall(r'\w+')` (`fernan/functions.py:5`); the avg recipe is
+  * the `(sum, count)` accumulator of `README.md:25-36`.
+  */
+object MapReduceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word count — reference `count_functions.py:1-17`. combiner = reducer
+    * (algebraic sum), exactly the shipped contract. */
+  private val wordCount: Q = (s, d) => {
+    import s.implicits._
+    val job = MapReduceJob[String, Long, Long](
+      mapper = (_, line) => line.split("\\s+").iterator.filter(_.nonEmpty).map(_ -> 1L),
+      reducer = (k, vs) => (k, vs.sum),
+      combiner = Some((k, vs) => (k, vs.sum)))
+    job.run(MapReduce.columnRecords(Tables.documents(s, d), "doc_id", "text"))
+      .toDF("word", "cnt")
+  }
+
+  /** Distinct words — reference `word_set_functions.py:1-13` (emit True
+    * per token, reduce to one row per key; the bool is a placeholder we
+    * drop at the end, as the harness does). */
+  private val distinctWords: Q = (s, d) => {
+    import s.implicits._
+    val job = MapReduceJob[String, Boolean, Boolean](
+      mapper = (_, line) => line.split("\\s+").iterator.filter(_.nonEmpty).map(_ -> true),
+      reducer = (k, _) => (k, true),
+      combiner = Some((k, _) => (k, true)))
+    job.run(MapReduce.columnRecords(Tables.documents(s, d), "doc_id", "text"))
+      .toDF("word", "present").select("word")
+  }
+
+  /** Regex-token distinct — reference `fernan/functions.py:1-15`
+    * (`re.findall(r'\w+')` tokenizer; Java and RE2 agree on `\w` =
+    * `[A-Za-z0-9_]` for this ASCII corpus). */
+  private val regexTokens: Q = (s, d) => {
+    import s.implicits._
+    val token = java.util.regex.Pattern.compile("\\w+")
+    val job = MapReduceJob[String, Boolean, Boolean](
+      mapper = (_, line) => {
+        val m = token.matcher(line)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+        while (m.find()) out += (m.group() -> true)
+        out
+      },
+      reducer = (k, _) => (k, true))
+    job.run(MapReduce.columnRecords(Tables.documents(s, d), "doc_id", "text"))
+      .toDF("word", "present").select("word")
+  }
+
+  /** Group-by average via the `(sum, count)` accumulator — the exact
+    * recipe `README.md:25-36` documents for `SELECT dog, AVG(age) FROM
+    * dog GROUP BY dog`, here over (lang, n_chars). Integer sums → one
+    * IEEE division → bit-deterministic vs DuckDB. */
+  private val groupAvg: Q = (s, d) => {
+    import s.implicits._
+    val job = MapReduceJob[String, (Long, Long), Double](
+      mapper = (lang, nChars) => Iterator.single(lang -> (nChars.toLong, 1L)),
+      reducer = (k, vs) => { val (sum, cnt) = vs.reduce((a, b) => (a._1 + b._1, a._2 + b._2)); (k, sum.toDouble / cnt) },
+      combiner = Some((k, vs) => (k, vs.reduce((a, b) => (a._1 + b._1, a._2 + b._2)))))
+    job.run(MapReduce.columnRecords(Tables.documents(s, d), "lang", "n_chars"))
+      .toDF("lang", "avg_chars")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mr_word_count" -> wordCount,
+    "mr_distinct_words" -> distinctWords,
+    "mr_regex_tokens" -> regexTokens,
+    "mr_group_avg" -> groupAvg,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mr_word_count" ->
+      """SELECT w AS word, COUNT(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+         WHERE w <> '' GROUP BY w""",
+    "mr_distinct_words" ->
+      """SELECT DISTINCT w AS word FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+         WHERE w <> ''""",
+    "mr_regex_tokens" ->
+      """SELECT DISTINCT w AS word FROM (
+           SELECT unnest(regexp_extract_all(text, '\w+')) AS w FROM documents)""",
+    "mr_group_avg" ->
+      """SELECT lang, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         FROM documents GROUP BY lang""",
+  )
+}
