@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.CosineSimilarity
+
+/** Engine extensions, registered via `SparkSession.builder.withExtensions`
+  * (or `spark.sql.extensions=graft.GraftExtensions`): native functions the
+  * built-in registry lacks. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        // Accept array<float> (the parquet storage type) by widening —
+        // exact, so results match an oracle that casts to double first.
+        val widen = (e: Expression) => Cast(e, ArrayType(DoubleType))
+        CosineSimilarity(widen(children(0)), widen(children(1)))
+      }))
+  }
+}

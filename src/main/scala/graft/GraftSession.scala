@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cores: Int, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

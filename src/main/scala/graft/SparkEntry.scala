@@ -16,11 +16,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-    operators.MapReduceQueries.queries
+    operators.MapReduceQueries.queries ++
+    operators.TextAnalysis.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
-    operators.MapReduceQueries.oracle
+    operators.MapReduceQueries.oracle ++
+    operators.TextAnalysis.oracle ++
+    operators.Dedup.oracle ++
+    operators.Similarity.oracle
 }

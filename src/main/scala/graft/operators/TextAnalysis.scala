@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language ID, quality scoring, token
+  * counting, fingerprinting). The reference's only text analysis is its
+  * two tokenizers (`count_functions.py:2`, `fernan/functions.py:5`);
+  * everything here is the declared extension surface.
+  *
+  * All ops are single-pass, per-row, codegen'd `functions._` expressions:
+  * no shuffle at all (narrow transformations), so they scale linearly
+  * with input splits at any data size. Ratios are single integer
+  * divisions → bit-deterministic against the DuckDB oracle.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens with empties dropped — the reference's
+    * `str.split()` semantics. */
+  private val tokExpr = "filter(split(text, ' '), t -> t <> '')"
+
+  // Tiny per-language stopword profiles for the n-gram/stopword
+  // language-ID heuristic. Fixed lists, shared verbatim with the oracle.
+  private val stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "zu"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+  private val langs = Seq("en", "es", "fr", "de", "zh")
+
+  private def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
+
+  /** Token counting: total, distinct, type-token ratio, mean token
+    * length. One narrow pass; at 100 TB this is scan-bound. */
+  private val tokenStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tok", expr(tokExpr))
+      .selectExpr(
+        "doc_id",
+        "size(tok) AS n_tokens",
+        "size(array_distinct(tok)) AS n_distinct",
+        "size(array_distinct(tok)) / size(tok) AS ttr",
+        "aggregate(tok, 0L, (acc, t) -> acc + length(t)) / size(tok) AS mean_tok_len")
+
+  /** Quality scoring: length saturation + stopword density — the
+    * standard cheap pre-filter for web-scale corpora. */
+  private val quality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tok", expr(tokExpr))
+      .withColumn("n_tokens", expr("size(tok)"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(tok, t -> t IN (${inList(stop("en"))}))) / size(tok)"))
+      .selectExpr(
+        "doc_id", "n_tokens", "stop_ratio",
+        // CAST keeps both engines in pure-double arithmetic (bare decimal
+        // literals divide as DECIMAL in Spark but DOUBLE in DuckDB)
+        "0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) + 0.5 * stop_ratio AS quality")
+
+  /** Language ID: stopword-profile hit counts per language, argmax with
+    * fixed precedence (en > es > fr > de > zh on ties). */
+  private val langId: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .withColumn("tok", expr(tokExpr))
+    val withScores = langs.foldLeft(scored) { (df, l) =>
+      df.withColumn(s"s_$l",
+        expr(s"size(filter(tok, t -> t IN (${inList(stop(l))})))"))
+    }
+    val pred = langs.init.foldRight(expr(s"'${langs.last}'")) { (l, rest) =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      when(expr(ge), lit(l)).otherwise(rest)
+    }
+    withScores.withColumn("pred_lang", pred)
+      .select("doc_id", "s_en", "s_es", "s_fr", "s_de", "s_zh", "pred_lang")
+  }
+
+  /** Document fingerprinting: md5 over whitespace-normalized text — the
+    * exact-dedup key for content-addressed corpora. */
+  private val fingerprint: Q = (s, d) =>
+    Tables.documents(s, d).selectExpr(
+      "doc_id",
+      "md5(CAST(trim(regexp_replace(text, '\\\\s+', ' ')) AS BINARY)) AS fp")
+
+  val queries: Map[String, Q] = Map(
+    "ta_token_stats" -> tokenStats,
+    "ta_quality" -> quality,
+    "ta_lang_id" -> langId,
+    "ta_fingerprint" -> fingerprint,
+  )
+
+  private def duckTok = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "ta_token_stats" ->
+      s"""SELECT doc_id,
+          len(tok) AS n_tokens,
+          len(list_distinct(tok)) AS n_distinct,
+          len(list_distinct(tok)) / len(tok) AS ttr,
+          list_reduce(list_transform(tok, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) / len(tok) AS mean_tok_len
+          FROM (SELECT doc_id, $duckTok AS tok FROM documents)""",
+    "ta_quality" ->
+      s"""SELECT doc_id, len(tok) AS n_tokens,
+          len(list_filter(tok, t -> t IN (${inList(stop("en"))}))) / len(tok) AS stop_ratio,
+          0.5 * least(1.0, CAST(len(tok) AS DOUBLE) / 50.0) +
+          0.5 * (len(list_filter(tok, t -> t IN (${inList(stop("en"))}))) / len(tok)) AS quality
+          FROM (SELECT doc_id, $duckTok AS tok FROM documents)""",
+    "ta_lang_id" -> {
+      val scores = langs.map(l =>
+        s"len(list_filter(tok, t -> t IN (${inList(stop(l))}))) AS s_$l").mkString(",\n          ")
+      val pred = langs.init.foldRight(s"'${langs.last}'") { (l, rest) =>
+        val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"CASE WHEN $ge THEN '$l' ELSE $rest END"
+      }
+      s"""SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh, $pred AS pred_lang FROM (
+          SELECT doc_id, $scores
+          FROM (SELECT doc_id, $duckTok AS tok FROM documents))"""
+    },
+    "ta_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+  )
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Dedup suite: planted-duplicate synthetic checks + differential checks
+  * between the exact and approximate variants on the driver corpus. */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup groups identical texts under one representative") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"), (4L, "alpha beta gamma"), (5L, "delta epsilon"),
+      (6L, "unique text here")).toDF("doc_id", "text")
+    val out = df.groupBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text").cast("binary")).as("fp"))
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("rep_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_copies"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 3L), (3L, 2L), (6L, 1L)))
+  }
+
+  test("minhash LSH pairs equal exact ngram-jaccard pairs on driver corpus") {
+    val exact = Dedup.queries("dd_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.queries("dd_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("near-dup pairs (jaccard >= 0.9) are close in simhash space") {
+    val nearDups = Dedup.queries("dd_ngram_jaccard")(spark, sfDir)
+      .where("jaccard >= 0.9")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nearDups.nonEmpty)
+    val close = Dedup.simhashPairs(spark, sfDir, maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = nearDups.intersect(close)
+    // SimHash over unigram token sets is coarser than shingle Jaccard;
+    // require it to catch most true near-dups at a generous radius.
+    assert(caught.size >= nearDups.size / 2,
+      s"simhash caught ${caught.size} of ${nearDups.size} near-dups")
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    import org.apache.spark.sql.functions._
+    val sig = Dedup.minhashSignatures(spark, sfDir)
+    val pairs = Dedup.queries("dd_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b", "jaccard")
+    val est = pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("minhash").as("mh_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("minhash").as("mh_b")), "doc_b")
+      .withColumn("est", expr(
+        "CAST(size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b)) AS DOUBLE) / 64"))
+      .select("jaccard", "est").collect()
+    est.foreach { r =>
+      val (jac, e) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(jac - e) < 0.25,
+        s"minhash estimate $e too far from true jaccard $jac")
+    }
+  }
+}
