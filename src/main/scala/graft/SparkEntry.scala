@@ -19,7 +19,10 @@ object SparkEntry {
     operators.MapReduceQueries.queries ++
     operators.TextAnalysis.queries ++
     operators.Dedup.queries ++
-    operators.Similarity.queries
+    operators.Similarity.queries ++
+    operators.Events.queries ++
+    operators.Functions.queries ++
+    operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -28,5 +31,8 @@ object SparkEntry {
     operators.MapReduceQueries.oracle ++
     operators.TextAnalysis.oracle ++
     operators.Dedup.oracle ++
-    operators.Similarity.oracle
+    operators.Similarity.oracle ++
+    operators.Events.oracle ++
+    operators.Functions.oracle ++
+    operators.Multimodal.oracle
 }

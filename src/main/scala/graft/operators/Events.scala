@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.Exact.{dsum, sqlSum}
+
+/** Event-time analytics over `events` — the batch half of the streaming
+  * surface (graft.streaming holds the incremental versions; these share
+  * semantics and give the DuckDB-checkable ground truth).
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows per event type: the batch equivalent of the
+    * streaming windowed count. Partial agg map-side; output cardinality =
+    * windows × types, tiny at any scale. */
+  private val tumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user sessionization with a 30-minute inactivity gap — lag() to
+    * mark session starts, running sum to number them, then session stats.
+    * The batch mirror of streaming session_window. Two window passes over
+    * the same (user_id, ts) partitioning → one shuffle, reused. */
+  private val sessions: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** Late-vs-ontime accounting: events whose ts lags the running max by
+    * >10 minutes (what a watermark would drop). */
+  private val lateEvents: Q = (s, d) => {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global ordering is only for the high-water mark; a real pipeline
+    // tracks it per partition + max-aggregates, same result
+    Tables.events(s, d)
+      .withColumn("seen_max", max(col("ts")).over(
+        Window.orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("late",
+        when(col("seen_max").isNotNull &&
+          unix_micros(col("seen_max")) - unix_micros(col("ts")) > 600L * 1000000, 1).otherwise(0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("late")).as("n_late"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ev_tumbling_1h" -> tumbling,
+    "ev_sessions" -> sessions,
+    "ev_late_arrivals" -> lateEvents,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_tumbling_1h" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+          COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+          FROM events GROUP BY 1, 2""",
+    "ev_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM marked)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM numbered GROUP BY user_id, session_id""",
+    "ev_late_arrivals" ->
+      """WITH hw AS (
+           SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
+           FROM events)
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN seen_max IS NOT NULL
+                     AND epoch_us(seen_max) - epoch_us(ts) > 600 * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+         FROM hw GROUP BY event_type""",
+  )
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scalar-function-family coverage (SURVEY.md §2.3 "scalar functions"):
+  * string, date/time, math, array, map/struct, JSON — the families the
+  * reference delegates entirely to user Python code (its only built-ins
+  * are `str.split` and `re.findall`, `count_functions.py:2`,
+  * `fernan/functions.py:5`).
+  *
+  * All narrow, codegen'd projections. Cross-engine determinism notes:
+  * math is restricted to IEEE-exact ops (sqrt, abs, floor, ceil,
+  * power-of-two); no libm-dependent log/exp in oracle-checked output.
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** String family over part names/types. */
+  private val strings: Q = (s, d) =>
+    Tables.part(s, d).where(col("p_partkey") <= 500).selectExpr(
+      "p_partkey",
+      "upper(p_name) AS up",
+      "lower(p_type) AS lo",
+      "length(p_name) AS len",
+      "substring(p_name, 1, 5) AS pre",
+      "concat(p_brand, ':', p_type) AS tagged",
+      "replace(p_name, ' ', '_') AS snake",
+      "lpad(CAST(p_size AS STRING), 4, '0') AS padded",
+      "trim(p_name) AS trimmed",
+      "split(p_type, ' ')[0] AS first_word",
+      "reverse(p_brand) AS rev",
+      "contains(p_type, 'brushed') AS has_brushed",
+      "startswith(p_name, 'a') AS a_start",
+      "levenshtein(p_brand, 'Brand#11') AS lev")
+
+  /** Date/time family over orders. */
+  private val dates: Q = (s, d) =>
+    Tables.orders(s, d).where(col("o_orderkey") <= 2000).selectExpr(
+      "o_orderkey",
+      "year(o_orderdate) AS y",
+      "month(o_orderdate) AS m",
+      "day(o_orderdate) AS dd",
+      "date_trunc('month', o_orderdate) AS month_start",
+      "CAST(CAST(o_orderdate + INTERVAL 30 DAYS AS DATE) AS STRING) AS due30",
+      "datediff(DATE'1998-01-01', CAST(o_orderdate AS DATE)) AS days_to_98",
+      "dayofweek(o_orderdate) AS dow",
+      "quarter(o_orderdate) AS q",
+      "CAST(last_day(o_orderdate) AS STRING) AS eom")
+
+  /** Math family over lineitem (IEEE-exact subset). */
+  private val maths: Q = (s, d) =>
+    Tables.lineitem(s, d).where(col("l_orderkey") <= 500).selectExpr(
+      "l_orderkey", "l_linenumber",
+      "abs(l_discount - 0.05) AS centered",
+      "sqrt(l_quantity) AS sq",
+      "floor(l_extendedprice) AS fl",
+      "ceil(l_extendedprice) AS ce",
+      "l_quantity * l_quantity AS qsq",
+      "sign(l_discount - 0.05) AS sgn",
+      "greatest(l_tax, l_discount) AS gmax",
+      "least(l_tax, l_discount) AS gmin",
+      "CAST(l_quantity AS INT) % 7 AS m7")
+
+  /** Array family over document tokens. */
+  private val arrays: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tok", expr("filter(split(text, ' '), t -> t <> '')"))
+      .selectExpr(
+        "doc_id",
+        // array results flattened to strings: engines (and the driver's
+        // canonicalizer) render nested arrays differently
+        "array_join(slice(tok, 1, 3), '-') AS first3",
+        "array_join(array_sort(array_distinct(tok)), ',') AS sorted_vocab",
+        "array_contains(tok, 'spark') AS has_spark",
+        "array_position(tok, 'data') AS data_pos",
+        "array_max(transform(tok, t -> length(t))) AS max_len",
+        "size(array_intersect(tok, array('the', 'a', 'data'))) AS n_common")
+
+  /** JSON family over events.props. */
+  private val jsons: Q = (s, d) =>
+    Tables.events(s, d).where(col("event_id") <= 2000).selectExpr(
+      "event_id",
+      "CAST(get_json_object(props, '$.k') AS INT) AS k",
+      "CAST(get_json_object(props, '$.k') AS INT) * 2 AS k2",
+      "get_json_object(props, '$.missing') IS NULL AS no_missing")
+
+  /** Map + struct family: build, access, restructure (scalar outputs so
+    * the oracle compares engine-neutral values). */
+  private val mapsStructs: Q = (s, d) =>
+    Tables.nation(s, d)
+      .withColumn("m", expr("map_from_arrays(array('key', 'region'), array(n_nationkey, n_regionkey))"))
+      .withColumn("st", expr("named_struct('name', n_name, 'rk', n_regionkey)"))
+      .selectExpr(
+        "n_nationkey",
+        "element_at(m, 'region') AS region_from_map",
+        "st.name AS name_from_struct",
+        "st.rk + 100 AS shifted_rk",
+        "size(map_keys(m)) AS n_keys")
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> strings,
+    "fn_date" -> dates,
+    "fn_math" -> maths,
+    "fn_array" -> arrays,
+    "fn_json" -> jsons,
+    "fn_map_struct" -> mapsStructs,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+         upper(p_name) AS up, lower(p_type) AS lo, length(p_name) AS len,
+         substring(p_name, 1, 5) AS pre,
+         concat(p_brand, ':', p_type) AS tagged,
+         replace(p_name, ' ', '_') AS snake,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+         trim(p_name) AS trimmed,
+         string_split(p_type, ' ')[1] AS first_word,
+         reverse(p_brand) AS rev,
+         contains(p_type, 'brushed') AS has_brushed,
+         starts_with(p_name, 'a') AS a_start,
+         levenshtein(p_brand, 'Brand#11') AS lev
+         FROM part WHERE p_partkey <= 500""",
+    "fn_date" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dd,
+         date_trunc('month', o_orderdate) AS month_start,
+         CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due30,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+         dayofweek(o_orderdate) + 1 AS dow,
+         quarter(o_orderdate) AS q,
+         CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom
+         FROM orders WHERE o_orderkey <= 2000""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         abs(l_discount - 0.05) AS centered,
+         sqrt(l_quantity) AS sq,
+         CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+         l_quantity * l_quantity AS qsq,
+         CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+         greatest(l_tax, l_discount) AS gmax,
+         least(l_tax, l_discount) AS gmin,
+         CAST(l_quantity AS INT) % 7 AS m7
+         FROM lineitem WHERE l_orderkey <= 500""",
+    "fn_array" ->
+      """SELECT doc_id,
+         array_to_string(tok[1:3], '-') AS first3,
+         array_to_string(list_sort(list_distinct(tok)), ',') AS sorted_vocab,
+         list_contains(tok, 'spark') AS has_spark,
+         COALESCE(list_position(tok, 'data'), 0) AS data_pos,
+         list_max(list_transform(tok, t -> length(t))) AS max_len,
+         len(list_intersect(tok, ['the', 'a', 'data'])) AS n_common
+         FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') tok
+               FROM documents)""",
+    "fn_json" ->
+      """SELECT event_id,
+         CAST(json_extract(props, '$.k') AS INT) AS k,
+         CAST(json_extract(props, '$.k') AS INT) * 2 AS k2,
+         json_extract(props, '$.missing') IS NULL AS no_missing
+         FROM events WHERE event_id <= 2000""",
+    "fn_map_struct" ->
+      """SELECT n_nationkey,
+         n_regionkey AS region_from_map,
+         n_name AS name_from_struct,
+         n_regionkey + 100 AS shifted_rk,
+         2 AS n_keys
+         FROM nation""",
+  )
+}

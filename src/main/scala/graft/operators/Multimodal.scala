@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** One media row: opaque payload + typed metadata — the `BinaryType`
+  * column convention for image/audio/video at 100 TB. */
+case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
+
+/** Extracted features: fixed-shape vector + provenance. */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, kind: String,
+    features: Array[Double])
+
+/** Multimodal columns: treat image/audio/video as opaque `binary` with
+  * typed metadata; decode/feature steps run per-partition so a real
+  * decoder amortizes model/codec init across a whole batch.
+  *
+  * The decode itself is a clearly-marked STUB (no media libs in this
+  * container): [[stubDecodeFeatures]] produces a deterministic fake
+  * 8-dim feature vector from the bytes. The Spark-side plumbing —
+  * binary schema, partition-wise batching, fixed output shape,
+  * metadata-only pruning — is real and tested; a production decoder
+  * replaces ONLY the function body.
+  *
+  * Real file ingestion path: `spark.read.format("binaryFile")` (see
+  * [[graft.sources.Tables.binaryFiles]]); here payloads are derived from
+  * `documents.text` so the driver corpus exercises the pipeline.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The media table: text bytes standing in for encoded media. */
+  private[graft] def media(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
+      .as[MediaRow]
+  }
+
+  /** Magic-byte "container" classification — deterministic from payload
+    * alone, so it is SQL-expressible and oracle-checked. */
+  private val kindExpr =
+    "CASE WHEN ascii(substring(text, 1, 1)) % 3 = 0 THEN 'image' " +
+    "WHEN ascii(substring(text, 1, 1)) % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  /** Metadata pass: length/hash/kind. Never touches a decoder — the
+    * pruning query pattern (filter by metadata, decode only survivors). */
+  private val metadata: Q = (s, d) =>
+    Tables.documents(s, d).selectExpr(
+      "doc_id",
+      "length(CAST(text AS BINARY)) AS n_bytes",
+      "md5(CAST(text AS BINARY)) AS payload_md5",
+      s"$kindExpr AS kind",
+      "source")
+
+  /** STUB decoder: deterministic fake features (polynomial byte hash per
+    * lane). A real implementation decodes the payload (image pixels /
+    * audio samples) here — same signature, same batch shape. */
+  private[graft] def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    val lanes = 8
+    val acc = new Array[Long](lanes)
+    java.util.Arrays.fill(acc, 1125899906842597L)
+    var i = 0
+    while (i < payload.length) {
+      val j = i % lanes
+      acc(j) = acc(j) * 31 + payload(i)
+      i += 1
+    }
+    acc.map(v => (math.floorMod(v, 2000000L) - 1000000L) / 1000000.0)
+  }
+
+  /** Feature extraction: per-partition batch map (decoder init once per
+    * partition, not per row — the mapInPandas-batch analog in Scala). */
+  private[graft] def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // decoder/codec initialization would happen HERE, once per batch
+      it.map { m =>
+        val kind = math.floorMod(m.payload.headOption.getOrElse(0: Byte).toInt, 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaFeatures(m.doc_id, m.payload.length, kind, stubDecodeFeatures(m.payload))
+      }
+    }
+  }
+
+  /** Frame sampling STUB: split payload into fixed-size "frames", keep
+    * every k-th — the video-frame-sample plumbing (offsets + slices are
+    * real; a codec would seek keyframes instead). */
+  private[graft] def sampleFrames(rows: Dataset[MediaRow], frameBytes: Int = 64,
+      every: Int = 4): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { m =>
+      val n = m.payload.length / frameBytes
+      (0 until n by every).map { f =>
+        (m.doc_id, f, m.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }.toDF("doc_id", "frame_no", "frame")
+  }
+
+  /** Features as a declared query (rows-only: the stub hash family is
+    * engine-local; MultimodalSpec pins determinism + shape). */
+  private val features: Q = (s, d) => {
+    import s.implicits._
+    extractFeatures(media(s, d))
+      .select(col("doc_id"), col("n_bytes"), col("kind"),
+        // flatten for a stable parquet schema
+        col("features")(0).as("f0"), col("features")(7).as("f7"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_metadata" -> metadata,
+    "mm_features" -> features,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_metadata" ->
+      """SELECT doc_id,
+         length(text) AS n_bytes,
+         md5(text) AS payload_md5,
+         CASE WHEN ascii(substring(text, 1, 1)) % 3 = 0 THEN 'image'
+              WHEN ascii(substring(text, 1, 1)) % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         source
+         FROM documents""",
+    // mm_features: rows-only (stub hash family is engine-local).
+  )
+}

@@ -54,4 +54,15 @@ object Tables {
     * `README.md:30-33`): headerless CSV, schema supplied by the caller. */
   def csvTable(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).option("header", "false").csv(path)
+
+  /** Opaque-binary ingestion for media files (images/audio/video as
+    * `BinaryType` + path/length metadata) — the real entry point for
+    * multimodal corpora (graft.operators.Multimodal). */
+  def binaryFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+
+  /** JSON-lines reader with explicit schema (schema inference at 100 TB
+    * means reading everything twice — always declare). */
+  def jsonTable(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(path)
 }

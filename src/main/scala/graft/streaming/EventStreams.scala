@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** One event row, matching the `events` table schema (TESTDATA.md). */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Per-user running aggregate carried across micro-batches. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured Streaming surface over event streams — the incremental
+  * mirror of `graft.operators.Events` (same semantics; the batch versions
+  * are the DuckDB-checkable ground truth).
+  *
+  * The reference has no streaming; its nearest analogs are poll-based
+  * progress (`progress_job_iterator.py:4-84`) and resumable phase state
+  * (`jobtracker.py:157-209`). Here those become Structured Streaming
+  * incremental execution and checkpointed state.
+  *
+  * Scale notes: every aggregation is keyed (hash-partitioned state);
+  * watermarks bound state size — without them windowed state grows
+  * unboundedly at 100 TB/day. `mapGroupsWithState` state is per-key and
+  * must stay O(1) per user.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts with a watermark: late events
+    * beyond `lateness` are dropped; in Append mode a window emits once,
+    * when the watermark passes its end. */
+  def tumblingCounts(events: DataFrame, lateness: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (1h every 15m): each event lands in 4 windows. */
+  def slidingCounts(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("n"))
+
+  /** Session windows with a 30-minute gap — the streaming version of the
+    * batch `ev_sessions` query. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Exactly-once event dedup by id within the watermark horizon —
+    * streaming `dropDuplicates` keeps per-key state until the watermark
+    * passes (bounded state; an unbounded dedup would OOM at scale). */
+  def dedupEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state: per-user running (count, total) via mapGroupsWithState
+    * — the analog of the reference's resumable job state (P5), but
+    * per-key, checkpointed, and incremental. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserTotals(uid, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode guidance per query shape (documented contract). */
+  val outputModes: Map[String, OutputMode] = Map(
+    "tumblingCounts" -> OutputMode.Append(),
+    "slidingCounts" -> OutputMode.Append(),
+    "sessionCounts" -> OutputMode.Append(),
+    "dedupEvents" -> OutputMode.Append(),
+    "runningUserTotals" -> OutputMode.Update(),
+  )
+}

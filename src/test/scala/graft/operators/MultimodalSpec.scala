@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: schema shape, stub determinism, frame sampling,
+  * metadata-only pruning. */
+class MultimodalSpec extends SparkSpec {
+
+  test("feature extraction: fixed shape, deterministic, batch-mapped") {
+    val feats = Multimodal.extractFeatures(Multimodal.media(spark, sfDir))
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.features.length == 8))
+    assert(rows.forall(r => r.features.forall(f => f >= -1.0 && f <= 1.0)))
+    assert(rows.forall(r => Set("image", "audio", "video")(r.kind)))
+    // determinism: re-run yields identical vectors
+    val again = Multimodal.extractFeatures(Multimodal.media(spark, sfDir))
+      .collect().map(r => r.doc_id -> r.features.toSeq).toMap
+    rows.foreach(r => assert(again(r.doc_id) == r.features.toSeq))
+  }
+
+  test("stub decode is a pure function of bytes") {
+    val a = Multimodal.stubDecodeFeatures("hello world".getBytes)
+    val b = Multimodal.stubDecodeFeatures("hello world".getBytes)
+    val c = Multimodal.stubDecodeFeatures("hello worle".getBytes)
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+  }
+
+  test("frame sampling keeps every k-th fixed-size frame") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.media(spark, sfDir), frameBytes = 16, every = 2)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length == 16))
+    assert(rows.forall(_.getAs[Int]("frame_no") % 2 == 0))
+  }
+
+  test("metadata pass matches payload-length ground truth") {
+    val meta = Multimodal.queries("mm_metadata")(spark, sfDir).collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    meta.foreach(r => assert(r.getAs[Int]("n_bytes") == docs(r.getAs[Long]("doc_id"))))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Streaming semantics under MemoryStream micro-batches: watermark
+  * finalization, late-data dropping, dedup, and custom state. */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+      v: Double = 1.0): Event = Event(id, ts(t), user, typ, v, "{}")
+
+  test("tumbling windows finalize on watermark; late events dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(in.toDF, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    try {
+      // window [10:00, 11:00): 2 events
+      in.addData(ev(1, "10:05"), ev(2, "10:40"))
+      q.processAllAvailable()
+      assert(spark.table("tumbling").count() == 0) // not finalized yet
+      // advance event time past 11:10 → watermark 11:05 > window end
+      in.addData(ev(3, "11:15"))
+      q.processAllAvailable()
+      val done = spark.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+      assert(done == Map("2024-01-01 10:00:00.0" -> 2L))
+      // an event at 10:20 is now beyond the watermark → dropped
+      in.addData(ev(4, "10:20"), ev(5, "12:30"))
+      q.processAllAvailable()
+      in.addData(ev(6, "13:45")) // finalize [11,12) and [12,13)
+      q.processAllAvailable()
+      val all = spark.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+      assert(all("2024-01-01 11:00:00.0") == 1L)
+      assert(all("2024-01-01 12:00:00.0") == 1L) // the late ev(4) is absent
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionCounts(in.toDF, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at 10:00, 10:10, 10:35 → one session (gaps < 30m);
+      // then 12:00 → new session
+      in.addData(ev(1, "10:00"), ev(2, "10:10"), ev(3, "10:35"), ev(4, "12:00"))
+      q.processAllAvailable()
+      in.addData(ev(5, "14:00")) // advance watermark, finalize both
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(3))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", 3L)))
+      assert(rows.contains(("2024-01-01 12:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids within watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(in.toDF)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(ev(1, "10:00"), ev(2, "10:01"), ev(1, "10:00"))
+      q.processAllAvailable()
+      in.addData(ev(2, "10:01"), ev(3, "10:02"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState carries per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(in.toDS)
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    try {
+      in.addData(ev(1, "10:00", user = 1, v = 2.0), ev(2, "10:01", user = 2, v = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, "10:02", user = 1, v = 5.0))
+      q.processAllAvailable()
+      val last = spark.table("totals").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+      assert(last(1L) == ((2L, 7.0)))
+      assert(last(2L) == ((1L, 3.0)))
+    } finally q.stop()
+  }
+}
