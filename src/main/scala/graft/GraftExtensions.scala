@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct, WordShingles}
 
 /** Engine extensions, registered via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): native functions the
@@ -20,5 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val widen = (e: Expression) => Cast(e, ArrayType(DoubleType))
         CosineSimilarity(widen(children(0)), widen(children(1)))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_prod"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_prod"),
+      (children: Seq[Expression]) => {
+        val widen = (e: Expression) => Cast(e, ArrayType(DoubleType))
+        DotProduct(widen(children(0)), widen(children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) =>
+        WordShingles(children(0), children(1))))
   }
 }

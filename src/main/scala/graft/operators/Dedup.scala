@@ -17,17 +17,13 @@ import graft.sources.Tables
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Whitespace tokens (empties dropped) → distinct word-3-gram shingles. */
-  private val shingleExpr =
-    """CASE WHEN size(tok) < 3 THEN array()
-       ELSE array_distinct(transform(sequence(0, size(tok) - 3),
-         i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))) END"""
-
-  /** (doc_id, shingles, set_size) for one sf dir. */
+  /** (doc_id, shingles, set_size): distinct word-3-gram shingles via the
+    * one-pass native `word_shingles` expression
+    * ([[graft.functions.WordShingles]] — the equivalent built-in HOF
+    * chain profiled ~50× slower and sits on every dedup path). */
   private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("tok", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("sh", expr(shingleExpr))
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("set_size"))
 
   /** Exact dedup: hash-groupBy on content hash. Map-side partial agg
@@ -37,20 +33,37 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("fp"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard near-dup pairs at τ ≥ 0.8 via inverted-index
-    * join on shingles: explode → shuffle by shingle → count common per
-    * pair. Pair cardinality is bounded by co-occurring shingles, not n².
-    * At 100 TB add prefix filtering (sort shingles by global frequency,
-    * index only each doc's rarest ⌈(1-τ)·|sh|⌉+1) to cap hot-shingle
-    * fan-out; semantics unchanged. */
-  private val ngramJaccard: Q = (s, d) => jaccardVerify(pairsFromIndex(s, d), s, d)
+  /** Exact n-gram Jaccard near-dup pairs at τ ≥ 0.8: PREFIX-FILTERED
+    * inverted-index join (PPJoin's prefix principle — Xiao et al.,
+    * WWW'08, public literature): under one global shingle order
+    * (rarest-first), any pair with jac ≥ τ shares a shingle within each
+    * doc's first |sh| − ⌈τ·|sh|⌉ + 1 shingles. Indexing ONLY prefixes
+    * kills the hot-shingle pair explosion (a stopword-3-gram shared by
+    * 10⁶ docs never enters the index unless it's someone's rare-end),
+    * which is what makes this run at 100 TB. Candidates then get exact
+    * verification — completeness from the prefix lemma, precision from
+    * the verify. */
+  private val ngramJaccard: Q = (s, d) =>
+    jaccardVerify(prefixFilteredPairs(s, d, 0.8), s, d)
 
-  /** All candidate pairs sharing ≥1 shingle (inverted index). */
-  private def pairsFromIndex(s: SparkSession, d: String): DataFrame = {
+  /** Candidate pairs via prefix filtering + size-ratio pruning
+    * (jac ≥ τ ⇒ τ·|B| ≤ |A| ≤ |B|/τ). Exact-complete for jac ≥ τ. */
+  private def prefixFilteredPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = shingleSets(s, d)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .where(col("set_size") > 0)
+      .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(freq, "shingle")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .where(col("r") <= col("set_size") - ceil(col("set_size") * tau) + 1)
+      .select(col("doc_id"), col("set_size"), col("shingle"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.set_size") >= col("b.set_size") * tau &&
+        col("b.set_size") >= col("a.set_size") * tau)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -126,8 +139,7 @@ object Dedup {
     * again a shuffle join, not a cross join. */
   private[graft] def simhashes(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(filter(split(text, ' '), t -> t <> ''))")).as("t"))
+      .select(col("doc_id"), explode(expr("word_shingles(text, 1)")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map(j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))

@@ -56,22 +56,27 @@ object Similarity {
   private val Tables_L = 8  // hash tables
   private val Bits_K = 6    // hyperplanes per table
 
-  /** Sign-bit signature per (table, vector): bit j = sign of dot(v, r_tj)
-    * with ±1 planes derived from xxhash64 — deterministic, no stored
-    * model. Returns (vec_id, v, table_id, bucket). */
-  private[graft] def buckets(df: DataFrame): DataFrame = {
-    val sigExpr = (t: Int) => {
-      val bits = (0 until Bits_K).map { j =>
-        s"""IF(aggregate(sequence(0, 63), 0D, (acc, i) -> acc +
-            element_at(v, i + 1) *
-            IF(pmod(xxhash64(concat('$t', '_', '$j', '_', CAST(i AS STRING))), 2) = 0, 1D, -1D)
-           ) > 0D, ${1 << j}, 0)"""
-      }
-      bits.mkString(" + ")
+  /** Deterministic ±1 hyperplanes (seeded per table/bit) — fixed model
+    * shipped as literals, no training pass. */
+  private[graft] val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(Tables_L, Bits_K) { (t, j) =>
+      val rnd = new scala.util.Random(7919L * t + 104729L * j + 42)
+      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
     }
-    val withBuckets = df.withColumn("bucket_arr",
-      expr(s"array(${(0 until Tables_L).map(sigExpr).mkString(", ")})"))
-    withBuckets
+
+  /** Sign-bit signature per (table, vector): bit j = sign of
+    * dot(v, plane_tj), via the codegen'd `dot_prod` expression (an
+    * interpreted higher-order aggregate here costs ~50× per row).
+    * Returns (vec_id, v, table_id, bucket). */
+  private[graft] def buckets(df: DataFrame): DataFrame = {
+    def dotWithPlane(t: Int, j: Int) =
+      expr(s"dot_prod(v, array(${planes(t)(j).mkString(", ")}))")
+    val bucketCols = (0 until Tables_L).map { t =>
+      (0 until Bits_K).map { j =>
+        when(dotWithPlane(t, j) > 0.0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    df.withColumn("bucket_arr", array(bucketCols: _*))
       .select(col("vec_id"), col("v"), posexplode(col("bucket_arr")))
       .toDF("vec_id", "v", "table_id", "bucket")
   }
