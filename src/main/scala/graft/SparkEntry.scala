@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Similarity.queries ++
     operators.Events.queries ++
     operators.Functions.queries ++
-    operators.Multimodal.queries
+    operators.Multimodal.queries ++
+    operators.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     operators.Similarity.oracle ++
     operators.Events.oracle ++
     operators.Functions.oracle ++
-    operators.Multimodal.oracle
+    operators.Multimodal.oracle ++
+    operators.Advanced.oracle
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities.
+  *
+  * AQE's skew-join splitting (on in GraftSession) handles sort-merge skew
+  * at runtime; explicit salting is still the right tool when one hot key
+  * dominates a shuffle-hash join or an aggregation (AQE can't split a
+  * single hash-aggregate key). Public, standard technique.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, salted S ways: the big side gets a
+    * deterministic salt from row content, the small side is replicated S
+    * times, and the join key becomes (key, salt) — a hot key's rows now
+    * spread over S reducers. Result equals the unsalted inner join.
+    *
+    * @param saltFrom columns identifying a big-side row (for a
+    *        deterministic salt; `rand()` would break retry idempotence —
+    *        Spark may recompute a lost partition, and nondeterministic
+    *        salts would double/lose rows: the same idempotence problem
+    *        the reference solves with block-state checks,
+    *        `tasktracker.py:143-156`).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, s: Int,
+      saltFrom: Seq[String]): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(hash(saltFrom.map(col): _*), lit(s)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(s - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase (partial → final) aggregation for skewed group keys:
+    * groupBy (key, salt) first, then re-aggregate by key. For algebraic
+    * aggregates Catalyst's partial aggregation already does this
+    * map-side; the explicit form is for aggregates whose partial state
+    * is large (e.g. collect_set) where one hot key would OOM a single
+    * reducer. */
+  def twoPhaseCount(df: DataFrame, key: String, s: Int, saltFrom: Seq[String]): DataFrame =
+    df.withColumn("_salt", pmod(hash(saltFrom.map(col): _*), lit(s)))
+      .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key)).agg(sum(col("_partial")).cast("long").as("n"))
+}
