@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sinks — the reference's only sink is one pickled result file per job
+  * (`data_handler.py:106-140`, `jobtracker.py:351`); at 100 TB the sink
+  * layout IS the performance of every downstream query, so the writers
+  * here encode the three layouts that matter:
+  *
+  *   - plain columnar (parquet/csv/json interchange),
+  *   - hive-partitioned by a predicate column → partition PRUNING:
+  *     a reader filtering on the partition key opens only matching
+  *     directories,
+  *   - bucketed by a join/agg key → co-located JOINS: two tables
+  *     bucketed the same way join with zero Exchange on either side.
+  */
+object Sinks {
+
+  /** Plain columnar sink. */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def csv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).csv(path)
+
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `cols`. Readers with equality/range predicates on those columns
+    * scan only matching partitions (partition pruning — verified in
+    * SinksSpec via the plan's "partition filters"). Keep partition
+    * cardinality ≤ ~10⁴: each value is a filesystem directory. */
+  def partitionedParquet(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed managed table: rows hash-distributed into `n` buckets by
+    * `key` at write time. A join or aggregation on `key` between tables
+    * bucketed with the same (key, n) needs NO shuffle — the exchange
+    * the reference pays per job (its per-key-file shuffle, X1) is paid
+    * once at ingest here. `n` should be sized so one bucket ≈ one task's
+    * worth of data at the target scale. */
+  def bucketedTable(df: DataFrame, table: String, key: String, n: Int,
+      sortBy: Option[String] = None): Unit = {
+    // Overwrite alone leaves an orphan location if prior metadata was
+    // lost (fresh derby catalog, surviving warehouse dir) — drop first.
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet").bucketBy(n, key)
+    sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+}

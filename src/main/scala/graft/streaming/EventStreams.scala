@@ -84,6 +84,26 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: purchases attributed to a view by the
+    * same user within the previous hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's state
+    * store holds only one hour (+ lateness) of rows per key — without
+    * the bound, stream-stream join state grows forever. */
+  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", lateness)
+    v.join(p, expr(
+      """v_user = p_user AND
+         p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"""))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("v_ts"), col("p_ts"))
+  }
+
   /** Output mode guidance per query shape (documented contract). */
   val outputModes: Map[String, OutputMode] = Map(
     "tumblingCounts" -> OutputMode.Append(),

@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sink layouts and the plans they buy: partition pruning and
+  * shuffle-free bucketed joins — asserted on the physical plan, not just
+  * on results. */
+class SinksSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("partitioned parquet write → reader prunes partitions") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val o = Tables.orders(spark, sfDir)
+    Sinks.partitionedParquet(o, dir, "o_orderstatus")
+    val back = spark.read.parquet(dir).where(col("o_orderstatus") === "F")
+    // correctness
+    assert(back.count() == o.where(col("o_orderstatus") === "F").count())
+    // pruning: only the o_orderstatus=F directory is read
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("o_orderstatus"), s"no partition filter in:\n$scan")
+  }
+
+  test("bucketed tables join with zero shuffle") {
+    // clear orphan locations from any earlier crashed run
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    Sinks.bucketedTable(o, "orders_b", "o_orderkey", 8)
+    Sinks.bucketedTable(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    // force the sort-merge path (tiny test tables would broadcast,
+    // which hides the bucketing effect this test is about)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = planOf(joined)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketing not used:\n$plan")
+      // same answer as the shuffled join
+      val expect = o.join(l, o("o_orderkey") === l("l_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("csv and json round-trip") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val n = Tables.nation(spark, sfDir)
+    Sinks.csv(n, s"$dir/csv")
+    Sinks.json(n, s"$dir/json")
+    val csvBack = spark.read.option("header", "true")
+      .schema(n.schema).csv(s"$dir/csv")
+    val jsonBack = spark.read.schema(n.schema).json(s"$dir/json")
+    assert(csvBack.collect().map(_.toSeq).toSet == n.collect().map(_.toSeq).toSet)
+    assert(jsonBack.collect().map(_.toSeq).toSet == n.collect().map(_.toSeq).toSet)
+  }
+}

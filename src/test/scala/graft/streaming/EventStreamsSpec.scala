@@ -79,6 +79,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent views") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.viewPurchaseAttribution(views.toDF, purchases.toDF)
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      views.addData(ev(10, "10:00", user = 1), ev(11, "12:00", user = 1))
+      purchases.addData(
+        ev(20, "10:30", user = 1),  // within 1h of view 10
+        ev(21, "11:30", user = 1),  // >1h after view 10, before view 11
+        ev(22, "12:15", user = 2))  // wrong user
+      q.processAllAvailable()
+      val pairs = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
