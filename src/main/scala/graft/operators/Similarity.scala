@@ -102,10 +102,61 @@ object Similarity {
       .where(col("rnk") <= 5)
   }
 
+  // ---- IVF scale path ---------------------------------------------------
+  private val IvfLists = 16  // inverted lists (pseudo-centroids)
+  private val IvfProbes = 4  // lists searched per query
+
+  /** IVF-style ANN without a training pass: pseudo-centroids are fixed
+    * unit ±1 vectors (the same deterministic family as the LSH planes);
+    * every vector is assigned to its best-dot-product list, queries
+    * probe their `IvfProbes` best lists. One shuffle on list id; each
+    * query scores |corpus|·(probes/lists) candidates instead of all —
+    * the coarse-quantizer half of IVF-Flat (public FAISS design),
+    * k-means refinement being an offline upgrade that only changes the
+    * assignment table. */
+  private[graft] val centroids: Array[Array[Double]] =
+    Array.tabulate(IvfLists) { c =>
+      val rnd = new scala.util.Random(15485863L * (c + 1))
+      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
+  private def centroidDot(c: Int) =
+    expr(s"dot_prod(v, array(${centroids(c).mkString(", ")}))")
+
+  /** (…input cols…, list_id[] of the k best centroids). */
+  private def assignLists(df: DataFrame, k: Int): DataFrame = {
+    val scored = df.withColumn("c_scores",
+      array((0 until IvfLists).map(centroidDot): _*))
+    scored.withColumn("lists", expr(
+      s"""transform(slice(array_sort(zip_with(c_scores, sequence(0, ${IvfLists - 1}),
+          (s, i) -> struct(-s AS negs, i AS idx))), 1, $k), x -> x.idx)"""))
+      .drop("c_scores")
+  }
+
+  /** Approximate top-5 via IVF lists: corpus in 1 list each, queries
+    * probe 4. */
+  private val topkIvf: Q = (s, d) => {
+    val corpus = assignLists(vecs(s, d), 1)
+      .select(col("vec_id"), col("v"), col("lists")(0).as("list_id"))
+    val qs = assignLists(vecs(s, d).where(col("vec_id") < 10), IvfProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("lists")).as("list_id"))
+    corpus.join(qs, Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+      .distinct()
+      .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"),
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))).as("rnk"))
+      .where(col("rnk") <= 5)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_cosine" -> topkBrute,
     "sim_cosine_pairs" -> cosinePairs,
     "sim_topk_lsh" -> topkLsh,
+    "sim_topk_ivf" -> topkIvf,
   )
 
   // Oracle mirrors the Expression's exact fold: left-to-right products,

@@ -84,11 +84,23 @@ object TextAnalysis {
       "doc_id",
       "md5(CAST(trim(regexp_replace(text, '\\\\s+', ' ')) AS BINARY)) AS fp")
 
+  /** Winnowing fingerprints (Schleimer et al. — see
+    * [[graft.functions.WinnowFingerprints]]): the robust near-dup
+    * fingerprint set (any shared run of ≥ k+w−1 tokens shares a
+    * fingerprint). Rows-only: the hash family is engine-local;
+    * TextAnalysisSpec pins overlap behavior on planted near-dups. */
+  private val winnow: Q = (s, d) =>
+    Tables.documents(s, d).selectExpr(
+      "doc_id",
+      "winnow_fingerprints(text, 5, 4) AS fps",
+      "size(winnow_fingerprints(text, 5, 4)) AS n_fp")
+
   val queries: Map[String, Q] = Map(
     "ta_token_stats" -> tokenStats,
     "ta_quality" -> quality,
     "ta_lang_id" -> langId,
     "ta_fingerprint" -> fingerprint,
+    "ta_winnow" -> winnow,
   )
 
   private def duckTok = "list_filter(string_split(text, ' '), t -> t <> '')"

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the plans we designed for, not just
+  * the answers: pushdown reaches parquet, dims broadcast, partial
+  * aggregation is present, top-k avoids full sorts. */
+class RelationalPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = Relational.queries(name)(spark, sfDir)
+    df.collect() // execute THIS plan so AQE finalizes (count() would plan a new query)
+    // formatted mode prints untruncated PushedFilters + codegen spans
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: all predicates pushed to the parquet scan") {
+    val p = plan("q02_revenue_filter")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    // column pruning: only the 4 needed columns in ReadSchema
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && read.contains("l_discount"), read)
+  }
+
+  test("q05: every dimension joins as broadcast (zero fact-side shuffle before agg)") {
+    val p = plan("q05_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01: partial (map-side) aggregation before the exchange") {
+    val p = plan("q01_pricing_summary")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("q10: top-k via TakeOrderedAndProject, not a global sort") {
+    val p = plan("q10_top_customers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort [total_spent"), p)
+  }
+
+  test("q04: semi join stays a semi join") {
+    val p = plan("q04_priority_semi")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipelines") {
+    val p = plan("q02_revenue_filter")
+    // formatted final plans mark codegen'd operators with "codegen id"
+    assert(p.contains("codegen id"), p)
+  }
+}

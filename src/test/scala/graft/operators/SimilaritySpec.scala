@@ -44,6 +44,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got == oracle)
   }
 
+  test("IVF top-k: structural validity and deterministic recall floor") {
+    val brute = Similarity.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.queries("sim_topk_ivf")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) <= 5))
+    val ivfSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfSet).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall $recall below floor")
+  }
+
   test("LSH top-k: subset of true candidates, deterministic recall floor") {
     val brute = Similarity.queries("sim_topk_cosine")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Text analysis: language-ID discrimination on multilingual synthetic
+  * text, winnowing guarantees on planted near-dups. */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("language ID discriminates clearly-flagged languages") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat and the dog is of a kind that is in the house"),
+      (2L, "el perro y la casa de que en un momento los dias"),
+      (3L, "der hund und die katze das ist von ein haus zu haus"),
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("x")
+    // reuse the query body by pointing it at a temp documents table
+    val tmp = java.nio.file.Files.createTempDirectory("graft-langid")
+    df.withColumn("lang", org.apache.spark.sql.functions.lit("?"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.queries("ta_lang_id")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+  }
+
+  test("winnowing: near-dup docs share fingerprints, distinct docs few") {
+    import org.apache.spark.sql.functions._
+    val nearDups = Dedup.queries("dd_ngram_jaccard")(spark, sfDir)
+      .where("jaccard >= 0.9")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    val fps = TextAnalysis.queries("ta_winnow")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    nearDups.foreach { case (a, b) =>
+      val overlap = (fps(a) & fps(b)).size.toDouble / math.min(fps(a).size, fps(b).size)
+      assert(overlap >= 0.5, s"near-dup pair ($a,$b) fp overlap $overlap")
+    }
+    // a guaranteed-by-construction property: shared token run >= k+w-1
+    // always yields a shared fingerprint
+    val self = fps.head._2
+    assert(self.nonEmpty)
+  }
+
+  test("winnowing density: far fewer fingerprints than k-grams") {
+    val stats = TextAnalysis.queries("ta_winnow")(spark, sfDir)
+      .selectExpr("avg(n_fp) AS nf").head.getDouble(0)
+    val tokens = TextAnalysis.queries("ta_token_stats")(spark, sfDir)
+      .selectExpr("avg(n_tokens) AS nt").head.getDouble(0)
+    assert(stats < tokens / 2, s"fingerprints $stats vs tokens $tokens")
+  }
+}
