@@ -219,7 +219,48 @@ object Relational {
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n_big"))
   }
 
+  private val priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** PIVOT: order counts per status × priority. Explicit value list (a
+    * pivot without one scans twice to discover values); count nulls
+    * coalesced to 0 to match the oracle's CASE-sum formulation. */
+  private val q21: Q = (s, d) => {
+    val p = Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .count()
+    priorities.foldLeft(p) { (df, pr) =>
+      df.withColumn(pr, coalesce(col(s"`$pr`"), lit(0L)))
+    }
+  }
+
+  /** UNPIVOT (melt): the inverse reshape, via stack(). */
+  private val q22: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("qty"), dsum(col("l_extendedprice")).as("price"))
+      .selectExpr("l_returnflag",
+        "stack(2, 'qty', qty, 'price', price) AS (metric, value)")
+
+  /** Correlated scalar subquery (TPC-H Q17 shape) through the SQL path —
+    * Catalyst decorrelates it into an aggregate + join; the DataFrame
+    * never materializes a per-row subquery. */
+  private val q23: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q23")
+    s.sql(
+      s"""SELECT l_partkey, ${"CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"} AS small_rev
+          FROM lineitem_q23 l1
+          WHERE l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM lineitem_q23 l2
+            WHERE l2.l_partkey = l1.l_partkey)
+          GROUP BY l_partkey""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q21_pivot" -> q21,
+    "q22_unpivot" -> q22,
+    "q23_corr_subquery" -> q23,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_segment_revenue" -> q03,
@@ -243,6 +284,29 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q21_pivot" -> {
+      val cases = priorities.map(p =>
+        s"""CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+        .mkString(",\n         ")
+      s"""SELECT o_orderstatus, $cases
+         FROM orders GROUP BY o_orderstatus"""
+    },
+    "q22_unpivot" ->
+      s"""WITH agg AS (
+            SELECT l_returnflag, ${sqlSum("l_quantity")} AS qty,
+              ${sqlSum("l_extendedprice")} AS price
+            FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+          UNION ALL
+          SELECT l_returnflag, 'price' AS metric, price AS value FROM agg""",
+    "q23_corr_subquery" ->
+      """SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_rev
+         FROM lineitem l1
+         WHERE l_quantity < (
+           SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = l1.l_partkey)
+         GROUP BY l_partkey""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${sqlSum("l_quantity")} AS sum_qty,
