@@ -219,6 +219,79 @@ object Relational {
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n_big"))
   }
 
+  /** TPC-H Q7 shape — nation-pair trade flows: fact joins through two
+    * different dimension paths (supplier nation, customer nation). Both
+    * nation sides broadcast; the only big shuffle is lineitem⋈orders. */
+  private val q24: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .where(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("y"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** TPC-H Q12 shape — order-priority accounting by ship month. */
+  private val q25: Q = (s, d) => {
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .cast("long").as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .cast("long").as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape — promo-type revenue share: ratio of two exact
+    * decimal sums (one IEEE division → oracle-deterministic). */
+  private val q26: Q = (s, d) => {
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((
+        sum(when(col("p_type").contains("brushed"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * 100.0 /
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double")
+      ).as("promo_share"))
+  }
+
+  /** TPC-H Q16 shape — supplier diversity per (brand, size band),
+    * excluding one brand: COUNT(DISTINCT) after a broadcast dim join. */
+  private val q27: Q = (s, d) => {
+    val p = Tables.part(s, d).where(col("p_brand") =!= "Brand#11")
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), (col("p_size") % 5).as("size_band"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive multi-clause predicate; Catalyst
+    * normalizes the OR-of-ANDs and still pushes the shared join key. */
+  private val q28: Q = (s, d) => {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   private val priorities = Seq(
     "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
@@ -261,6 +334,11 @@ object Relational {
     "q21_pivot" -> q21,
     "q22_unpivot" -> q22,
     "q23_corr_subquery" -> q23,
+    "q24_nation_pairs" -> q24,
+    "q25_priority_months" -> q25,
+    "q26_promo_share" -> q26,
+    "q27_supplier_diversity" -> q27,
+    "q28_disjunctive" -> q28,
     "q01_pricing_summary" -> q01,
     "q02_revenue_filter" -> q02,
     "q03_segment_revenue" -> q03,
@@ -299,6 +377,46 @@ object Relational {
           SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
           UNION ALL
           SELECT l_returnflag, 'price' AS metric, price AS value FROM agg""",
+    "q24_nation_pairs" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS y,
+           ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name < n2.n_name
+         GROUP BY 1, 2, 3""",
+    "q25_priority_months" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q26_promo_share" ->
+      """SELECT CAST(SUM(CASE WHEN contains(p_type, 'brushed')
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0 /
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "q27_supplier_diversity" ->
+      """SELECT p_brand, p_size % 5 AS size_band,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#11'
+         GROUP BY 1, 2""",
+    "q28_disjunctive" ->
+      s"""SELECT ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+           COUNT(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
     "q23_corr_subquery" ->
       """SELECT l_partkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_rev

@@ -27,6 +27,23 @@ object Sinks {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Small-files compaction: rewrite a parquet dataset into files of
+    * ~`targetBytes`. Millions of kilobyte files are the classic slow
+    * death of a 100 TB lake (footer reads + task-per-file scheduling);
+    * periodic compaction keeps scan parallelism matched to data size.
+    * Writes to `dest` (never in place — an in-place rewrite that fails
+    * mid-way loses data). */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, targetBytes: Long = 128L << 20): Unit = {
+    val df = spark.read.parquet(src)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes / BigInt(targetBytes)).toInt)
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(dest)
+  }
+
   /** Hive-style partitioned layout: one directory per distinct value of
     * `cols`. Readers with equality/range predicates on those columns
     * scan only matching partitions (partition pruning — verified in

@@ -56,6 +56,29 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction rewrites many small files into few") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    // fragment: 64 tiny files
+    Tables.orders(spark, sfDir).repartition(64).write.parquet(s"$dir/frag")
+    val before = new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    Sinks.compact(spark, s"$dir/frag", s"$dir/compact")
+    val after = new java.io.File(s"$dir/compact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < 8, s"still $after files")
+    assert(spark.read.parquet(s"$dir/compact").count() ==
+      Tables.orders(spark, sfDir).count())
+  }
+
+  test("orc round-trip") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val n = Tables.nation(spark, sfDir)
+    Sinks.orc(n, s"$dir/orc")
+    assert(spark.read.orc(s"$dir/orc").collect().map(_.toSeq).toSet ==
+      n.collect().map(_.toSeq).toSet)
+  }
+
   test("csv and json round-trip") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val n = Tables.nation(spark, sfDir)
