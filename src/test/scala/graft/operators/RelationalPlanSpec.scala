@@ -50,6 +50,15 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("dedup joins never degrade to cross products") {
+    for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_winnow")) {
+      val df = Dedup.queries(q)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q plan has a cross join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipelines") {
     val p = plan("q02_revenue_filter")
     // formatted final plans mark codegen'd operators with "codegen id"
