@@ -33,4 +33,32 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Production-cluster settings (documented contract; `master`/executor
+    * sizing come from spark-submit). The same logical plans run
+    * unchanged — these knobs only size the physical execution for a
+    * multi-TB corpus on hundreds of executors:
+    *
+    *   - shuffle partitions ≈ 2–3 × total cores (AQE coalesces down, so
+    *     err high; one partition must fit in executor memory after
+    *     filters — at 100 TB input and 10⁴ partitions that's ~10 GB
+    *     pre-filter, so raise to 10⁵ or rely on AQE's advisory size),
+    *   - 128 MiB split size keeps task count ≈ input/128Mi and matches
+    *     parquet row-group granularity,
+    *   - AQE advisory 64 MiB targets post-shuffle partition sizes,
+    *   - speculation re-runs stragglers (the reference's P3,
+    *     `jobtracker.py:414-499`, as one config line).
+    */
+  def clusterBuilder(totalCores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", (totalCores * 3).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L << 20).toString)
+      .config("spark.speculation", "true")
+      .config("spark.sql.session.timeZone", "UTC")
 }

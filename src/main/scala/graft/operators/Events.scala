@@ -58,8 +58,18 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("late")).as("n_late"))
   }
 
+  /** Sliding windows (1h length, 15m slide): each event lands in 4
+    * windows. Spark expands this inside the window() operator; the
+    * oracle mirrors it with an explicit 4-way unnest. */
+  private val sliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"))
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling_1h" -> tumbling,
+    "ev_sliding_1h_15m" -> sliding,
     "ev_sessions" -> sessions,
     "ev_late_arrivals" -> lateEvents,
   )
@@ -69,6 +79,12 @@ object Events {
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
           COUNT(*) AS n, ${sqlSum("value")} AS sum_value
           FROM events GROUP BY 1, 2""",
+    "ev_sliding_1h_15m" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - (k * to_minutes(15)) AS bucket,
+           event_type, COUNT(*) AS n
+         FROM events, unnest([0, 1, 2, 3]) AS t(k)
+         GROUP BY 1, 2""",
     "ev_sessions" ->
       """WITH marked AS (
            SELECT user_id, ts, event_id,
