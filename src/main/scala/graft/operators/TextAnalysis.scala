@@ -95,12 +95,24 @@ object TextAnalysis {
       "winnow_fingerprints(text, 5, 4) AS fps",
       "size(winnow_fingerprints(text, 5, 4)) AS n_fp")
 
+  /** Corpus-level top-20 bigrams (deterministic tie-break on the bigram
+    * itself). explode → partial-agg count → global top-k: the shuffle
+    * carries one row per distinct bigram per partition, and
+    * TakeOrderedAndProject avoids a full sort. */
+  private val bigrams: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(expr("word_shingles(text, 2)")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
     "ta_token_stats" -> tokenStats,
     "ta_quality" -> quality,
     "ta_lang_id" -> langId,
     "ta_fingerprint" -> fingerprint,
     "ta_winnow" -> winnow,
+    "ta_bigrams" -> bigrams,
   )
 
   private def duckTok = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -133,5 +145,17 @@ object TextAnalysis {
     "ta_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+    // bigram DOCUMENT frequency (word_shingles dedups within a doc)
+    "ta_bigrams" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1]
+                                   FOR i IN range(1, len(ts))])) AS bigram
+           FROM tok)
+         SELECT bigram, COUNT(*) AS n FROM bg
+         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
   )
 }
