@@ -44,8 +44,6 @@ object Events {
   /** Late-vs-ontime accounting: events whose ts lags the running max by
     * >10 minutes (what a watermark would drop). */
   private val lateEvents: Q = (s, d) => {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // global ordering is only for the high-water mark; a real pipeline
     // tracks it per partition + max-aggregates, same result
     Tables.events(s, d)

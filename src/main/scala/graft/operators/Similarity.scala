@@ -31,8 +31,6 @@ object Similarity {
     val e = vecs(s, d)
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"),
