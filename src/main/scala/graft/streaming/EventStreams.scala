@@ -104,6 +104,26 @@ object EventStreams {
         col("v_ts"), col("p_ts"))
   }
 
+  /** Idempotent micro-batch sink via foreachBatch: each batch lands in
+    * its own `_batch_id=` partition with dynamic partition overwrite, so
+    * REPLAYING a batch (failure between sink write and checkpoint
+    * commit — the classic at-least-once window) overwrites its own
+    * partition instead of duplicating rows. This is the reference's
+    * idempotent task commit (P4, `tasktracker.py:143-156`: skip if block
+    * already DONE) rebuilt on deterministic batch ids + partition
+    * overwrite. */
+  def idempotentParquetSink(stream: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("_batch_id").parquet(path)
+        ()
+      }
+
   /** Output mode guidance per query shape (documented contract). */
   val outputModes: Map[String, OutputMode] = Map(
     "tumblingCounts" -> OutputMode.Append(),
