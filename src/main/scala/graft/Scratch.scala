@@ -1,15 +1,13 @@
 package graft
 
-/** Dev scratchpad — not part of the library surface. */
+/** Dev scratchpad + entry smoke: runs the driver's flagship entry on
+  * sf0.001 and prints the row count (must be > 0). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder(8, 8).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q02_revenue_filter", "q03_segment_revenue", "q09_brand_stats", "ta_token_stats")) {
-      println(s"==== $q ====")
-      SparkEntry.queries(q)(spark, d).explain("formatted")
-    }
+    val spark = GraftSession.local(4)
+    val df = SparkEntry.entry(spark)
+    df.show(10, false)
+    println(s"entry rows=${df.count()}")
     spark.stop()
   }
 }
