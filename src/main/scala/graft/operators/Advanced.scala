@@ -120,7 +120,23 @@ object Advanced {
       .toDF("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
   }
 
+  /** Percentile family: exact `percentile` (full sort per group — fine
+    * for low-cardinality groups) next to `percentile_approx`
+    * (KLL-sketch-style bounded state, the 100 TB path). Rows-only:
+    * interpolation arithmetic is engine-specific; AdvancedSpec bounds
+    * approx-vs-exact drift instead. */
+  private val percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_pct"),
+        expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("approx_pct"))
+      .selectExpr("l_returnflag",
+        "exact_pct[0] AS p25", "exact_pct[1] AS p50", "exact_pct[2] AS p75",
+        "approx_pct[0] AS ap25", "approx_pct[1] AS ap50", "approx_pct[2] AS ap75")
+
   val queries: Map[String, Q] = Map(
+    "adv_percentiles" -> percentiles,
     "adv_asof_join" -> asofViewPurchase,
     "adv_range_join" -> eventPairsWithin5m,
     "adv_grouping_sets" -> groupingSets,

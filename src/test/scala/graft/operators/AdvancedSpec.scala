@@ -17,6 +17,18 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx tracks exact percentiles within 1%") {
+    val rows = Advanced.queries("adv_percentiles")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (i <- 1 to 3) {
+        val exact = r.getDouble(i); val approx = r.getDouble(i + 3)
+        assert(math.abs(approx - exact) / exact <= 0.01,
+          s"p$i approx $approx vs exact $exact")
+      }
+    }
+  }
+
   test("salted join equals plain join") {
     val l = graft.sources.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
