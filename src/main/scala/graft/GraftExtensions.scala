@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.{CosineSimilarity, DotProduct, WinnowFingerprints, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, IntersectionSize,
+  RewriteIntersectionSize, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, registered via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): native functions the
@@ -37,5 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       (children: Seq[Expression]) =>
         WinnowFingerprints(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("intersection_size"),
+      new ExpressionInfo(classOf[IntersectionSize].getName, "intersection_size"),
+      (children: Seq[Expression]) =>
+        IntersectionSize(children(0), children(1))))
+    // size(array_intersect(a, b)) → intersection_size(a, b): the Jaccard
+    // verification kernel, allocation-free.
+    ext.injectOptimizerRule(_ => RewriteIntersectionSize)
   }
 }
