@@ -113,7 +113,38 @@ object TextAnalysis {
     "ta_fingerprint" -> fingerprint,
     "ta_winnow" -> winnow,
     "ta_bigrams" -> bigrams,
+    "ta_repetition" -> repetition,
+    "ta_char_stats" -> charStats,
   )
+
+  /** Repetition signal (Gopher-style quality filter): fraction of a
+    * doc's bigram occurrences taken by its single most frequent bigram.
+    * Positional bigrams (duplicates kept) → explode → per-(doc, bigram)
+    * count → per-doc max/total. Int ratio → oracle-deterministic. */
+  private lazy val repetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tok", expr("filter(split(text, ' '), t -> t <> '')"))
+      .where(expr("size(tok) >= 2"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(tok) - 2), i -> concat(tok[i], ' ', tok[i+1]))"))
+          .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).cast("long").as("n_bigrams"))
+      .withColumn("repetition_ratio", col("top_bigram_n") / col("n_bigrams"))
+
+  /** Character-class profile: alpha/digit/space fractions (integer
+    * counts, single divisions). */
+  private lazy val charStats: Q = (s, d) =>
+    Tables.documents(s, d).selectExpr(
+      "doc_id",
+      "length(text) AS n",
+      "length(regexp_replace(text, '[^a-z]', '')) AS n_alpha",
+      "length(regexp_replace(text, '[^0-9]', '')) AS n_digit",
+      "length(regexp_replace(text, '[^ ]', '')) AS n_space",
+      "length(regexp_replace(text, '[^a-z]', '')) / length(text) AS alpha_ratio",
+      "length(regexp_replace(text, '[^ ]', '')) / length(text) AS space_ratio")
 
   private def duckTok = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -157,5 +188,27 @@ object TextAnalysis {
            FROM tok)
          SELECT bigram, COUNT(*) AS n FROM bg
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "ta_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]) AS bigram
+           FROM tok WHERE len(ts) >= 2),
+         cnt AS (
+           SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+         SELECT doc_id, MAX(c) AS top_bigram_n,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           MAX(c) / CAST(SUM(c) AS BIGINT) AS repetition_ratio
+         FROM cnt GROUP BY doc_id""",
+    "ta_char_stats" ->
+      """SELECT doc_id,
+           length(text) AS n,
+           length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           length(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
+           length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) AS alpha_ratio,
+           length(regexp_replace(text, '[^ ]', '', 'g')) / length(text) AS space_ratio
+         FROM documents""",
   )
 }
