@@ -135,7 +135,30 @@ object Advanced {
         "exact_pct[0] AS p25", "exact_pct[1] AS p50", "exact_pct[2] AS p75",
         "approx_pct[0] AS ap25", "approx_pct[1] AS ap50", "approx_pct[2] AS ap75")
 
+  /** Stratified sampling — per-stratum fractions with a fixed seed
+    * (deterministic WITHIN Spark: Bernoulli on a seeded hash per row;
+    * rows-only for the driver, exactness specs pin the strata). The
+    * training-data use: rebalancing a corpus by source/language without
+    * a shuffle — sampling is a narrow operation. */
+  private val stratifiedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.25, "zh" -> 0.25),
+        seed = 42L)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+
+  /** Frequent items (Karp/Misra-Gries style, Spark's freqItems): single
+    * pass, bounded state — the heavy-hitters sketch for hot-key
+    * discovery before a skew-sensitive join. */
+  private val frequentItems: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select((col("l_partkey") % 100).as("bucketed_part"))
+      .stat.freqItems(Seq("bucketed_part"), 0.05)
+      .select(explode(col("bucketed_part_freqItems")).as("hot_key"))
+
   val queries: Map[String, Q] = Map(
+    "adv_stratified_sample" -> stratifiedSample,
+    "adv_freq_items" -> frequentItems,
     "adv_percentiles" -> percentiles,
     "adv_asof_join" -> asofViewPurchase,
     "adv_range_join" -> eventPairsWithin5m,

@@ -29,6 +29,39 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample respects per-stratum fractions (seeded, deterministic)") {
+    val totals = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Advanced.queries("adv_stratified_sample")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic for a fixed seed
+    val again = Advanced.queries("adv_stratified_sample")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled == again)
+    sampled.foreach { case (lang, n) =>
+      val frac = if (lang == "en") 0.5 else 0.25
+      assert(n <= totals(lang), s"$lang oversampled")
+      // Bernoulli bound: loose 3-sigma window
+      val exp = totals(lang) * frac
+      val sigma = math.sqrt(totals(lang) * frac * (1 - frac))
+      assert(math.abs(n - exp) <= 3 * sigma + 2, s"$lang: $n vs expected $exp")
+    }
+  }
+
+  test("freqItems finds every genuinely frequent key") {
+    val hot = Advanced.queries("adv_freq_items")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    // every key above the support threshold must be reported
+    // (freqItems may over-report, never under-report)
+    val truth = graft.sources.Tables.lineitem(spark, sfDir)
+      .selectExpr("l_partkey % 100 AS k").groupBy("k").count()
+    val total = truth.selectExpr("sum(count)").head.getLong(0)
+    val mustHave = truth.where(s"count > ${total * 0.05}")
+      .collect().map(_.getLong(0)).toSet
+    assert(mustHave.subsetOf(hot), s"missing ${mustHave -- hot}")
+  }
+
   test("salted join equals plain join") {
     val l = graft.sources.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
