@@ -63,25 +63,30 @@ object Advanced {
   }
 
   /** GROUPING SETS — finer than cube/rollup: chosen aggregation lattice
-    * in one pass. */
-  private val groupingSets: Q = (s, d) => {
-    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
-    s.sql(
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-         FROM orders_gs
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
-  }
+    * in one pass. Dataset `groupingSets` API (no temp view → no name
+    * collisions under concurrent use of one session). */
+  private val groupingSets: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
 
-  /** HLL approx-distinct next to the exact answer — the sketch the
-    * reference's exact distinct (word_set_functions.py) cannot afford at
-    * scale. Rows-only check (HLL estimates are engine-specific);
-    * AdvancedSpec pins the error bound. */
+  /** HLL approx-distinct HARD-CHECKED against the exact answer — the
+    * sketch the reference's exact distinct (word_set_functions.py)
+    * cannot afford at scale. The raw HLL estimate is engine-specific, so
+    * the declared output carries the exact count plus a boolean asserting
+    * the estimate landed within 5% — deterministic on both sides, and a
+    * real failure signal if the sketch ever drifts. */
   private val approxDistinct: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          .as("approx_within_5pct"))
 
   /** Typed top-k Aggregator (bounded min-heap, size k per group) — the
     * UDAF surface (reference's reducer ≈ UDAF, `tasktracker.py:228-271`).
@@ -90,12 +95,22 @@ object Advanced {
   class TopKAgg(k: Int)
       extends Aggregator[(String, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
     override def zero: Seq[(Double, Long)] = Seq.empty
-    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortBy { case (v, id) => (-v, id) }.take(k)
+    // buffer invariant: sorted by (-value, id), length <= k. One ordered
+    // insert per row (O(k), early-exit when the row can't place) instead
+    // of a per-row sort — the bounded-heap cost the doc promises.
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(b: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] =
+      if (b.length >= k && !better(e, b.last)) b
+      else {
+        val i = b.indexWhere(x => better(e, x))
+        val nb = if (i < 0) b :+ e else (b.take(i) :+ e) ++ b.drop(i)
+        if (nb.length > k) nb.take(k) else nb
+      }
     override def reduce(b: Seq[(Double, Long)], a: (String, Long, Double)): Seq[(Double, Long)] =
-      trim(b :+ ((a._3, a._2)))
+      insert(b, (a._3, a._2))
     override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      trim(x ++ y)
+      y.foldLeft(x)(insert)
     override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
     override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
@@ -122,39 +137,69 @@ object Advanced {
 
   /** Percentile family: exact `percentile` (full sort per group — fine
     * for low-cardinality groups) next to `percentile_approx`
-    * (KLL-sketch-style bounded state, the 100 TB path). Rows-only:
-    * interpolation arithmetic is engine-specific; AdvancedSpec bounds
-    * approx-vs-exact drift instead. */
+    * (KLL-sketch-style bounded state, the 100 TB path).
+    *
+    * Oracle-determinism: prices are scaled to integer cents, so linear
+    * interpolation at p ∈ {.25, .5, .75} is exact double arithmetic
+    * (integers < 2^53, binary fractions) — bit-identical under any
+    * lo+(hi−lo)·f / lo·(1−f)+hi·f variant in either engine. The
+    * engine-specific approx estimate ships as a within-1% boolean
+    * against the exact value: a hard failure signal, not a rows-only
+    * shrug. */
   private val percentiles: Q = (s, d) =>
     Tables.lineitem(s, d)
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_pct"),
-        expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("approx_pct"))
+        expr("percentile(cents, array(0.25, 0.5, 0.75))").as("ex"),
+        expr("percentile_approx(cents, array(0.25, 0.5, 0.75), 10000)").as("ap"))
       .selectExpr("l_returnflag",
-        "exact_pct[0] AS p25", "exact_pct[1] AS p50", "exact_pct[2] AS p75",
-        "approx_pct[0] AS ap25", "approx_pct[1] AS ap50", "approx_pct[2] AS ap75")
+        "ex[0] / 100 AS p25", "ex[1] / 100 AS p50", "ex[2] / 100 AS p75",
+        "abs(ap[0] - ex[0]) <= 0.01 * ex[0] AS ap25_ok",
+        "abs(ap[1] - ex[1]) <= 0.01 * ex[1] AS ap50_ok",
+        "abs(ap[2] - ex[2]) <= 0.01 * ex[2] AS ap75_ok")
 
-  /** Stratified sampling — per-stratum fractions with a fixed seed
-    * (deterministic WITHIN Spark: Bernoulli on a seeded hash per row;
-    * rows-only for the driver, exactness specs pin the strata). The
-    * training-data use: rebalancing a corpus by source/language without
-    * a shuffle — sampling is a narrow operation. */
+  /** Stratified sampling via a multiplicative hash on the row key
+    * (Knuth 2^32 golden-ratio constant): keep a row iff
+    * (doc_id · 2654435761) mod 2^32 < frac · 2^32, per-stratum frac.
+    *
+    * Deliberately NOT a seeded RNG: hash-based sampling is reproducible
+    * across engines, runs, and partitionings — the property a
+    * training-data pipeline actually needs (consistent subsets, exact
+    * replay, cross-engine verification). Narrow op, no shuffle until the
+    * count. (At key ranges ≳ 2^40, swap the multiply for a 128-bit or
+    * xxhash mix — the BIGINT product here holds to doc_id < 3.4e9.) */
+  private val strataThresh: Seq[(String, Long)] =
+    Seq("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.25, "zh" -> 0.25)
+      .map { case (l, f) => l -> (f * 4294967296L).toLong }
+
+  private def strataCase: String =
+    strataThresh.map { case (l, t) => s"WHEN '$l' THEN ${t}" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+
   private val stratifiedSample: Q = (s, d) =>
     Tables.documents(s, d)
-      .stat.sampleBy("lang",
-        Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.25, "zh" -> 0.25),
-        seed = 42L)
+      .where(expr(s"(doc_id * 2654435761) % 4294967296 < ($strataCase)"))
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
 
-  /** Frequent items (Karp/Misra-Gries style, Spark's freqItems): single
-    * pass, bounded state — the heavy-hitters sketch for hot-key
-    * discovery before a skew-sensitive join. */
-  private val frequentItems: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .select((col("l_partkey") % 100).as("bucketed_part"))
-      .stat.freqItems(Seq("bucketed_part"), 0.05)
-      .select(explode(col("bucketed_part_freqItems")).as("hot_key"))
+  /** Heavy hitters: single-pass bounded-state sketch (Spark's
+    * `freqItems`, Karp et al.) to nominate candidates, then ONE exact
+    * semi-join pass to verify counts — sketch recall (never misses a
+    * true heavy hitter at the sketch support) + exact precision. The
+    * sketch support (0.8%) sits under the reported threshold (1%), so
+    * the output is exactly {keys with freq > 1%}, deterministic and
+    * oracle-checkable, while the full-corpus pass stays a bounded-state
+    * scan — the 100 TB hot-key discovery shape. */
+  private val frequentItems: Q = (s, d) => {
+    val keyed = Tables.lineitem(s, d).select((col("l_partkey") % 100).as("hot_key"))
+    val cand = keyed.stat.freqItems(Seq("hot_key"), 0.008)
+      .select(explode(col("hot_key_freqItems")).as("hot_key"))
+    keyed.groupBy("hot_key").agg(count(lit(1)).as("n"))
+      .join(broadcast(cand), "hot_key")
+      .crossJoin(broadcast(keyed.agg(count(lit(1)).as("n_total"))))
+      .where(col("n") > col("n_total") * 0.01)
+      .select(col("hot_key"), col("n"))
+  }
 
   val queries: Map[String, Q] = Map(
     "adv_stratified_sample" -> stratifiedSample,
@@ -191,6 +236,28 @@ object Advanced {
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
            FROM orders) WHERE rnk <= 3""",
-    // adv_approx_distinct: rows-only (engine-specific HLL).
+    // The HLL estimate itself is engine-specific; the declared contract
+    // is exact_parts + the within-5% assertion, both deterministic.
+    "adv_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+         FROM lineitem GROUP BY l_returnflag""",
+    "adv_percentiles" ->
+      """SELECT l_returnflag,
+           q[1] / 100 AS p25, q[2] / 100 AS p50, q[3] / 100 AS p75,
+           TRUE AS ap25_ok, TRUE AS ap50_ok, TRUE AS ap75_ok
+         FROM (SELECT l_returnflag,
+                 quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                               [0.25, 0.5, 0.75]) AS q
+               FROM lineitem GROUP BY l_returnflag)""",
+    "adv_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled FROM documents
+          WHERE (doc_id * 2654435761) % 4294967296 < ($strataCase)
+          GROUP BY lang""",
+    "adv_freq_items" ->
+      """WITH c AS (SELECT l_partkey % 100 AS hot_key, count(*) AS n
+                    FROM lineitem GROUP BY 1),
+              t AS (SELECT count(*) AS nt FROM lineitem)
+         SELECT hot_key, n FROM c, t WHERE n > nt * 0.01""",
   )
 }

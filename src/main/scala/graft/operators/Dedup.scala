@@ -132,25 +132,32 @@ object Dedup {
   }
 
   // ---- SimHash ----------------------------------------------------------
+  private val SimBits = 60 // 15 hex chars of md5 → fits BIGINT, 4×15 segments
 
-  /** 64-bit SimHash over distinct tokens: per-bit signed vote of token
-    * hashes. Near-dups differ in few bits; pairs are found by 16-bit
+  /** 60-bit SimHash over distinct tokens: per-bit signed vote of token
+    * hashes. Near-dups differ in few bits; pairs are found by 15-bit
     * segment blocking (Hamming ≤ 3 ⇒ ≥1 of 4 segments equal — pigeonhole),
-    * again a shuffle join, not a cross join. */
+    * again a shuffle join, not a cross join.
+    *
+    * The token hash is the first 15 hex chars of md5 — SimHash is
+    * hash-family-agnostic, and md5 (unlike xxhash64) is computable
+    * identically in DuckDB, which turns this query's check from
+    * rows-only into hash-verified. */
   private[graft] def simhashes(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr("word_shingles(text, 1)")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(j =>
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val votes = (0 until SimBits).map(j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
-    val bits = (0 until 64).map(j =>
-      when(col(s"v$j") > 0, expr(s"shiftleft(1L, $j)")).otherwise(0L))
+    val bits = (0 until SimBits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
     toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** Per-doc SimHash signatures (rows-only check: the hash family is
-    * engine-local, so no SQL oracle — differential tests cover it). */
+  /** Per-doc SimHash signatures (hash-verified against a DuckDB oracle
+    * that replays the md5 bit votes). */
   private val simhash: Q = (s, d) => simhashes(s, d)
 
   /** Hamming ≤ maxDist pairs from SimHash via segment blocking. */
@@ -158,7 +165,7 @@ object Dedup {
     val sh = simhashes(s, d)
     val segs = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
-        "k -> shiftright(simhash, k * 16) & 65535)")))
+        "k -> shiftright(simhash, k * 15) & 32767)")))
       .toDF("doc_id", "simhash", "seg_id", "seg")
     segs.as("a").join(segs.as("b"),
         col("a.seg_id") === col("b.seg_id") && col("a.seg") === col("b.seg") &&
@@ -169,17 +176,32 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Hot-fingerprint document-frequency cap for [[winnowDedup]]: a
+    * fingerprint shared by m docs contributes m²/2 candidate pairs, so an
+    * uncapped inverted index dies on one boilerplate fingerprint (10⁵
+    * sharers → 10¹⁰ pairs). Near-dup PAIRS share many fingerprints and
+    * only need one rare survivor to stay candidates; clusters larger
+    * than the cap are exact-duplicate-shaped and caught by [[exact]] /
+    * [[minhashLsh]] (whose band-bucket joins bound fan-out by
+    * construction). */
+  private val WinnowDfCap = 256
+
   /** Winnowing-candidate dedup: inverted index on winnow fingerprints
     * ([[graft.functions.WinnowFingerprints]], k=5 w=4) instead of full
     * shingles — ~2/(w+1) the index size. Near-dups at τ=0.8 on ~100-token
     * docs share runs ≫ k+w−1 tokens, so candidate recall is complete on
     * real near-dup data (the winnowing guarantee); candidates are then
     * exact-verified, so the output contract (and oracle) matches
-    * [[ngramJaccard]]. */
+    * [[ngramJaccard]]. Fingerprints hotter than [[WinnowDfCap]] are
+    * dropped before the self-join — the same fan-out bound as
+    * [[ngramJaccard]]'s prefix filter. */
   private val winnowDedup: Q = (s, d) => {
     val fps = Tables.documents(s, d)
       .selectExpr("doc_id", "explode(winnow_fingerprints(text, 5, 4)) AS fp")
-    val cand = fps.as("a").join(fps.as("b"),
+    val df = fps.groupBy("fp").agg(count(lit(1)).as("fp_df"))
+    val rare = fps.join(df.where(col("fp_df") <= WinnowDfCap), "fp")
+      .select("doc_id", "fp")
+    val cand = rare.as("a").join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -214,10 +236,36 @@ object Dedup {
        WHERE len(list_intersect(a.s, b.s)) /
            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""
 
+  /** DuckDB replay of [[simhashes]]: same md5-60-bit token hashes, same
+    * per-bit votes, same bit packing — bit-identical signatures. */
+  private def simhashSql: String = {
+    val votes = (0 until SimBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n           ")
+    val pack = (0 until SimBits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+          SELECT doc_id,
+            unnest(list_distinct(list_filter(string_split(text, ' '),
+              t -> t <> ''))) AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+          FROM tok),
+        votes AS (
+          SELECT doc_id,
+           $votes
+          FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes"""
+  }
+
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS rep_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+    "dd_simhash" -> simhashSql,
     "dd_ngram_jaccard" -> duckJaccardPairs,
     // LSH/winnow candidates are exact-verified, and at these thresholds
     // candidate recall is deterministically complete — same ground truth

@@ -320,14 +320,20 @@ object Relational {
     * Catalyst decorrelates it into an aggregate + join; the DataFrame
     * never materializes a per-row subquery. */
   private val q23: Q = (s, d) => {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q23")
-    s.sql(
+    // Unique view name per invocation (a fixed name collides under
+    // concurrent use of one session); safe to drop right after sql() —
+    // analysis resolves the plan eagerly.
+    val v = s"lineitem_q23_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.lineitem(s, d).createOrReplaceTempView(v)
+    val out = s.sql(
       s"""SELECT l_partkey, ${"CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"} AS small_rev
-          FROM lineitem_q23 l1
+          FROM $v l1
           WHERE l_quantity < (
-            SELECT 0.5 * AVG(l_quantity) FROM lineitem_q23 l2
+            SELECT 0.5 * AVG(l_quantity) FROM $v l2
             WHERE l2.l_partkey = l1.l_partkey)
           GROUP BY l_partkey""")
+    s.catalog.dropTempView(v)
+    out
   }
 
   val queries: Map[String, Q] = Map(

@@ -7,14 +7,21 @@ import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (`Array[Float]` 64-dim).
   *
-  * Two paths, as a 100 TB design demands:
+  * Three declared paths, each with a 100 TB shape:
   *   - [[topkBrute]]: exact brute force — broadcast the (small) query set,
   *     one scan of the corpus, per-query top-k via window. The baseline
-  *     and the oracle-checked truth.
-  *   - [[topkLsh]]: random-hyperplane LSH — corpus bucketed by L sign
-  *     signatures; only same-bucket candidates are scored. The scan →
-  *     bucket-join replaces the all-pairs scoring; recall is tested
-  *     differentially against the brute-force truth.
+  *     and the oracle-checked exact truth.
+  *   - [[topkLsh]] / [[cosinePairs]]: random-hyperplane LSH — corpus
+  *     bucketed by L sign signatures; only same-bucket candidates are
+  *     scored. Candidate generation, dedup, and the bucket join all run
+  *     on ID-ONLY rows (two longs); vectors re-join exactly once per
+  *     surviving candidate. The hyperplanes are fixed ±1 literals, so the
+  *     whole candidate set is deterministic and the DuckDB oracle
+  *     replicates it bit-exactly (dot products are ±v_i sums folded
+  *     left-to-right in both engines).
+  *   - [[topkIvf]]: IVF coarse quantization — one list per corpus vector,
+  *     queries probe 4; the list join is broadcast (queries are few), so
+  *     no corpus shuffle at all. Also literal-deterministic and oracled.
   *
   * Scoring uses the native codegen'd [[graft.functions.CosineSimilarity]]
   * expression (`cosine_sim` via GraftExtensions).
@@ -39,17 +46,6 @@ object Similarity {
       .where(col("rnk") <= 5)
   }
 
-  /** Cosine near-dup pairs at τ ≥ 0.45 (brute force; the LSH/banding
-    * path is the scale variant, as with Dedup). τ chosen below this
-    * corpus's max pair similarity so the check is non-trivial. */
-  private val cosinePairs: Q = (s, d) => {
-    val e = vecs(s, d)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("cosine_sim(a.v, b.v)").as("cos_sim"))
-      .where(col("cos_sim") >= 0.45)
-  }
-
   // ---- LSH scale path ---------------------------------------------------
   private val Tables_L = 8  // hash tables
   private val Bits_K = 6    // hyperplanes per table
@@ -62,11 +58,14 @@ object Similarity {
       Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
     }
 
-  /** Sign-bit signature per (table, vector): bit j = sign of
-    * dot(v, plane_tj), via the codegen'd `dot_prod` expression (an
-    * interpreted higher-order aggregate here costs ~50× per row).
-    * Returns (vec_id, v, table_id, bucket). */
-  private[graft] def buckets(df: DataFrame): DataFrame = {
+  /** ID-only LSH assignments: (vec_id, table_id, bucket). Bit j of a
+    * table's bucket = sign of dot(v, plane_tj), via the codegen'd
+    * `dot_prod` expression (an interpreted higher-order aggregate here
+    * costs ~50× per row). Vectors are dropped BEFORE any join: candidate
+    * generation and dedup move 12-byte rows, never ~1 KB vector rows —
+    * at 100 TB the bucket join shuffles ids, and each surviving
+    * candidate fetches its vector exactly once. */
+  private[graft] def bucketIds(df: DataFrame): DataFrame = {
     def dotWithPlane(t: Int, j: Int) =
       expr(s"dot_prod(v, array(${planes(t)(j).mkString(", ")}))")
     val bucketCols = (0 until Tables_L).map { t =>
@@ -75,29 +74,61 @@ object Similarity {
       }.reduce(_ + _)
     }
     df.withColumn("bucket_arr", array(bucketCols: _*))
-      .select(col("vec_id"), col("v"), posexplode(col("bucket_arr")))
-      .toDF("vec_id", "v", "table_id", "bucket")
+      .select(col("vec_id"), posexplode(col("bucket_arr")))
+      .toDF("vec_id", "table_id", "bucket")
   }
 
   /** Approximate top-5: score only same-bucket candidates in any of the
-    * L tables. At 100 TB the bucket join shuffles each vector L times
-    * instead of scoring it against every query. */
+    * L tables. The query-side bucket table (|Q|·L rows) broadcasts, so
+    * candidate generation is a map-side join over corpus bucket ids;
+    * dedup runs on (query_id, vec_id) pairs; vectors join back once. */
   private val topkLsh: Q = (s, d) => {
-    val b = buckets(vecs(s, d))
-    // Explicit renames: qb derives from b, so same-named columns would
-    // resolve to one attribute (trivially-true join condition).
-    val qb = b.where(col("vec_id") < 10)
-      .toDF("query_id", "qv", "q_table", "q_bucket")
-    val cand = b.join(qb,
+    val e = vecs(s, d)
+    val b = bucketIds(e)
+    val qb = b.where(col("vec_id") < 10).toDF("query_id", "q_table", "q_bucket")
+    val cand = b.join(broadcast(qb),
         col("table_id") === col("q_table") && col("bucket") === col("q_bucket") &&
         col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
-    cand.withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+    val qv = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    cand.join(e, "vec_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"),
         row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos_sim").desc, col("vec_id"))).as("rnk"))
       .where(col("rnk") <= 5)
+  }
+
+  /** Cosine near-dup pairs at τ ≥ 0.45: LSH candidates + exact verify —
+    * the same candidates-then-verify contract as
+    * [[Dedup]]'s `dd_minhash_lsh`. Declared semantics are "pairs sharing
+    * ≥1 LSH bucket with exact cosine ≥ τ": the candidate set is
+    * deterministic (fixed ±1 hyperplanes), every reported pair carries
+    * its EXACT similarity (precision 1), and the DuckDB oracle replicates
+    * the bucketing bit-for-bit — a hash-verified check, unlike the brute
+    * all-pairs formulation this replaces, which planned as an O(n²)
+    * nested-loop join (dead at 100×). Recall vs brute force follows the
+    * band-collision curve (1−(1−p^K)^L, p = 1−θ/π): ≈ 1 at true near-dup
+    * similarity (≥ 0.9), by design NOT 1 in the sub-0.6 noise regime —
+    * the standard ANN-dedup trade (SimilaritySpec pins both properties
+    * differentially against brute force). */
+  private val cosinePairs: Q = (s, d) => {
+    val e = vecs(s, d)
+    val b = bucketIds(e)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.table_id") === col("y.table_id") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), expr("cosine_sim(va, vb)").as("cos_sim"))
+      .where(col("cos_sim") >= 0.45)
   }
 
   // ---- IVF scale path ---------------------------------------------------
@@ -107,11 +138,9 @@ object Similarity {
   /** IVF-style ANN without a training pass: pseudo-centroids are fixed
     * unit ±1 vectors (the same deterministic family as the LSH planes);
     * every vector is assigned to its best-dot-product list, queries
-    * probe their `IvfProbes` best lists. One shuffle on list id; each
-    * query scores |corpus|·(probes/lists) candidates instead of all —
-    * the coarse-quantizer half of IVF-Flat (public FAISS design),
-    * k-means refinement being an offline upgrade that only changes the
-    * assignment table. */
+    * probe their `IvfProbes` best lists — the coarse-quantizer half of
+    * IVF-Flat (public FAISS design), k-means refinement being an offline
+    * upgrade that only changes the assignment table. */
   private[graft] val centroids: Array[Array[Double]] =
     Array.tabulate(IvfLists) { c =>
       val rnd = new scala.util.Random(15485863L * (c + 1))
@@ -132,17 +161,21 @@ object Similarity {
   }
 
   /** Approximate top-5 via IVF lists: corpus in 1 list each, queries
-    * probe 4. */
+    * probe 4. The 40-row query side broadcasts, so the list "join" is
+    * map-side over the corpus scan — zero corpus shuffle before the
+    * final (narrow) top-k window. A corpus vector sits in exactly one
+    * list, so a (query, vec) pair can match at most once: no dedup
+    * exists on this path (the old `distinct()` here shuffled every
+    * candidate with two 64-dim vectors for a dedup that removed
+    * nothing). */
   private val topkIvf: Q = (s, d) => {
     val corpus = assignLists(vecs(s, d), 1)
       .select(col("vec_id"), col("v"), col("lists")(0).as("list_id"))
     val qs = assignLists(vecs(s, d).where(col("vec_id") < 10), IvfProbes)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(col("lists")).as("list_id"))
-    corpus.join(qs, Seq("list_id"))
+    corpus.join(broadcast(qs), Seq("list_id"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
-      .distinct()
       .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"),
         row_number().over(Window.partitionBy("query_id")
@@ -157,12 +190,49 @@ object Similarity {
     "sim_topk_ivf" -> topkIvf,
   )
 
-  // Oracle mirrors the Expression's exact fold: left-to-right products,
+  // ---- DuckDB oracles ----------------------------------------------------
+  // The LSH/IVF models are ±1 literals, so the oracle SQL regenerates the
+  // exact bucketing from the same Scala arrays: dot products are sums of
+  // ±v_i folded left-to-right in both engines → bit-identical signs →
+  // identical candidate sets → hash-exact comparison even for the
+  // "approximate" paths.
+
+  // Mirrors CosineSimilarity's exact fold: left-to-right products,
   // dot/(sqrt(na)*sqrt(nb)).
   private val cosSql = (a: String, b: String) =>
     s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p, q) -> p + q) /
         (sqrt(list_reduce(list_transform($a, x -> x * x), (p, q) -> p + q)) *
          sqrt(list_reduce(list_transform($b, x -> x * x), (p, q) -> p + q)))"""
+
+  private def dotSql(plane: Array[Double]): String =
+    s"""list_reduce(list_transform(list_zip(v, [${plane.mkString(", ")}]),
+        x -> x[1] * x[2]), (p, q) -> p + q)"""
+
+  /** One bucket id per table: Σ_j 2^j · [dot(v, plane_tj) > 0]. */
+  private def bucketSql(t: Int): String =
+    (0 until Bits_K).map { j =>
+      s"(CASE WHEN ${dotSql(planes(t)(j))} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** CTE `b(vec_id, table_id, bucket)` — DuckDB zips parallel unnests. */
+  private def bucketsCte: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        b AS (SELECT vec_id,
+                unnest([${(0 until Tables_L).mkString(", ")}]) AS table_id,
+                unnest([${(0 until Tables_L).map(bucketSql).mkString(", ")}]) AS bucket
+              FROM e)"""
+
+  /** CTE `asn(vec_id, list_id, rk)` — IVF centroid ranking per vector. */
+  private def ivfCte: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        dots AS (SELECT vec_id,
+                   unnest([${(0 until IvfLists).mkString(", ")}]) AS list_id,
+                   unnest([${centroids.map(c => dotSql(c)).mkString(", ")}]) AS dot
+                 FROM e),
+        asn AS (SELECT vec_id, list_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY dot DESC, list_id) AS rk
+                FROM dots)"""
 
   val oracle: Map[String, String] = Map(
     "sim_topk_cosine" ->
@@ -177,12 +247,45 @@ object Similarity {
                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
             FROM p) WHERE rnk <= 5""",
     "sim_cosine_pairs" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-            ${cosSql("a.v", "b.v")} AS cos_sim
-          FROM e a JOIN e b ON a.vec_id < b.vec_id
-          WHERE ${cosSql("a.v", "b.v")} >= 0.45""",
-    // sim_topk_lsh: no oracle (approximate; recall tested differentially
-    // against sim_topk_cosine in SimilaritySpec) → rows-only check.
+      s"""WITH $bucketsCte,
+          cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                   FROM b x JOIN b y
+                     ON x.table_id = y.table_id AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id)
+          SELECT vec_a, vec_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+          FROM cand JOIN e ea ON ea.vec_id = vec_a
+                    JOIN e eb ON eb.vec_id = vec_b
+          WHERE ${cosSql("ea.v", "eb.v")} >= 0.45""",
+    "sim_topk_lsh" ->
+      s"""WITH $bucketsCte,
+          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+                   FROM b c JOIN b q
+                     ON c.table_id = q.table_id AND c.bucket = q.bucket
+                   WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          sc AS (SELECT query_id, cand.vec_id AS neighbor_id,
+                   ${cosSql("qe.v", "ce.v")} AS cos_sim
+                 FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
+                           JOIN e qe ON qe.vec_id = cand.query_id)
+          SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM sc) WHERE rnk <= 5""",
+    "sim_topk_ivf" ->
+      s"""WITH $ivfCte,
+          corpus AS (SELECT vec_id, list_id FROM asn WHERE rk = 1),
+          qs AS (SELECT vec_id AS query_id, list_id FROM asn
+                 WHERE rk <= $IvfProbes AND vec_id < 10),
+          sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                   ${cosSql("qe.v", "ce.v")} AS cos_sim
+                 FROM corpus c JOIN qs ON c.list_id = qs.list_id
+                  AND c.vec_id <> qs.query_id
+                 JOIN e ce ON ce.vec_id = c.vec_id
+                 JOIN e qe ON qe.vec_id = qs.query_id)
+          SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM sc) WHERE rnk <= 5""",
   )
 }

@@ -88,12 +88,17 @@ object TextAnalysis {
     * [[graft.functions.WinnowFingerprints]]): the robust near-dup
     * fingerprint set (any shared run of ≥ k+w−1 tokens shares a
     * fingerprint). Rows-only: the hash family is engine-local;
-    * TextAnalysisSpec pins overlap behavior on planted near-dups. */
+    * TextAnalysisSpec pins overlap behavior on planted near-dups.
+    * Output is scalar-only (count + order-insensitive signature) so the
+    * harness can sort/canonicalize rows — the raw array set is exercised
+    * by [[graft.operators.Dedup]]'s winnow path. */
   private val winnow: Q = (s, d) =>
-    Tables.documents(s, d).selectExpr(
-      "doc_id",
-      "winnow_fingerprints(text, 5, 4) AS fps",
-      "size(winnow_fingerprints(text, 5, 4)) AS n_fp")
+    Tables.documents(s, d)
+      .withColumn("fps", expr("winnow_fingerprints(text, 5, 4)"))
+      .selectExpr(
+        "doc_id",
+        "size(fps) AS n_fp",
+        "xxhash64(array_join(array_sort(fps), ',')) AS fp_sig")
 
   /** Corpus-level top-20 bigrams (deterministic tie-break on the bigram
     * itself). explode → partial-agg count → global top-k: the shuffle

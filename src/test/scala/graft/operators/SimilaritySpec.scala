@@ -55,6 +55,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall below floor")
   }
 
+  test("cosine pairs: precision 1 vs brute force, deterministic candidates") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) { dot += x(i)*y(i); na += x(i)*x(i); nb += y(i)*y(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      (a, va) <- emb; (b, vb) <- emb if a < b
+      c = cos(va, vb) if c >= 0.45
+    } yield (a, b)).toSet
+    val got = Similarity.queries("sim_cosine_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // precision 1: every reported pair is a true >= tau pair, with its
+    // exact (not approximated) similarity
+    val byId = emb.toMap
+    got.foreach { case (a, b, c) =>
+      assert(brute.contains((a, b)), s"($a,$b) not a true pair")
+      assert(math.abs(cos(byId(a), byId(b)) - c) < 1e-12)
+    }
+    // fixed hyperplanes: candidate set is deterministic across runs
+    val again = Similarity.queries("sim_cosine_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == again.toSet)
+  }
+
   test("LSH top-k: subset of true candidates, deterministic recall floor") {
     val brute = Similarity.queries("sim_topk_cosine")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -33,7 +33,8 @@ class TextAnalysisSpec extends SparkSpec {
       .where("jaccard >= 0.9")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(nearDups.nonEmpty)
-    val fps = TextAnalysis.queries("ta_winnow")(spark, sfDir)
+    val fps = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "winnow_fingerprints(text, 5, 4) AS fps")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     nearDups.foreach { case (a, b) =>
       val overlap = (fps(a) & fps(b)).size.toDouble / math.min(fps(a).size, fps(b).size)
