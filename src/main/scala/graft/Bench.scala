@@ -6,21 +6,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries run in sorted-name order after a warm-up pass of the first
   * query (JVM/codegen/parquet-footer costs land in the warm-up, not in
-  * whichever query a hash map yields first). Timing is end-to-end per
-  * query: plan + execute + count. */
+  * whichever query a hash map yields first). Each query is timed
+  * end-to-end (plan + execute + count) SPARK_GRAFT_REPS times
+  * (default 3) and reports the MEDIAN: single-shot runs of the heavy
+  * similarity/dedup queries swing ±2.5× on identical code (GC, codegen
+  * cache, page cache), medians don't. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm-up: touch every table once (footer reads, codegen of one query)
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
