@@ -12,17 +12,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * MOSS document-fingerprinting scheme):
   *
   *   1. tokenize on spaces (empties dropped),
-  *   2. rolling hash of every word k-gram (positional — duplicates kept,
-  *      unlike `word_shingles`),
+  *   2. hash every word k-gram (positional — duplicates kept, unlike
+  *      `word_shingles`): first 60 bits of md5 over the space-joined
+  *      k-gram. md5 (not murmur/xx) so the whole pipeline is
+  *      reproducible in any engine with an md5 builtin — the DuckDB
+  *      oracle replays fingerprinting bit-for-bit,
   *   3. in each sliding window of w consecutive k-gram hashes, select
-  *      the minimum (rightmost on ties),
+  *      the minimum (rightmost on ties — the selected VALUE is
+  *      tie-invariant, which is what makes the SQL replay exact),
   *   4. return the distinct selected hashes, sorted.
   *
   * Guarantee: any shared token run of length ≥ k + w − 1 between two
   * documents produces at least one shared fingerprint, while storing
   * ~2/(w+1) of all k-gram hashes — the density/recall trade-off that
   * makes fingerprint-index dedup feasible at 100 TB.
-  * One pass, O(tokens) with a monotonic deque for the window minimum.
+  * One pass, O(tokens) window selection with a monotonic deque.
   */
 case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
@@ -58,18 +62,28 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
     }
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
 
-    // positional k-gram hashes (FNV-1a over token hashes)
+    // positional k-gram hashes: 60-bit md5 prefix of the space-joined
+    // k-gram (== DuckDB's CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))
     val nGrams = toks.length - k + 1
     val hashes = new Array[Long](nGrams)
+    val md = WinnowFingerprints.md5.get()
+    val sb = new java.lang.StringBuilder(64)
     var g = 0
     while (g < nGrams) {
-      var h = 0xcbf29ce484222325L
+      sb.setLength(0)
       var j = 0
       while (j < k) {
-        h = (h ^ scala.util.hashing.MurmurHash3.stringHash(toks(g + j))) * 0x100000001b3L
+        if (j > 0) sb.append(' ')
+        sb.append(toks(g + j))
         j += 1
       }
-      hashes(g) = h
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = big-endian first 8 bytes, low nibble dropped
+      var be = 0L
+      var b = 0
+      while (b < 8) { be = (be << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(g) = be >>> 4
       g += 1
     }
 
@@ -102,4 +116,12 @@ case class WinnowFingerprints(first: Expression, second: Expression, third: Expr
   override protected def withNewChildrenInternal(
       f: Expression, s2: Expression, t2: Expression): WinnowFingerprints =
     copy(first = f, second = s2, third = t2)
+}
+
+object WinnowFingerprints {
+  // MessageDigest is stateful and not thread-safe; one per executor thread
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }

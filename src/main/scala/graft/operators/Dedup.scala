@@ -208,12 +208,55 @@ object Dedup {
     jaccardVerify(cand, s, d)
   }
 
+  /** Duplicate-CLUSTER assembly: connected components over the verified
+    * near-dup pairs — the step after pair finding in a real dedup
+    * pipeline (each cluster keeps one representative; pairs alone can't
+    * say which docs to drop when A~B~C but A≁C).
+    *
+    * Min-label propagation: every doc starts labeled with its own id;
+    * each round a node takes the min label among itself and its
+    * neighbors; fixpoint = components labeled by their min doc_id.
+    * Rounds = component diameter, and near-dup clusters are near-cliques
+    * (diameter ≤ ~3), so this is 2-4 shuffles regardless of corpus size;
+    * for adversarial long-chain graphs the public large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce") drops
+    * rounds to O(log n) with the same join shape. `localCheckpoint`
+    * truncates the per-iteration lineage so plans stay O(1). */
+  private val components: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .groupBy("id").agg(min("label").as("nbr_min"))
+      val next = labels.withColumnRenamed("label", "old_label")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = next.where(col("label") < col("old_label")).isEmpty
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    labels.toDF("doc_id", "component_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component_id")))
+  }
+
   val queries: Map[String, Q] = Map(
     "dd_exact" -> exact,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_minhash_lsh" -> minhashLsh,
     "dd_simhash" -> simhash,
     "dd_winnow" -> winnowDedup,
+    "dd_components" -> components,
   )
 
   private val duckShingles =
@@ -272,5 +315,27 @@ object Dedup {
     // as the exact operator.
     "dd_minhash_lsh" -> duckJaccardPairs,
     "dd_winnow" -> duckJaccardPairs,
+    // transitive closure over the same ground-truth pairs: min reachable
+    // id per node = the component representative
+    "dd_components" ->
+      s"""${duckShingles.replaceFirst("WITH", "WITH RECURSIVE")},
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT doc_a AS s, doc_b AS t FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         comp AS (
+           SELECT s AS doc_id, LEAST(s, MIN(t)) AS component_id
+           FROM reach GROUP BY s)
+         SELECT doc_id, component_id,
+           COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
+         FROM comp""",
   )
 }

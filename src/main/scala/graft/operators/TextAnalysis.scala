@@ -87,18 +87,18 @@ object TextAnalysis {
   /** Winnowing fingerprints (Schleimer et al. — see
     * [[graft.functions.WinnowFingerprints]]): the robust near-dup
     * fingerprint set (any shared run of ≥ k+w−1 tokens shares a
-    * fingerprint). Rows-only: the hash family is engine-local;
-    * TextAnalysisSpec pins overlap behavior on planted near-dups.
-    * Output is scalar-only (count + order-insensitive signature) so the
-    * harness can sort/canonicalize rows — the raw array set is exercised
-    * by [[graft.operators.Dedup]]'s winnow path. */
+    * fingerprint). Hash-verified: the k-gram hash is an md5 prefix and
+    * window-minima selection is pure SQL, so the DuckDB oracle replays
+    * the whole scheme. Output is scalar-only (count + md5 signature of
+    * the sorted set) so the harness canonicalizes rows; the raw array
+    * set is exercised by [[graft.operators.Dedup]]'s winnow path. */
   private val winnow: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("fps", expr("winnow_fingerprints(text, 5, 4)"))
       .selectExpr(
         "doc_id",
         "size(fps) AS n_fp",
-        "xxhash64(array_join(array_sort(fps), ',')) AS fp_sig")
+        "md5(array_join(fps, ',')) AS fp_sig")
 
   /** Corpus-level top-20 bigrams (deterministic tie-break on the bigram
     * itself). explode → partial-agg count → global top-k: the shuffle
@@ -111,6 +111,49 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** TF-IDF term scoring, top-3 terms per doc: per-(doc, term) counts →
+    * corpus document frequency → score. Two shuffles (doc-term agg,
+    * term df join), both key-partitioned; the df side is a term
+    * dictionary (small vs the corpus — broadcastable at any scale after
+    * a df floor).
+    *
+    * Score is tf·N/df via CAST(tf*N AS DOUBLE)/df — a single integer
+    * division, bit-deterministic cross-engine, monotone in the usual
+    * tf·log(N/df) for fixed tf (log is avoided because Java's and C's
+    * libm may differ in the last ulp, which the hash compare would
+    * catch). */
+  private lazy val tfidf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(expr(tokExpr)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("CAST(tf * n_docs AS DOUBLE) / df"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))))
+      .where(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
+  /** Inverted index (posting lists): term → sorted doc ids + df, for
+    * terms with df ≥ 5 (the dictionary floor that keeps the index
+    * bounded by content-bearing terms). One explode + one groupBy; the
+    * posting list ships as a joined string so the oracle canonicalizes
+    * it identically. At 100 TB posting lists for stopword-grade terms
+    * explode state — the df floor here is where a real pipeline also
+    * caps or tiers them. */
+  private lazy val invertedIndex: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"array_distinct($tokExpr)")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+      .where(col("df") >= 5)
+
   val queries: Map[String, Q] = Map(
     "ta_token_stats" -> tokenStats,
     "ta_quality" -> quality,
@@ -120,6 +163,8 @@ object TextAnalysis {
     "ta_bigrams" -> bigrams,
     "ta_repetition" -> repetition,
     "ta_char_stats" -> charStats,
+    "ta_tfidf" -> tfidf,
+    "ta_inverted_index" -> invertedIndex,
   )
 
   /** Repetition signal (Gopher-style quality filter): fraction of a
@@ -181,6 +226,38 @@ object TextAnalysis {
     "ta_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+    // full winnowing replay: positional k-gram md5-60-bit hashes, min of
+    // each w-window (frame truncation at the tail covers the
+    // n_grams <= w single-window case), distinct, md5 of the sorted set
+    "ta_winnow" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, len(ts) - 4 AS n_grams,
+             unnest(range(1, len(ts) - 3)) AS pos, ts
+           FROM tok WHERE len(ts) >= 5),
+         h AS (
+           SELECT doc_id, n_grams, pos,
+             CAST(concat('0x', substr(md5(
+               ts[pos] || ' ' || ts[pos+1] || ' ' || ts[pos+2] || ' ' ||
+               ts[pos+3] || ' ' || ts[pos+4]), 1, 15)) AS BIGINT) AS h
+           FROM g),
+         wm AS (
+           SELECT doc_id, n_grams, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+           FROM h),
+         fp AS (
+           SELECT DISTINCT doc_id, mh FROM wm
+           WHERE pos <= GREATEST(n_grams - 3, 1)),
+         agg AS (
+           SELECT doc_id, count(*) AS n_fp,
+             md5(array_to_string(list_sort(array_agg(mh)), ',')) AS fp_sig
+           FROM fp GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fp,
+           COALESCE(a.fp_sig, md5('')) AS fp_sig
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
     // bigram DOCUMENT frequency (word_shingles dedups within a doc)
     "ta_bigrams" ->
       """WITH tok AS (
@@ -206,6 +283,27 @@ object TextAnalysis {
            CAST(SUM(c) AS BIGINT) AS n_bigrams,
            MAX(c) / CAST(SUM(c) AS BIGINT) AS repetition_ratio
          FROM cnt GROUP BY doc_id""",
+    "ta_tfidf" ->
+      s"""WITH tf AS (
+            SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+              SELECT doc_id, unnest($duckTok) AS w FROM documents)
+            GROUP BY doc_id, w),
+          df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          scored AS (
+            SELECT doc_id, tf.term, tf.tf, df.df,
+              CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+          SELECT doc_id, term, tf, df, score, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rnk
+            FROM scored) WHERE rnk <= 3""",
+    "ta_inverted_index" ->
+      s"""SELECT w AS term, COUNT(*) AS df,
+            array_to_string(list_sort(array_agg(doc_id)), ',') AS postings
+          FROM (SELECT doc_id, unnest(list_distinct($duckTok)) AS w
+                FROM documents)
+          GROUP BY w HAVING COUNT(*) >= 5""",
     "ta_char_stats" ->
       """SELECT doc_id,
            length(text) AS n,

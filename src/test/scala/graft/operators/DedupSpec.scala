@@ -21,6 +21,35 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (3L, 2L), (6L, 1L)))
   }
 
+  test("components: label propagation matches a local union-find") {
+    val pairs = Dedup.queries("dd_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // local union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    // min-id canonical form
+    val canon = want.groupBy(_._2).flatMap { case (_, m) =>
+      val minId = m.keys.min; m.keys.map(_ -> minId)
+    }
+    val got = Dedup.queries("dd_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == canon)
+    // cluster sizes consistent with the label map
+    val sizes = Dedup.queries("dd_components")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySize = canon.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    sizes.foreach { case (_, c, n) => assert(bySize(c) == n) }
+  }
+
   test("minhash LSH pairs equal exact ngram-jaccard pairs on driver corpus") {
     val exact = Dedup.queries("dd_ngram_jaccard")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
