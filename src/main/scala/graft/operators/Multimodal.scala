@@ -54,20 +54,26 @@ object Multimodal {
       s"$kindExpr AS kind",
       "source")
 
-  /** STUB decoder: deterministic fake features (polynomial byte hash per
-    * lane). A real implementation decodes the payload (image pixels /
-    * audio samples) here — same signature, same batch shape. */
+  /** STUB decoder: deterministic fake features — lane j is an md5-60-bit
+    * hash of (payload ‖ ":j") squashed into [-1, 1). A real
+    * implementation decodes the payload (image pixels / audio samples)
+    * here — same signature, same batch shape. md5 (rather than an
+    * engine-local hash) so even the stub is replayable in the DuckDB
+    * oracle: the pipeline's plumbing is hash-verified end-to-end, and a
+    * future real decoder only downgrades this query's check, never the
+    * schema or batch shape. */
   private[graft] def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    val lanes = 8
-    val acc = new Array[Long](lanes)
-    java.util.Arrays.fill(acc, 1125899906842597L)
-    var i = 0
-    while (i < payload.length) {
-      val j = i % lanes
-      acc(j) = acc(j) * 31 + payload(i)
-      i += 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(8) { j =>
+      md.reset()
+      md.update(payload)
+      val d = md.digest(s":$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var be = 0L
+      var b = 0
+      while (b < 8) { be = (be << 8) | (d(b) & 0xffL); b += 1 }
+      val h = be >>> 4 // first 15 hex chars, nonnegative
+      (h % 2000000L - 1000000L) / 1000000.0
     }
-    acc.map(v => (math.floorMod(v, 2000000L) - 1000000L) / 1000000.0)
   }
 
   /** Feature extraction: per-partition batch map (decoder init once per
@@ -99,8 +105,9 @@ object Multimodal {
     }.toDF("doc_id", "frame_no", "frame")
   }
 
-  /** Features as a declared query (rows-only: the stub hash family is
-    * engine-local; MultimodalSpec pins determinism + shape). */
+  /** Features as a declared query — hash-verified: the stub decoder is
+    * md5-derived, so the oracle recomputes the exact lane values;
+    * MultimodalSpec additionally pins determinism + shape. */
   private val features: Q = (s, d) => {
     import s.implicits._
     extractFeatures(media(s, d))
@@ -124,6 +131,19 @@ object Multimodal {
               ELSE 'video' END AS kind,
          source
          FROM documents""",
-    // mm_features: rows-only (stub hash family is engine-local).
+    // replays the md5-lane stub decoder byte-for-byte
+    "mm_features" -> {
+      def lane(j: Int) =
+        s"""(CAST(concat('0x', substr(md5(text || ':$j'), 1, 15)) AS BIGINT)
+             % 2000000 - 1000000) / 1000000.0"""
+      s"""SELECT doc_id,
+          length(text) AS n_bytes,
+          CASE WHEN ascii(substring(text, 1, 1)) % 3 = 0 THEN 'image'
+               WHEN ascii(substring(text, 1, 1)) % 3 = 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          ${lane(0)} AS f0,
+          ${lane(7)} AS f7
+          FROM documents"""
+    },
   )
 }

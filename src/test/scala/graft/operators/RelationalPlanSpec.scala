@@ -64,4 +64,31 @@ class RelationalPlanSpec extends SparkSpec {
     // formatted final plans mark codegen'd operators with "codegen id"
     assert(p.contains("codegen id"), p)
   }
+
+  test("similarity scale paths: no nested-loop/cartesian joins anywhere") {
+    // sim_topk_cosine is deliberately exempt: the exact baseline IS a
+    // broadcast nested loop over a 10-row query side (bounded by |Q|)
+    for (q <- Seq("sim_cosine_pairs", "sim_topk_lsh", "sim_topk_ivf")) {
+      val df = Similarity.queries(q)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q plan has a cross join:\n$p")
+    }
+  }
+
+  test("sim_topk_ivf: corpus side never shuffles before the top-k window") {
+    val df = Similarity.queries("sim_topk_ivf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the list join must be broadcast (40-row query side), not sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dd_components: propagation joins are hash joins on ids") {
+    val df = Dedup.queries("dd_components")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
