@@ -336,10 +336,53 @@ object Relational {
     out
   }
 
+  /** NTILE deciles: equal-frequency bucketing of customers by account
+    * balance — the histogram/equi-depth-binning window op. One global
+    * sort (NTILE is inherently total-order); at 100 TB the same output
+    * comes from `approxQuantile` cutpoints + a narrow bucket join, which
+    * is the documented scale path; here the exact form is the declared
+    * contract. Ties broken by custkey so both engines bucket
+    * identically. */
+  private val q29: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_acctbal"), col("c_custkey"))))
+      .groupBy("decile")
+      // min/max are selections, not accumulations — deterministic on
+      // doubles without the decimal-cast dsum treatment
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+
+  /** Correlated EXISTS through the SQL path: customers with at least one
+    * URGENT order that still has an open lineitem. Catalyst decorrelates
+    * the EXISTS into a left-semi join — asserted in the plan spec; the
+    * per-row subquery never executes as written. */
+  private val q30: Q = (s, d) => {
+    val vo = s"orders_q30_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val vc = s"customer_q30_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.orders(s, d).createOrReplaceTempView(vo)
+    Tables.customer(s, d).createOrReplaceTempView(vc)
+    val out = s.sql(
+      s"""SELECT c.c_custkey, c.c_mktsegment
+          FROM $vc c
+          WHERE EXISTS (
+            SELECT 1 FROM $vo o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_orderstatus = 'O')""")
+    s.catalog.dropTempView(vo)
+    s.catalog.dropTempView(vc)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_pivot" -> q21,
     "q22_unpivot" -> q22,
     "q23_corr_subquery" -> q23,
+    "q29_ntile_deciles" -> q29,
+    "q30_exists_semi" -> q30,
     "q24_nation_pairs" -> q24,
     "q25_priority_months" -> q25,
     "q26_promo_share" -> q26,
@@ -431,6 +474,20 @@ object Relational {
            SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
            WHERE l2.l_partkey = l1.l_partkey)
          GROUP BY l_partkey""",
+    "q29_ntile_deciles" ->
+      """SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+         FROM (SELECT c_acctbal,
+                 NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+               FROM customer)
+         GROUP BY decile""",
+    "q30_exists_semi" ->
+      """SELECT c.c_custkey, c.c_mktsegment
+         FROM customer c
+         WHERE EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT'
+             AND o.o_orderstatus = 'O')""",
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${sqlSum("l_quantity")} AS sum_qty,

@@ -65,4 +65,17 @@ object Tables {
     * means reading everything twice — always declare). */
   def jsonTable(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
+
+  /** Register every corpus table as a temp view so `spark.sql` works
+    * directly — the library's SQL entry point (the reference's
+    * control-plane `select` is a SQL surface too, `client.py:24-28`).
+    * Views are bare relations: pushdown/pruning stay intact under SQL
+    * exactly as under the DataFrame loaders. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { n =>
+      // events goes through its loader so SQL sees a real timestamp
+      // column, not raw parquet nanos
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

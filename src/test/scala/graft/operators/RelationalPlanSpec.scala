@@ -86,6 +86,11 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q30: correlated EXISTS decorrelates to a semi join") {
+    val p = plan("q30_exists_semi")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("dd_components: propagation joins are hash joins on ids") {
     val df = Dedup.queries("dd_components")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

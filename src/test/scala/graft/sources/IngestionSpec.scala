@@ -7,6 +7,22 @@ import java.nio.file.{Files, Paths}
   * reference's S1 scan), binary files through the multimodal pipeline. */
 class IngestionSpec extends SparkSpec {
 
+  test("registerAll: spark.sql over the whole catalog, pushdown intact") {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    // SQL view == DataFrame loader, including the events ts conversion
+    val viaSql = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+         JOIN customer ON o_custkey = c_custkey GROUP BY 1""").collect()
+    assert(viaSql.nonEmpty)
+    val ts = spark.sql("SELECT ts FROM events LIMIT 1").schema("ts").dataType
+    assert(ts == org.apache.spark.sql.types.TimestampType, ts.toString)
+    // filters still reach the parquet scan through the view
+    val p = spark.sql("SELECT l_quantity FROM lineitem WHERE l_quantity < 5")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"), p)
+  }
+
   test("text file → textRecords → word count (S1 end-to-end)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-text")
