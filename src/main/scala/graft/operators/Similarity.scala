@@ -85,7 +85,11 @@ object Similarity {
   private val topkLsh: Q = (s, d) => {
     val e = vecs(s, d)
     val b = bucketIds(e)
-    val qb = b.where(col("vec_id") < 10).toDF("query_id", "q_table", "q_bucket")
+    // bucket the query side AFTER the filter: 10 vectors get hashed, not
+    // a second full-corpus pass (bucketIds is per-row, so this is
+    // equivalent — and the query-side subtree stays broadcast-sized)
+    val qb = bucketIds(e.where(col("vec_id") < 10))
+      .toDF("query_id", "q_table", "q_bucket")
     val cand = b.join(broadcast(qb),
         col("table_id") === col("q_table") && col("bucket") === col("q_bucket") &&
         col("vec_id") =!= col("query_id"))

@@ -139,6 +139,26 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
+  /** BPE-style pre-tokenization counting — the GPT-2 pre-tokenizer
+    * shape (public pattern family: contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs), restricted to
+    * constructs Java regex and RE2 interpret identically (no lookahead,
+    * ASCII classes). The per-doc token count is what a training
+    * pipeline budgets against; tokens-per-whitespace-word measures
+    * fragmentation. Narrow one-pass op, scan-bound at any scale. */
+  private val bpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  private lazy val bpeTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bpe", expr(s"regexp_extract_all(text, \"$bpePattern\", 0)"))
+      .withColumn("ws", expr(tokExpr))
+      .selectExpr(
+        "doc_id",
+        "size(bpe) AS n_bpe_tokens",
+        "size(ws) AS n_ws_tokens",
+        "size(bpe) / size(ws) AS fragmentation")
+
   /** Inverted index (posting lists): term → sorted doc ids + df, for
     * terms with df ≥ 5 (the dictionary floor that keeps the index
     * bounded by content-bearing terms). One explode + one groupBy; the
@@ -165,6 +185,7 @@ object TextAnalysis {
     "ta_char_stats" -> charStats,
     "ta_tfidf" -> tfidf,
     "ta_inverted_index" -> invertedIndex,
+    "ta_bpe_tokens" -> bpeTokens,
   )
 
   /** Repetition signal (Gopher-style quality filter): fraction of a
@@ -298,6 +319,15 @@ object TextAnalysis {
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
               ORDER BY score DESC, term) AS rnk
             FROM scored) WHERE rnk <= 3""",
+    "ta_bpe_tokens" -> {
+      val p = bpePattern.replace("'", "''") // SQL string-literal escaping
+      s"""SELECT doc_id,
+            len(regexp_extract_all(text, '$p', 0)) AS n_bpe_tokens,
+            len($duckTok) AS n_ws_tokens,
+            len(regexp_extract_all(text, '$p', 0)) / len($duckTok)
+              AS fragmentation
+          FROM documents"""
+    },
     "ta_inverted_index" ->
       s"""SELECT w AS term, COUNT(*) AS df,
             array_to_string(list_sort(array_agg(doc_id)), ',') AS postings
