@@ -201,7 +201,32 @@ object Advanced {
       .select(col("hot_key"), col("n"))
   }
 
+  /** Salted join as a declared query: brand revenue through
+    * [[Skew.saltedJoin]] (lineitem salted 8 ways, part replicated).
+    * Result is identical to the plain join — which is exactly what the
+    * oracle asserts: the skew path changes the physical key
+    * distribution, never the answer. */
+  private val saltedBrandRevenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Skew.saltedJoin(li, p, "l_partkey", 8,
+        saltFrom = Seq("l_orderkey", "l_linenumber"))
+      .groupBy("p_brand")
+      .agg(Exact.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Two-phase aggregation as a declared query: per-supplier lineitem
+    * counts via [[Skew.twoPhaseCount]] (salted partial → final). Same
+    * oracle contract: answers never change, only the shuffle shape. */
+  private val twoPhaseSupplierCounts: Q = (s, d) =>
+    Skew.twoPhaseCount(Tables.lineitem(s, d), "l_suppkey", 16,
+      saltFrom = Seq("l_orderkey", "l_linenumber"))
+
   val queries: Map[String, Q] = Map(
+    "adv_salted_join" -> saltedBrandRevenue,
+    "adv_two_phase_agg" -> twoPhaseSupplierCounts,
     "adv_stratified_sample" -> stratifiedSample,
     "adv_freq_items" -> frequentItems,
     "adv_percentiles" -> percentiles,
@@ -259,5 +284,14 @@ object Advanced {
                     FROM lineitem GROUP BY 1),
               t AS (SELECT count(*) AS nt FROM lineitem)
          SELECT hot_key, n FROM c, t WHERE n > nt * 0.01""",
+    "adv_salted_join" ->
+      s"""SELECT p_brand,
+            ${Exact.sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+            COUNT(*) AS n
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand""",
+    "adv_two_phase_agg" ->
+      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_suppkey""",
   )
 }
