@@ -99,6 +99,38 @@ object Functions {
         "st.rk + 100 AS shifted_rk",
         "size(map_keys(m)) AS n_keys")
 
+  /** Regex family over part names (ASCII corpus, Java/RE2-common
+    * syntax; `p_name` is multi-word lowercase, `p_type` single-word
+    * uppercase). */
+  private val regexes: Q = (s, d) =>
+    Tables.part(s, d).where(col("p_partkey") <= 500).selectExpr(
+      "p_partkey",
+      "regexp_extract(p_name, '([a-z]+)$', 1) AS last_word",
+      "regexp_replace(p_name, '[aeiou]', '*') AS starred",
+      "p_type RLIKE '^ECO' AS is_eco",
+      "size(regexp_extract_all(p_name, '[a-z]+', 0)) AS n_words",
+      "array_join(regexp_extract_all(p_name, '[a-z]+', 0), '|') AS name_words")
+
+  /** Conditional family over customer (CASE, IF, coalesce/nullif). */
+  private val conditionals: Q = (s, d) =>
+    Tables.customer(s, d).where(col("c_custkey") <= 500).selectExpr(
+      "c_custkey",
+      "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band",
+      "IF(c_mktsegment = 'BUILDING', 1, 0) AS is_building",
+      "coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS seg_renamed",
+      "CASE c_nationkey % 2 WHEN 0 THEN 'even' ELSE 'odd' END AS parity")
+
+  /** Bitwise family over lineitem keys. */
+  private val bitwises: Q = (s, d) =>
+    Tables.lineitem(s, d).where(col("l_orderkey") <= 500).selectExpr(
+      "l_orderkey", "l_linenumber",
+      "l_orderkey & 255 AS low_byte",
+      "l_partkey | 1 AS odd_part",
+      "l_orderkey ^ l_partkey AS mixed",
+      "shiftleft(l_linenumber, 3) AS shl",
+      "shiftright(l_partkey, 2) AS shr",
+      "bit_count(l_orderkey) AS pop")
+
   val queries: Map[String, Q] = Map(
     "fn_string" -> strings,
     "fn_date" -> dates,
@@ -106,6 +138,9 @@ object Functions {
     "fn_array" -> arrays,
     "fn_json" -> jsons,
     "fn_map_struct" -> mapsStructs,
+    "fn_regex" -> regexes,
+    "fn_conditional" -> conditionals,
+    "fn_bitwise" -> bitwises,
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +196,31 @@ object Functions {
          CAST(json_extract(props, '$.k') AS INT) * 2 AS k2,
          json_extract(props, '$.missing') IS NULL AS no_missing
          FROM events WHERE event_id <= 2000""",
+    "fn_regex" ->
+      """SELECT p_partkey,
+         regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+         regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+         regexp_matches(p_type, '^ECO') AS is_eco,
+         len(regexp_extract_all(p_name, '[a-z]+', 0)) AS n_words,
+         COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), '|'), '')
+           AS name_words
+         FROM part WHERE p_partkey <= 500""",
+    "fn_conditional" ->
+      """SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_building,
+         coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS seg_renamed,
+         CASE c_nationkey % 2 WHEN 0 THEN 'even' ELSE 'odd' END AS parity
+         FROM customer WHERE c_custkey <= 500""",
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_orderkey & 255 AS low_byte,
+         l_partkey | 1 AS odd_part,
+         xor(l_orderkey, l_partkey) AS mixed,
+         l_linenumber << 3 AS shl,
+         l_partkey >> 2 AS shr,
+         bit_count(l_orderkey) AS pop
+         FROM lineitem WHERE l_orderkey <= 500""",
     "fn_map_struct" ->
       """SELECT n_nationkey,
          n_regionkey AS region_from_map,
