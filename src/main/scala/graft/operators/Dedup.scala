@@ -208,47 +208,65 @@ object Dedup {
     jaccardVerify(cand, s, d)
   }
 
-  /** Duplicate-CLUSTER assembly: connected components over the verified
-    * near-dup pairs — the step after pair finding in a real dedup
-    * pipeline (each cluster keeps one representative; pairs alone can't
-    * say which docs to drop when A~B~C but A≁C).
+  /** Connected components over an undirected pair list — min-label
+    * propagation accelerated with pointer jumping:
     *
-    * Min-label propagation: every doc starts labeled with its own id;
-    * each round a node takes the min label among itself and its
-    * neighbors; fixpoint = components labeled by their min doc_id.
-    * Rounds = component diameter, and near-dup clusters are near-cliques
-    * (diameter ≤ ~3), so this is 2-4 shuffles regardless of corpus size;
-    * for adversarial long-chain graphs the public large-star/small-star
-    * variant (Kiveris et al., "Connected Components in MapReduce") drops
-    * rounds to O(log n) with the same join shape. `localCheckpoint`
-    * truncates the per-iteration lineage so plans stay O(1). */
-  private val components: Q = (s, d) => {
+    *   1. neighbor-min: each node takes the min label among itself and
+    *      its neighbors (one shuffle join + partial-agg min);
+    *   2. pointer jump: each node then relabels through its label's
+    *      label (`label ← label(label)`) — path compression, one more
+    *      id-keyed join.
+    *
+    * Neighbor-min alone needs diameter rounds (a length-L chain = L
+    * shuffles); with jumping, label paths halve every round, so chains
+    * converge in O(log L) — the same round bound the public
+    * large-star/small-star construction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") achieves, with simpler
+    * per-round joins (all id-keyed, all narrow two-long rows).
+    * `localCheckpoint` truncates per-iteration lineage so plan size
+    * stays O(1) in rounds; the 50-round cap is a backstop ≈ log₂ of any
+    * practical component diameter, not a working bound (near-dup
+    * clusters are near-cliques — 2-3 rounds in practice). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashLsh(s, d).select("doc_a", "doc_b")
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 25) {
+    while (!converged && iter < 50) {
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .groupBy("id").agg(min("label").as("nbr_min"))
-      val next = labels.withColumnRenamed("label", "old_label")
+      val stepped = labels.withColumnRenamed("label", "old_label")
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("old_label"),
           least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
             .as("label"))
+      // pointer jump: follow one hop through the label's own label
+      val jumped = stepped
+        .join(stepped.select(col("id").as("p_id"), col("label").as("p_label")),
+          stepped("label") === col("p_id"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = next.where(col("label") < col("old_label")).isEmpty
-      labels = next.select("id", "label")
+      converged = jumped.where(col("label") < col("old_label")).isEmpty
+      labels = jumped.select("id", "label")
       iter += 1
     }
     labels.toDF("doc_id", "component_id")
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("component_id")))
   }
+
+  /** Duplicate-CLUSTER assembly: connected components over the verified
+    * near-dup pairs — the step after pair finding in a real dedup
+    * pipeline (each cluster keeps one representative; pairs alone can't
+    * say which docs to drop when A~B~C but A≁C). */
+  private val components: Q = (s, d) =>
+    connectedComponents(minhashLsh(s, d).select("doc_a", "doc_b"))
 
   val queries: Map[String, Q] = Map(
     "dd_exact" -> exact,

@@ -50,6 +50,25 @@ class DedupSpec extends SparkSpec {
     sizes.foreach { case (_, c, n) => assert(bySize(c) == n) }
   }
 
+  test("components: pointer jumping handles an adversarial chain graph") {
+    import spark.implicits._
+    // a length-120 path is the worst case for plain neighbor-min
+    // propagation (120 rounds); pointer jumping must finish inside the
+    // 50-round backstop, i.e. in O(log n)
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 120)
+    assert(out.forall(_._2 == 1L), "every chain node labels to the min id")
+    assert(out.forall(_._3 == 120L))
+    // two disjoint cliques stay distinct components
+    val two = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L)))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("minhash LSH pairs equal exact ngram-jaccard pairs on driver corpus") {
     val exact = Dedup.queries("dd_ngram_jaccard")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
