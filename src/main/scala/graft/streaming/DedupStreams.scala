@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** One document arriving on a stream: id, ingest time, raw text. */
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
+/** Streaming deduplication for a document-ingest pipeline — the batch
+  * dedup family ([[graft.operators.Dedup]]) recast as Structured
+  * Streaming operators. The 100 TB streaming constraint is STATE: an
+  * unbounded "seen" set OOMs, so both variants bound state with
+  * `dropDuplicatesWithinWatermark` — a key's state lives only until the
+  * watermark passes it, which is exactly the dedup horizon a crawl
+  * pipeline wants ("drop re-crawls within N hours; a months-later
+  * re-crawl is a new observation").
+  *
+  *   - [[exactDedup]]: md5 content fingerprint — byte-identical dups.
+  *   - [[nearDedup]]: 60-bit SimHash signature (same md5 token-hash
+  *     family as the batch path — [[simhash60]] is spec-pinned equal to
+  *     `Dedup.simhashes`) — near-identical dups (token-order or
+  *     repetition changes collapse to the same signature).
+  */
+object DedupStreams {
+
+  /** Exact-content streaming dedup: first arrival within the horizon
+    * wins. */
+  def exactDedup(docs: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Near-dup streaming dedup on the SimHash signature. Signature
+    * equality (not Hamming proximity) keeps the operator a bounded-state
+    * key dedup — the banded-bucket pair search stays a batch job over
+    * the deduped stream's sink. */
+  def nearDedup(docs: Dataset[StreamDoc], lateness: String = "10 minutes"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .map(d => (d.doc_id, d.ts, simhash60(d.text)))
+      .toDF("doc_id", "ts", "simhash")
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
+  /** Per-row 60-bit SimHash over distinct whitespace tokens — the
+    * row-local form of the batch explode→vote→pack aggregation
+    * (`Dedup.simhashes`), same md5-prefix hash family, bit-identical
+    * output (differentially spec-pinned). Streaming wants the row-local
+    * shape: no shuffle, state only in the dedup operator. */
+  private[graft] def simhash60(text: String): Long = {
+    val toks = text.split(' ').filter(_.nonEmpty).distinct
+    if (toks.isEmpty) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    toks.foreach { t =>
+      md.reset()
+      val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var be = 0L
+      var b = 0
+      while (b < 8) { be = (be << 8) | (d(b) & 0xffL); b += 1 }
+      val h = be >>> 4
+      var j = 0
+      while (j < 60) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
