@@ -224,7 +224,20 @@ object Advanced {
     Skew.twoPhaseCount(Tables.lineitem(s, d), "l_suppkey", 16,
       saltFrom = Seq("l_orderkey", "l_linenumber"))
 
+  /** Result memoization as a declared query: q05's nation-revenue plan
+    * routed through [[graft.ResultCache.runCached]] — first run
+    * executes and commits parquet keyed by (canonical plan, input
+    * snapshot), reruns read the committed result. The oracle is q05's
+    * own SQL: memoization must be answer-invariant whether this
+    * execution hit or missed. */
+  private val cachedNationRevenue: Q = (s, d) => {
+    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    graft.ResultCache.runCached(
+      Relational.queries("q05_nation_revenue")(s, d), dir)._1
+  }
+
   val queries: Map[String, Q] = Map(
+    "adv_cached_query" -> cachedNationRevenue,
     "adv_salted_join" -> saltedBrandRevenue,
     "adv_two_phase_agg" -> twoPhaseSupplierCounts,
     "adv_stratified_sample" -> stratifiedSample,
@@ -293,5 +306,8 @@ object Advanced {
     "adv_two_phase_agg" ->
       """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY l_suppkey""",
+    // memoization is answer-invariant: the cached query's oracle IS the
+    // underlying query's oracle
+    "adv_cached_query" -> Relational.oracle("q05_nation_revenue"),
   )
 }

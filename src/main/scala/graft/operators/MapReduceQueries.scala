@@ -74,11 +74,32 @@ object MapReduceQueries {
       .toDF("lang", "avg_chars")
   }
 
+  /** Word count over a raw TEXT FILE through the full S1→S3→M1→M3→X1→R1
+    * chain (`textRecords` line reader → façade job) — the reference's
+    * primary input mode (`client.py:167-178` slices text files; the
+    * other mr_* queries read parquet columns). Input is the committed
+    * golden fixture, so the driver's DuckDB oracle reads the same bytes
+    * via `read_text`. */
+  private val fileWordCount: Q = (s, _) => {
+    import s.implicits._
+    val job = MapReduceJob[String, Long, Long](
+      mapper = (_, line) => line.split("\\s+").iterator.filter(_.nonEmpty).map(_ -> 1L),
+      reducer = (k, vs) => (k, vs.sum),
+      combiner = Some((k, vs) => (k, vs.sum)))
+    job.run(MapReduce.textRecords(s, MapReduceQueries.FixturePath))
+      .toDF("word", "cnt")
+  }
+
+  /** Absolute path so the Spark job and the DuckDB oracle read the same
+    * file regardless of working directory. */
+  private[graft] val FixturePath = "/root/repo/src/test/resources/corpus_small.txt"
+
   val queries: Map[String, Q] = Map(
     "mr_word_count" -> wordCount,
     "mr_distinct_words" -> distinctWords,
     "mr_regex_tokens" -> regexTokens,
     "mr_group_avg" -> groupAvg,
+    "mr_file_word_count" -> fileWordCount,
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,5 +117,12 @@ object MapReduceQueries {
     "mr_group_avg" ->
       """SELECT lang, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          FROM documents GROUP BY lang""",
+    "mr_file_word_count" ->
+      s"""SELECT w AS word, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split_regex(line, '\\s+'),
+                                      t -> t <> '')) AS w
+            FROM (SELECT unnest(string_split(content, chr(10))) AS line
+                  FROM read_text('$FixturePath')))
+          GROUP BY w""",
   )
 }
