@@ -268,6 +268,19 @@ object Dedup {
   private val components: Q = (s, d) =>
     connectedComponents(minhashLsh(s, d).select("doc_a", "doc_b"))
 
+  /** The DEDUPED CORPUS — the pipeline's end product: every document
+    * survives except non-representative members of a near-dup cluster
+    * (the representative is the cluster's min doc_id, matching
+    * [[exact]]'s min-id convention). Anti-join shape: one broadcast-able
+    * "drop list" (|clusters| ≪ |corpus|) against the corpus scan. */
+  private val dedupedCorpus: Q = (s, d) => {
+    val drop = connectedComponents(minhashLsh(s, d).select("doc_a", "doc_b"))
+      .where(col("doc_id") =!= col("component_id"))
+      .select("doc_id")
+    Tables.documents(s, d).select("doc_id")
+      .join(drop, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     "dd_exact" -> exact,
     "dd_ngram_jaccard" -> ngramJaccard,
@@ -275,6 +288,7 @@ object Dedup {
     "dd_simhash" -> simhash,
     "dd_winnow" -> winnowDedup,
     "dd_components" -> components,
+    "dd_dedup_corpus" -> dedupedCorpus,
   )
 
   private val duckShingles =
@@ -355,5 +369,25 @@ object Dedup {
          SELECT doc_id, component_id,
            COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
          FROM comp""",
+    // survivors = everything except non-representative cluster members
+    "dd_dedup_corpus" ->
+      s"""${duckShingles.replaceFirst("WITH", "WITH RECURSIVE")},
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         edges AS (
+           SELECT doc_a AS s, doc_b AS t FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT s, t FROM edges
+           UNION
+           SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         drop_list AS (
+           SELECT s AS doc_id FROM reach GROUP BY s
+           HAVING LEAST(s, MIN(t)) <> s)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)""",
   )
 }
