@@ -21,17 +21,21 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm-up: touch every table once (footer reads, codegen of one query)
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => }
+    // a failed rep is excluded from the median; a query with zero
+    // successful reps reports the -1 sentinel (a broken query must read
+    // as broken, never as a fast success)
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
-      name -> times(times.length / 2)
+      name -> (if (times.isEmpty) -1.0 else times(times.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

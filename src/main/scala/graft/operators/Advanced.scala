@@ -161,14 +161,13 @@ object Advanced {
 
   /** Stratified sampling via a multiplicative hash on the row key
     * (Knuth 2^32 golden-ratio constant): keep a row iff
-    * (doc_id · 2654435761) mod 2^32 < frac · 2^32, per-stratum frac.
+    * hash(doc_id) mod 2^32 < frac · 2^32, per-stratum frac.
     *
     * Deliberately NOT a seeded RNG: hash-based sampling is reproducible
     * across engines, runs, and partitionings — the property a
     * training-data pipeline actually needs (consistent subsets, exact
     * replay, cross-engine verification). Narrow op, no shuffle until the
-    * count. (At key ranges ≳ 2^40, swap the multiply for a 128-bit or
-    * xxhash mix — the BIGINT product here holds to doc_id < 3.4e9.) */
+    * count. */
   private val strataThresh: Seq[(String, Long)] =
     Seq("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.25, "zh" -> 0.25)
       .map { case (l, f) => l -> (f * 4294967296L).toLong }
@@ -177,9 +176,17 @@ object Advanced {
     strataThresh.map { case (l, t) => s"WHEN '$l' THEN ${t}" }
       .mkString("CASE lang ", " ", " ELSE 0 END")
 
+  /** OVERFLOW-FREE BY CONSTRUCTION: the 30-bit mask bounds the product
+    * at 2^30 · 2654435761 < 2^62, inside signed 64-bit in both engines —
+    * without the mask, Spark (non-ANSI) wraps silently at doc_id ≳ 3.4e9
+    * while DuckDB raises, i.e. the engines would diverge in BEHAVIOR.
+    * One shared string feeds both the query and the oracle. */
+  private val sampleHashExpr =
+    "((doc_id & 1073741823) * 2654435761) % 4294967296"
+
   private val stratifiedSample: Q = (s, d) =>
     Tables.documents(s, d)
-      .where(expr(s"(doc_id * 2654435761) % 4294967296 < ($strataCase)"))
+      .where(expr(s"$sampleHashExpr < ($strataCase)"))
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
 
   /** Heavy hitters: single-pass bounded-state sketch (Spark's
@@ -290,7 +297,7 @@ object Advanced {
                FROM lineitem GROUP BY l_returnflag)""",
     "adv_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_sampled FROM documents
-          WHERE (doc_id * 2654435761) % 4294967296 < ($strataCase)
+          WHERE $sampleHashExpr < ($strataCase)
           GROUP BY lang""",
     "adv_freq_items" ->
       """WITH c AS (SELECT l_partkey % 100 AS hot_key, count(*) AS n

@@ -191,10 +191,17 @@ object Dedup {
     * shingles — ~2/(w+1) the index size. Near-dups at τ=0.8 on ~100-token
     * docs share runs ≫ k+w−1 tokens, so candidate recall is complete on
     * real near-dup data (the winnowing guarantee); candidates are then
-    * exact-verified, so the output contract (and oracle) matches
-    * [[ngramJaccard]]. Fingerprints hotter than [[WinnowDfCap]] are
-    * dropped before the self-join — the same fan-out bound as
-    * [[ngramJaccard]]'s prefix filter. */
+    * exact-verified, so precision is 1 and every reported pair carries
+    * exact Jaccard. Fingerprints hotter than [[WinnowDfCap]] are dropped
+    * before the self-join — the same fan-out bound as [[ngramJaccard]]'s
+    * prefix filter. The DECLARED semantics (and the oracle) are therefore
+    * "pairs sharing ≥1 winnow fingerprint with df ≤ cap, at exact
+    * jaccard ≥ 0.8" — the df cap is mirrored in the DuckDB replay (same
+    * candidate-declared contract as `sim_cosine_pairs`), so the check is
+    * an identity, not a data-dependent coincidence. Pairs whose every
+    * shared fingerprint is boilerplate-hot are by-design routed to
+    * [[minhashLsh]] (whose banding bounds fan-out by construction) — the
+    * guaranteed-recall path with the same output contract. */
   private val winnowDedup: Q = (s, d) => {
     val fps = Tables.documents(s, d)
       .selectExpr("doc_id", "explode(winnow_fingerprints(text, 5, 4)) AS fp")
@@ -311,6 +318,47 @@ object Dedup {
        WHERE len(list_intersect(a.s, b.s)) /
            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""
 
+  /** DuckDB replay of [[winnowDedup]] end-to-end: winnow fingerprints
+    * (k=5 w=4, md5-60-bit k-gram hashes, window minima — the same scheme
+    * `ta_winnow`'s oracle replays), per-fingerprint document frequency,
+    * candidate pairs through fingerprints with df ≤ [[WinnowDfCap]] only,
+    * then the exact-Jaccard verify at τ ≥ 0.8. */
+  private def duckWinnowPairs =
+    s"""$duckShingles,
+       g AS (
+         SELECT doc_id, len(ts) - 4 AS n_grams,
+           unnest(range(1, len(ts) - 3)) AS pos, ts
+         FROM tok WHERE len(ts) >= 5),
+       h AS (
+         SELECT doc_id, n_grams, pos,
+           CAST(concat('0x', substr(md5(
+             ts[pos] || ' ' || ts[pos+1] || ' ' || ts[pos+2] || ' ' ||
+             ts[pos+3] || ' ' || ts[pos+4]), 1, 15)) AS BIGINT) AS h
+         FROM g),
+       wm AS (
+         SELECT doc_id, n_grams, pos,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+         FROM h),
+       fp AS (
+         SELECT DISTINCT doc_id, mh FROM wm
+         WHERE pos <= GREATEST(n_grams - 3, 1)),
+       rare AS (
+         SELECT doc_id, mh FROM (
+           SELECT doc_id, mh, COUNT(*) OVER (PARTITION BY mh) AS fp_df
+           FROM fp)
+         WHERE fp_df <= $WinnowDfCap),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM rare a JOIN rare b ON a.mh = b.mh AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b,
+         len(list_intersect(a.s, b.s)) AS n_common,
+         len(list_intersect(a.s, b.s)) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+       WHERE len(list_intersect(a.s, b.s)) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"""
+
   /** DuckDB replay of [[simhashes]]: same md5-60-bit token hashes, same
     * per-bit votes, same bit packing — bit-identical signatures. */
   private def simhashSql: String = {
@@ -342,11 +390,16 @@ object Dedup {
          FROM documents GROUP BY md5(text)""",
     "dd_simhash" -> simhashSql,
     "dd_ngram_jaccard" -> duckJaccardPairs,
-    // LSH/winnow candidates are exact-verified, and at these thresholds
-    // candidate recall is deterministically complete — same ground truth
-    // as the exact operator.
+    // LSH candidates are exact-verified, and at τ=0.8 band-collision
+    // recall is deterministically complete — same ground truth as the
+    // exact operator.
     "dd_minhash_lsh" -> duckJaccardPairs,
-    "dd_winnow" -> duckJaccardPairs,
+    // dd_winnow's oracle REPLAYS the df cap: winnow fingerprints
+    // (md5-60-bit k-gram hashes + window minima, the same replay
+    // ta_winnow uses), document frequency per fingerprint, candidates
+    // restricted to fingerprints with df ≤ WinnowDfCap, then the exact
+    // Jaccard verify — bit-identical declared semantics on both sides.
+    "dd_winnow" -> duckWinnowPairs,
     // transitive closure over the same ground-truth pairs: min reachable
     // id per node = the component representative
     "dd_components" ->

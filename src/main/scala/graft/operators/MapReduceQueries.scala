@@ -90,9 +90,21 @@ object MapReduceQueries {
       .toDF("word", "cnt")
   }
 
-  /** Absolute path so the Spark job and the DuckDB oracle read the same
-    * file regardless of working directory. */
-  private[graft] val FixturePath = "/root/repo/src/test/resources/corpus_small.txt"
+  /** The golden corpus ships INSIDE the artifact (src/main/resources)
+    * and is materialized once to a deterministic temp path, so the Spark
+    * job and the DuckDB oracle read the same bytes from the same
+    * absolute location regardless of checkout directory or packaging.
+    * `SPARK_GRAFT_FIXTURE` overrides for external corpora. */
+  private[graft] lazy val FixturePath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE", {
+      val target = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-corpus_small.txt")
+      val in = getClass.getResourceAsStream("/graft/corpus_small.txt")
+      try java.nio.file.Files.copy(in, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      target.toString
+    })
 
   val queries: Map[String, Q] = Map(
     "mr_word_count" -> wordCount,

@@ -122,9 +122,12 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // octet_length(encode(..)) = UTF-8 BYTE count, matching Spark's
+    // length(CAST(text AS BINARY)) on any corpus (DuckDB length(text)
+    // counts CHARACTERS and diverges on non-ASCII).
     "mm_metadata" ->
       """SELECT doc_id,
-         length(text) AS n_bytes,
+         octet_length(encode(text)) AS n_bytes,
          md5(text) AS payload_md5,
          CASE WHEN ascii(substring(text, 1, 1)) % 3 = 0 THEN 'image'
               WHEN ascii(substring(text, 1, 1)) % 3 = 1 THEN 'audio'
@@ -137,7 +140,7 @@ object Multimodal {
         s"""(CAST(concat('0x', substr(md5(text || ':$j'), 1, 15)) AS BIGINT)
              % 2000000 - 1000000) / 1000000.0"""
       s"""SELECT doc_id,
-          length(text) AS n_bytes,
+          octet_length(encode(text)) AS n_bytes,
           CASE WHEN ascii(substring(text, 1, 1)) % 3 = 0 THEN 'image'
                WHEN ascii(substring(text, 1, 1)) % 3 = 1 THEN 'audio'
                ELSE 'video' END AS kind,

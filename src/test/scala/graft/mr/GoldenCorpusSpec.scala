@@ -16,7 +16,7 @@ import graft.SparkSpec
 class GoldenCorpusSpec extends SparkSpec {
 
   private def fixture: String =
-    getClass.getResource("/corpus_small.txt").getPath
+    getClass.getResource("/graft/corpus_small.txt").getPath
 
   private def records = MapReduce.textRecords(spark, fixture)
 
