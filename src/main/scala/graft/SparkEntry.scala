@@ -23,7 +23,8 @@ object SparkEntry {
     operators.Events.queries ++
     operators.Functions.queries ++
     operators.Multimodal.queries ++
-    operators.Advanced.queries
+    operators.Advanced.queries ++
+    operators.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
     operators.Events.oracle ++
     operators.Functions.oracle ++
     operators.Multimodal.oracle ++
-    operators.Advanced.oracle
+    operators.Advanced.oracle ++
+    operators.Pipeline.oracle
 }

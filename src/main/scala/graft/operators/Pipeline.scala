@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-preparation operators — the pipeline steps between a raw crawl
+  * and a training run that none of the single-document [[TextAnalysis]]
+  * ops cover: benchmark-contamination detection, cross-corpus
+  * deduplication, sequence packing, vocabulary construction with OOV
+  * accounting, and mixture-weight computation. The reference has no
+  * counterpart (its surface stops at word counting); these extend the
+  * declared training-pipeline suite (SURVEY §8.4).
+  *
+  * Scale design: every op is either narrow or shuffles once on a
+  * grouping key; the two cross-set ops ([[contamination]],
+  * [[crossDedup]]) put the SMALL side (benchmark shingles / incoming
+  * batch) on the build side so the 100 TB corpus streams map-side.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tokExpr = "filter(split(text, ' '), t -> t <> '')"
+  private val duckTok = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Benchmark-contamination detection (the n-gram-overlap test used for
+    * train/test decontamination in public LLM pipelines, e.g. GPT-3
+    * appendix C / PaLM: a training doc is contaminated if it shares
+    * enough n-grams with an eval benchmark). Benchmark = every 20th doc
+    * (`doc_id % 20 = 0`, a scale-free stand-in for the eval set); a
+    * corpus doc reports the count and share of its distinct word-3-gram
+    * shingles that appear ANYWHERE in the benchmark.
+    *
+    * 100 TB shape: the benchmark shingle dictionary is tiny vs the
+    * corpus (eval suites are ~10⁵ docs), so it BROADCASTS and the corpus
+    * side is one narrow scan + map-side hash probe — no corpus shuffle
+    * before the per-doc count. The per-doc `word_shingles` set is
+    * distinct by construction, so `count(*)` after the probe is the
+    * distinct-overlap count with no extra dedup. */
+  private val contamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+      .select(explode(expr("word_shingles(text, 3)")).as("shingle"))
+      .distinct()
+    docs.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("shingle"))
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contamination", col("n_shared") / col("n_grams"))
+      .select("doc_id", "n_grams", "n_shared", "contamination")
+  }
+
+  /** Cross-corpus exact dedup (decontaminating an INCOMING batch against
+    * an existing corpus — the standard incremental-crawl step, distinct
+    * from [[Dedup]]'s within-corpus `dd_exact`). Incoming = every 5th
+    * doc (`doc_id % 5 = 4`); a batch doc survives iff its content hash
+    * appears nowhere in the existing corpus, then the batch is
+    * self-deduped down to one representative per hash.
+    *
+    * 100 TB shape: an anti join on the 128-bit content hash — shuffle
+    * carries (fp, doc_id) pairs only, never text. When the batch side is
+    * small (the usual incremental case) AQE plans it broadcast; a bloom
+    * filter over corpus hashes is the same plan one step cheaper. */
+  private val crossDedup: Q = (s, d) => {
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val existing = h.where(col("doc_id") % 5 =!= 4).select("fp").distinct()
+    h.where(col("doc_id") % 5 === 4)
+      .join(existing, Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "fp", "n_copies")
+  }
+
+  /** Sequence packing: assign each doc its (sequence id, offset) in a
+    * stream of fixed [[SeqLen]]-token training windows, concatenating
+    * docs in doc_id order within each language. The running token count
+    * before a doc determines where it lands — the bookkeeping a packed
+    * pretraining dataloader needs (which window a doc starts in and at
+    * what offset).
+    *
+    * 100 TB shape: a per-lang prefix sum. The window shuffles once on
+    * lang (range-partitioned, ordered by doc_id); with few giant
+    * language partitions the two-phase variant (per-split subtotals →
+    * broadcast cumulative offsets) is the drop-in upgrade, same
+    * arithmetic. */
+  private val SeqLen = 512
+  private val packSequences: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr(s"size($tokExpr)").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy("lang").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        s"cum_before DIV $SeqLen AS seq_id",
+        s"cum_before % $SeqLen AS seq_offset")
+
+  /** Vocabulary construction + OOV accounting: build the top-[[VocabSize]]
+    * unigram vocabulary (count-desc, term-asc tie-break — fully
+    * deterministic), then score every doc's out-of-vocabulary token
+    * share against it. The two-stage shape (corpus-wide count → tiny
+    * dictionary → broadcast probe) is how real tokenizer/vocab builds
+    * run: the dictionary is bounded (≤ VocabSize) no matter the corpus
+    * size, so stage 2 is a narrow scan. */
+  private val VocabSize = 24
+  private val vocabOov: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(tokExpr)).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(VocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio", col("n_oov") / col("n_tokens"))
+  }
+
+  /** Mixture weights: per-language token mass and the resampling
+    * multiplier that equalizes it (weight = total/(n_langs·lang_tokens),
+    * >1 upsample, <1 downsample) — the "data mixing" step that turns
+    * corpus stats into sampling rates for a training run. Two tiny
+    * aggregates; the corpus-wide totals broadcast as a 1-row join. */
+  private val mixWeights: Q = (s, d) => {
+    val perLang = Tables.documents(s, d)
+      .select(col("lang"), expr(s"size($tokExpr)").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .selectExpr("lang", "n_docs", "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / total_tokens AS token_share",
+        "CAST(total_tokens AS DOUBLE) / (n_langs * n_tokens) AS mix_weight")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pl_contamination" -> contamination,
+    "pl_cross_dedup" -> crossDedup,
+    "pl_pack_sequences" -> packSequences,
+    "pl_vocab_oov" -> vocabOov,
+    "pl_mix_weights" -> mixWeights,
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  /** Same 3-gram shingle CTE shape as [[Dedup]]'s replay. */
+  private val duckShingles =
+    """WITH tok AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                          FOR i IN range(1, len(ts) - 1)]) s
+         FROM tok)"""
+
+  val oracle: Map[String, String] = Map(
+    "pl_contamination" ->
+      s"""$duckShingles,
+          bench AS (
+            SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+          corpus AS (
+            SELECT doc_id, len(s) AS n_grams, unnest(s) AS shingle
+            FROM sh WHERE doc_id % 20 <> 0)
+          SELECT doc_id, n_grams, count(*) AS n_shared,
+            count(*) / n_grams AS contamination
+          FROM corpus JOIN bench USING (shingle)
+          GROUP BY doc_id, n_grams""",
+    "pl_cross_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
+          batch AS (SELECT * FROM h WHERE doc_id % 5 = 4
+                    AND fp NOT IN (SELECT fp FROM h WHERE doc_id % 5 <> 4))
+          SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+          FROM batch GROUP BY fp""",
+    "pl_pack_sequences" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, len($duckTok) AS n_tokens FROM documents),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS cum_before
+            FROM t)
+          SELECT doc_id, lang, n_tokens,
+            cum_before // $SeqLen AS seq_id,
+            cum_before % $SeqLen AS seq_offset
+          FROM c""",
+    "pl_vocab_oov" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($duckTok) AS term FROM documents),
+          vocab AS (
+            SELECT term FROM (SELECT term, count(*) AS n FROM toks GROUP BY term)
+            ORDER BY n DESC, term LIMIT $VocabSize)
+          SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)
+                          THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+            sum(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
+              / count(*) AS oov_ratio
+          FROM toks GROUP BY doc_id""",
+    "pl_mix_weights" ->
+      """WITH per_lang AS (
+            SELECT lang, count(*) AS n_docs,
+              CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                   AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+          totals AS (
+            SELECT sum(n_tokens) AS total_tokens, count(*) AS n_langs FROM per_lang)
+          SELECT lang, n_docs, n_tokens,
+            CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+            CAST(total_tokens AS DOUBLE) / (n_langs * n_tokens) AS mix_weight
+          FROM per_lang CROSS JOIN totals""",
+  )
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariant tests for the corpus-preparation suite ([[Pipeline]]).
+  * Cross-engine value equality is the DuckDB oracle's job; these pin
+  * the algebraic properties that hold on ANY corpus. */
+class PipelineSpec extends SparkSpec {
+
+  test("pack_sequences: offsets stay inside the window and the stream is gapless per lang") {
+    val df = Pipeline.queries("pl_pack_sequences")(spark, sfDir).cache()
+    assert(df.where(col("seq_offset") < 0 || col("seq_offset") >= 512).count() === 0)
+    // reconstructing cum_before = seq_id*512 + seq_offset and re-running the
+    // prefix sum must agree: the assignment is exactly the running total
+    val bad = df.selectExpr("lang", "doc_id", "n_tokens",
+        "seq_id * 512 + seq_offset AS cb")
+      .withColumn("expected", coalesce(sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy("doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .where(col("cb") =!= col("expected"))
+    assert(bad.count() === 0)
+    df.unpersist()
+  }
+
+  test("vocab_oov: OOV count is bounded by token count and vocab terms are never OOV") {
+    val df = Pipeline.queries("pl_vocab_oov")(spark, sfDir).cache()
+    assert(df.where(col("n_oov") > col("n_tokens") || col("n_oov") < 0).count() === 0)
+    // corpus has 31 distinct terms and vocab keeps 24 → some doc must see OOV
+    assert(df.agg(sum("n_oov")).head.getLong(0) > 0)
+    df.unpersist()
+  }
+
+  test("cross_dedup: no surviving batch fingerprint exists in the existing corpus") {
+    val surviving = Pipeline.queries("pl_cross_dedup")(spark, sfDir)
+    val existing = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 5 =!= 4)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    assert(surviving.join(existing, "fp").count() === 0)
+    // and every survivor really is from the batch partition
+    assert(surviving.where(col("doc_id") % 5 =!= 4).count() === 0)
+  }
+
+  test("contamination: shares lie in (0, 1] and benchmark docs never appear") {
+    val df = Pipeline.queries("pl_contamination")(spark, sfDir).cache()
+    assert(df.where(col("doc_id") % 20 === 0).count() === 0)
+    assert(df.where(col("n_shared") < 1 || col("n_shared") > col("n_grams")).count() === 0)
+    df.unpersist()
+  }
+
+  test("contamination and vocab_oov probe a broadcast dictionary (no corpus-side shuffle join)") {
+    for (q <- Seq("pl_contamination", "pl_vocab_oov")) {
+      val df = Pipeline.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast its dictionary:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q corpus side must not shuffle for the probe:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    }
+  }
+
+  test("mix_weights: token shares sum to 1 and weighted token mass is uniform") {
+    val rows = Pipeline.queries("pl_mix_weights")(spark, sfDir).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
+    // weight * n_tokens = total/n_langs for every lang — equalized mass
+    val mass = rows.map(r => r.getAs[Double]("mix_weight") * r.getAs[Long]("n_tokens"))
+    assert(mass.max - mass.min < 1e-6)
+  }
+}
