@@ -140,12 +140,36 @@ object Pipeline {
         "CAST(total_tokens AS DOUBLE) / (n_langs * n_tokens) AS mix_weight")
   }
 
+  /** Per-source document cap: keep at most [[SourceCap]] docs per source,
+    * chosen by a deterministic multiplicative-hash priority (not arrival
+    * order — so the kept subset is a uniform, replayable sample however
+    * the corpus is partitioned). The "cap each domain" step that stops a
+    * single crawler host from dominating the mix.
+    *
+    * 100 TB shape: one shuffle on source + a rank. With millions of docs
+    * per hot source the window sort degenerates; the drop-in upgrade is
+    * a bounded per-group heap (this repo's `TopKAgg` shape) — same
+    * declared output, O(cap) state per source. The hash is the same
+    * overflow-free masked multiply as `adv_stratified_sample`. */
+  private val SourceCap = 10
+  private val sourceCapExpr =
+    "((doc_id & 1073741823) * 2654435761) % 4294967296"
+  private val sourceCap: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(sourceCapExpr).as("priority"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))))
+      .where(col("rk") <= SourceCap)
+      .select("doc_id", "source", "rk")
+
   val queries: Map[String, Q] = Map(
     "pl_contamination" -> contamination,
     "pl_cross_dedup" -> crossDedup,
     "pl_pack_sequences" -> packSequences,
     "pl_vocab_oov" -> vocabOov,
     "pl_mix_weights" -> mixWeights,
+    "pl_source_cap" -> sourceCap,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -216,5 +240,12 @@ object Pipeline {
             CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
             CAST(total_tokens AS DOUBLE) / (n_langs * n_tokens) AS mix_weight
           FROM per_lang CROSS JOIN totals""",
+    "pl_source_cap" ->
+      s"""SELECT doc_id, source, rk FROM (
+            SELECT doc_id, source,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY $sourceCapExpr, doc_id) AS rk
+            FROM documents)
+          WHERE rk <= $SourceCap""",
   )
 }

@@ -187,11 +187,40 @@ object Similarity {
       .where(col("rnk") <= 5)
   }
 
+  /** Per-label centroids (class prototypes — the embedding-space
+    * aggregate behind nearest-centroid classification and IVF list
+    * training). Output is flat (label, pos, n_vecs, centroid) rows —
+    * one per vector dimension.
+    *
+    * Determinism: a distributed double sum is ORDER-DEPENDENT (fp
+    * addition doesn't associate), so a naive avg() would hash-flake
+    * against any oracle. Components are instead accumulated in
+    * FIXED-POINT micro-units (floor(v·10⁶) per element — floor, not
+    * round, because round-half tie semantics differ across engines):
+    * int64 sums are exact and order-free, and the mean is one final
+    * double division. Declared semantics = "micro-unit centroid",
+    * mirrored exactly in the oracle; the 10⁻⁶ quantization is far below
+    * any embedding's useful precision.
+    *
+    * 100 TB shape: posexplode → partial-agg sum — the shuffle carries
+    * (label, pos) partial sums (|labels|·64 rows per partition), not
+    * vectors. */
+  private val labelCentroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "v")
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)")).as("micros"))
+      .selectExpr("label", "pos", "n_vecs",
+        "CAST(micros AS DOUBLE) / (n_vecs * 1000000) AS centroid")
+
   val queries: Map[String, Q] = Map(
     "sim_topk_cosine" -> topkBrute,
     "sim_cosine_pairs" -> cosinePairs,
     "sim_topk_lsh" -> topkLsh,
     "sim_topk_ivf" -> topkIvf,
+    "sim_label_centroids" -> labelCentroids,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -291,5 +320,20 @@ object Similarity {
               ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
             FROM sc) WHERE rnk <= 5""",
+    // parallel unnests zip; pos is 0-based to match posexplode
+    "sim_label_centroids" ->
+      """WITH x AS (
+           SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS v
+           FROM embeddings),
+         agg AS (
+           SELECT label, pos, count(*) AS n_vecs,
+             CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                  AS BIGINT) AS micros
+           FROM x GROUP BY label, pos)
+         SELECT label, pos, n_vecs,
+           CAST(micros AS DOUBLE) / (n_vecs * 1000000) AS centroid
+         FROM agg""",
   )
 }

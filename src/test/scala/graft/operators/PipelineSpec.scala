@@ -60,6 +60,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("source_cap: no source exceeds the cap and membership is partition-invariant") {
+    val df = Pipeline.queries("pl_source_cap")(spark, sfDir).cache()
+    val over = df.groupBy("source").count().where(col("count") > 10)
+    assert(over.count() === 0)
+    // same answer when the input arrives in 1 partition vs many: the
+    // hash priority, not physical order, decides membership
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val one = docs.coalesce(1)
+      .select(col("doc_id"), col("source"),
+        expr("((doc_id & 1073741823) * 2654435761) % 4294967296").as("priority"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("priority"), col("doc_id"))))
+      .where(col("rk") <= 10).select("doc_id")
+    assert(df.select("doc_id").exceptAll(one).count() === 0)
+    df.unpersist()
+  }
+
   test("mix_weights: token shares sum to 1 and weighted token mass is uniform") {
     val rows = Pipeline.queries("pl_mix_weights")(spark, sfDir).collect()
     assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)

@@ -24,6 +24,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(df.selectExpr("cosine_sim(a, b)").head.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("label centroids: fixed-point mean within 1e-6 of the true mean, full coverage") {
+    import org.apache.spark.sql.functions._
+    val df = Similarity.queries("sim_label_centroids")(spark, sfDir).cache()
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .collect().map(r =>
+        (r.getAs[Int]("label"), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = emb.head._2.length
+    assert(df.count() === emb.map(_._1).distinct.length.toLong * dims)
+    // floor quantization at 1e-6 bounds the centroid error by 1e-6
+    val local = emb.groupBy(_._1).map { case (l, vs) =>
+      (l, vs.map(_._2).transpose.map(c => c.sum / c.length).toArray)
+    }
+    df.collect().foreach { r =>
+      val want = local(r.getAs[Int]("label"))(r.getAs[Int]("pos"))
+      assert(math.abs(r.getAs[Double]("centroid") - want) <= 1e-6 + 1e-9)
+    }
+    df.unpersist()
+  }
+
   test("brute-force top-k matches local Scala oracle") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
