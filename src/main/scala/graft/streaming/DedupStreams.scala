@@ -45,6 +45,27 @@ object DedupStreams {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** Stream-static contamination filter: flag incoming docs sharing ≥1
+    * word-3-gram shingle with a STATIC benchmark dictionary (the
+    * streaming form of `pl_contamination` — decontaminating a live
+    * crawl against a fixed eval suite). The exploded stream side
+    * semi-joins the static dictionary, which Spark plans broadcast
+    * (re-read per micro-batch, never shuffled with the stream); the
+    * per-doc collapse is `dropDuplicatesWithinWatermark`, so state is
+    * bounded by the horizon, not the corpus. Append-mode, stateless but
+    * for the dedup horizon — the 100 TB stream shape.
+    *
+    * `benchShingles` must carry one `shingle` string column (build it
+    * from any corpus with `word_shingles(text, 3)` + explode). */
+  def contaminated(docs: DataFrame, benchShingles: DataFrame,
+                   lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("sh", expr("word_shingles(text, 3)"))
+      .select(col("doc_id"), col("ts"), explode(col("sh")).as("shingle"))
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("doc_id")
+
   /** Per-row 60-bit SimHash over distinct whitespace tokens — the
     * row-local form of the batch explode→vote→pack aggregation
     * (`Dedup.simhashes`), same md5-prefix hash family, bit-identical

@@ -62,4 +62,36 @@ class DedupStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("stream-static contamination matches the batch operator's doc set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // static benchmark dictionary from the batch corpus (doc_id % 20 = 0)
+    val bench = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 20 === 0)
+      .select(explode(expr("word_shingles(text, 3)")).as("shingle"))
+      .distinct()
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 20 =!= 0)
+      .selectExpr("doc_id", "text").collect()
+    val in = MemoryStream[StreamDoc]
+    val q = DedupStreams.contaminated(in.toDF, bench)
+      .writeStream.format("memory").queryName("sd_contam").outputMode("append").start()
+    try {
+      // stream the whole non-benchmark corpus through in two micro-batches
+      val (h1, h2) = corpus.splitAt(corpus.length / 2)
+      in.addData(h1.zipWithIndex.map { case (r, i) =>
+        StreamDoc(r.getLong(0), ts("10:00"), r.getString(1)) }.toSeq: _*)
+      q.processAllAvailable()
+      in.addData(h2.map(r => StreamDoc(r.getLong(0), ts("10:01"), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamIds = spark.table("sd_contam").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val batchIds = graft.operators.Pipeline.queries("pl_contamination")(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamIds == batchIds,
+        s"stream-only=${streamIds -- batchIds} batch-only=${batchIds -- streamIds}")
+    } finally q.stop()
+  }
 }
