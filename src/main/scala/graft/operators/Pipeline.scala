@@ -83,13 +83,69 @@ object Pipeline {
     * pretraining dataloader needs (which window a doc starts in and at
     * what offset).
     *
-    * 100 TB shape: a per-lang prefix sum. The window shuffles once on
-    * lang (range-partitioned, ordered by doc_id); with few giant
-    * language partitions the two-phase variant (per-split subtotals →
-    * broadcast cumulative offsets) is the drop-in upgrade, same
-    * arithmetic. */
+    * 100 TB shape: the naive formulation — `sum over (partition by lang
+    * order by doc_id)` — collapses each language onto ONE task, so
+    * parallelism is |langs| (5 here) no matter the corpus size. The
+    * declared implementation is instead the classic TWO-PHASE
+    * DISTRIBUTED SCAN: range-partition by (lang, doc_id) into as many
+    * splits as the cluster has (so one language spans many tasks),
+    * compute per-split local prefix sums in one pass, then lift each
+    * split by the summed totals of the splits before it — the lift
+    * table is |splits|·|langs| rows, collected and broadcast. Output is
+    * identical to the window form for ANY range boundaries (range
+    * partitioning keeps (lang, doc_id) order across splits; the lift
+    * accounts for whatever landed earlier) — [[PipelineSpec]] pins the
+    * equivalence. */
   private val SeqLen = 512
-  private val packSequences: Q = (s, d) =>
+  private[graft] def packSequencesScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSplits = s.sparkContext.defaultParallelism
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr(s"size($tokExpr)").as("n_tokens"))
+      .as[(Long, String, Int)]
+      .repartitionByRange(nSplits, col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang", "doc_id")
+    // phase 1: one pass per split — local running total per lang run
+    // localCheckpoint pins ONE split assignment: range boundaries come
+    // from sampling with a per-evaluation seed, and `local` feeds both
+    // the lift table and the final join — two independent evaluations
+    // could land rows in different splits than the lift was computed
+    // for. Materializing once makes the (split, local_before) pair a
+    // fact, not a plan.
+    val local = base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curLang: String = null
+      var run = 0L
+      it.map { case (id, lang, n) =>
+        if (lang != curLang) { curLang = lang; run = 0L }
+        val before = run
+        run += n
+        (id, lang, n, before, pid)
+      }
+    }.toDF("doc_id", "lang", "n_tokens", "local_before", "split")
+      .localCheckpoint(true)
+    // phase 2: per-(split, lang) totals are tiny (|splits|·|langs| rows);
+    // lift(split, lang) = Σ totals of earlier splits for that lang
+    val lift = local.groupBy("split", "lang")
+      .agg(sum(col("n_tokens")).as("split_total"))
+      .withColumn("lift",
+        coalesce(sum(col("split_total")).over(
+          Window.partitionBy("lang").orderBy("split")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("split", "lang", "lift")
+    local.join(broadcast(lift), Seq("split", "lang"))
+      .withColumn("cum_before", col("local_before") + col("lift"))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        s"cum_before DIV $SeqLen AS seq_id",
+        s"cum_before % $SeqLen AS seq_offset")
+  }
+
+  private val packSequences: Q = (s, d) => packSequencesScan(s, d)
+
+  /** The one-task-per-lang window formulation — correct but
+    * parallelism-bounded; kept as the differential reference for
+    * [[packSequencesScan]]. */
+  private[graft] def packSequencesWindow(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), expr(s"size($tokExpr)").as("n_tokens"))
       .withColumn("cum_before",

@@ -23,6 +23,13 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("pack_sequences: two-phase scan equals the window formulation row-for-row") {
+    val a = Pipeline.packSequencesScan(spark, sfDir)
+    val b = Pipeline.packSequencesWindow(spark, sfDir)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
   test("vocab_oov: OOV count is bounded by token count and vocab terms are never OOV") {
     val df = Pipeline.queries("pl_vocab_oov")(spark, sfDir).cache()
     assert(df.where(col("n_oov") > col("n_tokens") || col("n_oov") < 0).count() === 0)
