@@ -3,7 +3,11 @@
 of the shipped library).
 
 Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
-    python3 tools/check_oracle.py <sfDir> <outDir>
+    python3 tools/check_oracle.py <sfDir> <outDir> [name-substring ...]
+
+Optional trailing args restrict the check to queries whose name contains
+any of the given substrings (e.g. `pl_ dd_winnow`) — the full sweep at
+sf0.1 spends many DuckDB-minutes on the O(n²) pair replays.
 
 For each query parquet in <outDir>, runs the matching oracle SQL from
 oracle_sql.json in DuckDB over the same sf tables, then compares:
@@ -32,7 +36,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     out = df.apply(lambda c: c.map(cell))
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -41,6 +45,8 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    if only:
+        names = [n for n in names if any(s in n for s in only)]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -77,4 +83,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
