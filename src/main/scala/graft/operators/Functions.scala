@@ -131,7 +131,29 @@ object Functions {
       "shiftright(l_partkey, 2) AS shr",
       "bit_count(l_orderkey) AS pop")
 
+  /** URL family (parse_url/url_encode/url_decode) over synthetic doc
+    * URLs — the link-metadata extraction a crawl pipeline runs per page.
+    * The oracle derives each component independently from the same
+    * columns (host/path/query are constructions, not parses), so the
+    * check validates Spark's parser against ground truth rather than
+    * against itself. */
+  private val urls: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang", "source",
+        "concat('https://', source, '.example.com/docs/', lang, '/', doc_id," +
+          " '?page=', doc_id % 7, '&ref=feed') AS url")
+      .selectExpr(
+        "doc_id", "url",
+        "parse_url(url, 'PROTOCOL') AS proto",
+        "parse_url(url, 'HOST') AS host",
+        "parse_url(url, 'PATH') AS path",
+        "parse_url(url, 'QUERY') AS query",
+        "parse_url(url, 'QUERY', 'page') AS page",
+        "url_encode(concat(lang, ' ', source)) AS enc",
+        "url_decode('a%20b%2Fc') AS dec")
+
   val queries: Map[String, Q] = Map(
+    "fn_url" -> urls,
     "fn_string" -> strings,
     "fn_date" -> dates,
     "fn_math" -> maths,
@@ -144,6 +166,22 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    // independent construction of every URL component from the same
+    // columns (lang/source are [a-z0-9]+, so x-www-form-urlencoded
+    // encoding is identity except the joining space → '+')
+    "fn_url" ->
+      """SELECT doc_id,
+         concat('https://', source, '.example.com/docs/', lang, '/',
+                CAST(doc_id AS VARCHAR), '?page=', CAST(doc_id % 7 AS VARCHAR),
+                '&ref=feed') AS url,
+         'https' AS proto,
+         concat(source, '.example.com') AS host,
+         concat('/docs/', lang, '/', CAST(doc_id AS VARCHAR)) AS path,
+         concat('page=', CAST(doc_id % 7 AS VARCHAR), '&ref=feed') AS query,
+         CAST(doc_id % 7 AS VARCHAR) AS page,
+         concat(lang, '+', source) AS enc,
+         'a b/c' AS dec
+         FROM documents""",
     "fn_string" ->
       """SELECT p_partkey,
          upper(p_name) AS up, lower(p_type) AS lo, length(p_name) AS len,
