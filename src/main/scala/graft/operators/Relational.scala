@@ -377,7 +377,32 @@ object Relational {
     out
   }
 
+  /** LATERAL correlated subquery: for every nation, its top-2 customers
+    * by account balance. A third decorrelation shape beyond q23 (scalar)
+    * and q30 (EXISTS) — Catalyst rewrites the per-row LATERAL into a
+    * ranked join, so the subquery never executes row-at-a-time. The
+    * equivalent window form is one sort-shuffle; LATERAL is the declared
+    * surface here because it's what migrating SQL actually contains. */
+  private val q31: Q = (s, d) => {
+    val vn = s"nation_q31_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val vc = s"customer_q31_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.nation(s, d).createOrReplaceTempView(vn)
+    Tables.customer(s, d).createOrReplaceTempView(vc)
+    val out = s.sql(
+      s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+          FROM $vn n,
+          LATERAL (
+            SELECT c_custkey, c_acctbal FROM $vc c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2) t""")
+    s.catalog.dropTempView(vn)
+    s.catalog.dropTempView(vc)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q31_lateral_topn" -> q31,
     "q21_pivot" -> q21,
     "q22_unpivot" -> q22,
     "q23_corr_subquery" -> q23,
@@ -411,6 +436,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q31_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+         FROM nation n,
+         LATERAL (
+           SELECT c_custkey, c_acctbal FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey
+           LIMIT 2) t""",
     "q21_pivot" -> {
       val cases = priorities.map(p =>
         s"""CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
