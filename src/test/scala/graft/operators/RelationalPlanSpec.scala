@@ -50,6 +50,14 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q31: LATERAL decorrelates to a ranked join, not a per-row subquery") {
+    val p = plan("q31_lateral_topn")
+    // decorrelation leaves a window/rank over a join — and never a
+    // nested-loop per outer row over the full inner table
+    assert(p.contains("Window") || p.contains("TakeOrdered"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup joins never degrade to cross products") {
     for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_winnow")) {
       val df = Dedup.queries(q)(spark, sfDir)
