@@ -219,7 +219,29 @@ object Pipeline {
       .where(col("rk") <= SourceCap)
       .select("doc_id", "source", "rk")
 
+  /** Token-budget selection: take docs in quality order (type-token
+    * ratio here, tie-broken by doc_id) until the running token count
+    * reaches [[TokenBudget]] — the greedy data-curation step that turns
+    * a scored corpus into a fixed-size training slice. Like `q29`'s
+    * NTILE, the exact form is inherently total-order (one global
+    * sort-window); the documented 100 TB path is the same selection via
+    * an approxQuantile quality threshold + one narrow filter, which
+    * avoids the global sort at the cost of an approximate boundary. */
+  private val TokenBudget = 50000L
+  private val tokenBudget: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tok", expr(tokExpr))
+      .withColumn("n_tokens", expr("size(tok)"))
+      .withColumn("quality", expr("size(array_distinct(tok)) / size(tok)"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("cum_before") < TokenBudget)
+      .select("doc_id", "n_tokens", "quality", "cum_before")
+
   val queries: Map[String, Q] = Map(
+    "pl_token_budget" -> tokenBudget,
     "pl_contamination" -> contamination,
     "pl_cross_dedup" -> crossDedup,
     "pl_pack_sequences" -> packSequences,
@@ -296,6 +318,20 @@ object Pipeline {
             CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
             CAST(total_tokens AS DOUBLE) / (n_langs * n_tokens) AS mix_weight
           FROM per_lang CROSS JOIN totals""",
+    "pl_token_budget" ->
+      s"""WITH t AS (
+            SELECT doc_id, len(tok) AS n_tokens,
+              len(list_distinct(tok)) / len(tok) AS quality
+            FROM (SELECT doc_id, $duckTok AS tok FROM documents)),
+          c AS (
+            SELECT doc_id, n_tokens, quality,
+              CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS cum_before
+            FROM t)
+          SELECT doc_id, n_tokens, quality, cum_before
+          FROM c WHERE cum_before < $TokenBudget""",
     "pl_source_cap" ->
       s"""SELECT doc_id, source, rk FROM (
             SELECT doc_id, source,
