@@ -99,9 +99,22 @@ object Pipeline {
   private val SeqLen = 512
   private[graft] def packSequencesScan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    packScanCore(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(s"size($tokExpr)").as("n_tokens"))
+        .as[(Long, String, Int)])
+  }
+
+  /** The two-phase scan over any (doc_id, lang, n_tokens) dataset —
+    * factored out so the property spec can drive it with arbitrary
+    * generated corpora. */
+  private[graft] def packScanCore(
+      input: org.apache.spark.sql.Dataset[(Long, String, Int)]): DataFrame = {
+    val s = input.sparkSession
+    import s.implicits._
     val nSplits = s.sparkContext.defaultParallelism
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), expr(s"size($tokExpr)").as("n_tokens"))
+    val base = input
+      .toDF("doc_id", "lang", "n_tokens")
       .as[(Long, String, Int)]
       .repartitionByRange(nSplits, col("lang"), col("doc_id"))
       .sortWithinPartitions("lang", "doc_id")
@@ -146,8 +159,11 @@ object Pipeline {
     * parallelism-bounded; kept as the differential reference for
     * [[packSequencesScan]]. */
   private[graft] def packSequencesWindow(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), expr(s"size($tokExpr)").as("n_tokens"))
+    packWindowCore(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr(s"size($tokExpr)").as("n_tokens")))
+
+  private[graft] def packWindowCore(input: DataFrame): DataFrame =
+    input
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens")).over(
           Window.partitionBy("lang").orderBy("doc_id")
