@@ -47,7 +47,20 @@ object Exact {
   def sqlChargeProd(p: String, d: String, t: String): String =
     s"CAST($p AS DECIMAL(18,4)) * (1 - CAST($d AS DECIMAL(8,4))) * (1 + CAST($t AS DECIMAL(8,4)))"
 
-  /** Exact-decimal sum of an already-decimal expression, surfaced as double. */
-  def dsumRaw(c: Column): Column = sum(c).cast("double")
-  def sqlSumRaw(x: String): String = s"CAST(SUM($x) AS DOUBLE)"
+  /** Exact-decimal sum of an already-decimal expression, surfaced as
+    * double AT CENT PRECISION. The precision drop is not cosmetic: a
+    * (38,12) sum's scaled integer exceeds 2^53, and engines then convert
+    * to double differently (Java BigDecimal rounds the decimal value
+    * once; DuckDB converts the int128 to double and divides by 10^scale
+    * — two roundings), which surfaced as a 1-ulp sum_charge drift at
+    * sf0.1. Rounding to scale 2 first keeps the scaled integer ≤ 2^53,
+    * so both engines perform one exact-numerator IEEE division —
+    * bit-identical by construction. */
+  private val D2 = DecimalType(18, 2)
+  def dsumRaw(c: Column): Column = sum(c).cast(D2).cast("double")
+  // ROUND, not a narrowing CAST: DuckDB's decimal→decimal cast TRUNCATES
+  // the dropped digits, while Spark's cast rounds HALF_UP. ROUND(x, 2)
+  // rounds half away from zero — the same rule as Spark's cast.
+  def sqlSumRaw(x: String): String =
+    s"CAST(ROUND(SUM($x), 2) AS DOUBLE)"
 }
