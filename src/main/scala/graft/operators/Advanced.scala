@@ -181,7 +181,7 @@ object Advanced {
     * without the mask, Spark (non-ANSI) wraps silently at doc_id ≳ 3.4e9
     * while DuckDB raises, i.e. the engines would diverge in BEHAVIOR.
     * One shared string feeds both the query and the oracle. */
-  private val sampleHashExpr =
+  private[graft] val sampleHashExpr =
     "((doc_id & 1073741823) * 2654435761) % 4294967296"
 
   private val stratifiedSample: Q = (s, d) =>

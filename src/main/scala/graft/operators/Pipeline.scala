@@ -224,8 +224,7 @@ object Pipeline {
     * declared output, O(cap) state per source. The hash is the same
     * overflow-free masked multiply as `adv_stratified_sample`. */
   private val SourceCap = 10
-  private val sourceCapExpr =
-    "((doc_id & 1073741823) * 2654435761) % 4294967296"
+  private val sourceCapExpr = Advanced.sampleHashExpr
   private val sourceCap: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
