@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-evidence dump: executes a representative slice of the declared
+  * queries on the given sf dir and writes their FINAL (AQE-resolved)
+  * formatted physical plans to PLANS.md — the artifact to read when
+  * auditing pushdown (`PushedFilters`/`ReadSchema`), join strategies
+  * (`BroadcastHashJoin` vs `SortMergeJoin`), partial aggregation, and
+  * `WholeStageCodegen` spans without re-running anything.
+  *
+  * Usage: sbt "runMain graft.Plans [sfDir] [outFile]"
+  */
+object Plans {
+  private val Showcase = Seq(
+    "q01_pricing_summary",  // partial agg + exact decimal sums
+    "q02_revenue_filter",   // full predicate pushdown + column pruning
+    "q05_nation_revenue",   // multi-dim broadcast star join
+    "q10_top_customers",    // TakeOrderedAndProject top-k
+    "q30_exists_semi",      // EXISTS decorrelated to left semi
+    "q31_lateral_topn",     // LATERAL decorrelated to ranked join
+    "dd_minhash_lsh",       // banded LSH candidates + exact verify
+    "dd_winnow",            // capped inverted fingerprint index
+    "sim_topk_lsh",         // id-only bucket joins, vectors join once
+    "pl_contamination",     // broadcast dictionary probe
+    "pl_pack_sequences",    // two-phase distributed scan
+    "adv_salted_join",      // deterministic skew salting
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    val sb = new StringBuilder
+    sb.append("# PLANS — AQE-final formatted physical plans (generated)\n\n")
+    sb.append(s"Regenerate: `sbt \"runMain graft.Plans $sfDir $out\"`. ")
+    sb.append("Plans are captured AFTER execution so AQE's runtime choices ")
+    sb.append("(broadcast conversion, partition coalescing, skew splits) are ")
+    sb.append("the ones shown.\n")
+    Showcase.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // finalize THIS plan under AQE
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      sb.append("\n```\n")
+    }
+    Files.write(Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(s"[plans] wrote ${Showcase.length} plans to $out")
+    spark.stop()
+  }
+}
