@@ -65,14 +65,64 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"))
 
+  /** Ordered conversion funnel (view → click → purchase): a user reaches
+    * stage k only through the earliest event of each prior stage — the
+    * sequential-pattern query behind product funnels, distinct from
+    * windows/sessions (order constraints across event types, not time
+    * buckets). Three aggregations all keyed on user_id: one shuffle
+    * partitioning reused by every stage join, no re-exchange. */
+  private val funnel: Q = (s, d) => {
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = e.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    e.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .selectExpr("""CASE WHEN p_ts IS NOT NULL THEN 3
+                          WHEN c_ts IS NOT NULL THEN 2
+                          WHEN v_ts IS NOT NULL THEN 1
+                          ELSE 0 END AS stage""")
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling_1h" -> tumbling,
     "ev_sliding_1h_15m" -> sliding,
     "ev_sessions" -> sessions,
     "ev_late_arrivals" -> lateEvents,
+    "ev_funnel" -> funnel,
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_funnel" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+           JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+           JOIN c ON c.user_id = e.user_id AND e.ts >= c.c_ts
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
+                     WHEN c.c_ts IS NOT NULL THEN 2
+                     WHEN v.v_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS stage,
+                COUNT(*) AS n_users
+         FROM u LEFT JOIN v USING (user_id)
+                LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+         GROUP BY 1""",
     "ev_tumbling_1h" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
           COUNT(*) AS n, ${sqlSum("value")} AS sum_value

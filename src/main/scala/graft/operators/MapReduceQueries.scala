@@ -112,7 +112,24 @@ object MapReduceQueries {
     "mr_regex_tokens" -> regexTokens,
     "mr_group_avg" -> groupAvg,
     "mr_file_word_count" -> fileWordCount,
+    "mr_count_histogram" -> countHistogram,
   )
+
+  /** CHAINED jobs — the canonical two-stage MR pipeline (word count →
+    * count-of-counts frequency histogram). The reference chains jobs by
+    * feeding one job's result files to the next submission
+    * (`client.py` submit → collect → resubmit); here job 1's Dataset is
+    * job 2's record source directly — no intermediate materialization,
+    * and Catalyst plans the two shuffles as one pipeline. */
+  private lazy val countHistogram: Q = (s, d) => {
+    import s.implicits._
+    val job2 = MapReduceJob[Long, Long, Long](
+      mapper = (_, cnt) => Iterator.single(cnt.toLong -> 1L),
+      reducer = (k, vs) => (k, vs.sum),
+      combiner = Some((k, vs) => (k, vs.sum)))
+    job2.run(MapReduce.columnRecords(wordCount(s, d), "word", "cnt"))
+      .toDF("cnt", "n_words")
+  }
 
   val oracle: Map[String, String] = Map(
     "mr_word_count" ->
@@ -129,6 +146,12 @@ object MapReduceQueries {
     "mr_group_avg" ->
       """SELECT lang, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          FROM documents GROUP BY lang""",
+    "mr_count_histogram" ->
+      """WITH wc AS (
+           SELECT w, COUNT(*) AS cnt FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+           WHERE w <> '' GROUP BY w)
+         SELECT cnt, COUNT(*) AS n_words FROM wc GROUP BY cnt""",
     "mr_file_word_count" ->
       s"""SELECT w AS word, COUNT(*) AS cnt FROM (
             SELECT unnest(list_filter(string_split_regex(line, '\\s+'),
