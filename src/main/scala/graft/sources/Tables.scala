@@ -66,6 +66,14 @@ object Tables {
   def jsonTable(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
 
+  /** XML reader (Spark 4 built-in source): `rowTag` selects the repeated
+    * record element; schema declared for the same
+    * no-double-read-at-scale reason as [[jsonTable]]. Feed corpora
+    * (sitemaps, dumps, RSS) commonly arrive as XML. */
+  def xmlTable(spark: SparkSession, path: String, rowTag: String,
+               schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).option("rowTag", rowTag).xml(path)
+
   /** Register every corpus table as a temp view so `spark.sql` works
     * directly — the library's SQL entry point (the reference's
     * control-plane `select` is a SQL surface too, `client.py:24-28`).

@@ -23,6 +23,26 @@ class IngestionSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"), p)
   }
 
+  test("xml source: declared-schema read round-trips a parquet-written corpus slice") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_xml").toString
+    val xml = new StringBuilder("<docs>")
+    graft.sources.Tables.documents(spark, sfDir).limit(20).collect().foreach { r =>
+      xml.append(s"<doc><doc_id>${r.getAs[Long]("doc_id")}</doc_id>")
+      xml.append(s"<lang>${r.getAs[String]("lang")}</lang>")
+      xml.append(s"<n_chars>${r.getAs[Long]("n_chars")}</n_chars></doc>")
+    }
+    xml.append("</docs>")
+    Files.write(Paths.get(dir, "docs.xml"), xml.toString.getBytes("UTF-8"))
+    val df = graft.sources.Tables.xmlTable(spark, s"$dir/docs.xml", "doc",
+      "doc_id LONG, lang STRING, n_chars LONG")
+    assert(df.count() === 20)
+    val expect = graft.sources.Tables.documents(spark, sfDir).limit(20)
+      .select("doc_id", "lang", "n_chars")
+    assert(df.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(df).count() === 0)
+  }
+
   test("text file → textRecords → word count (S1 end-to-end)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-text")
