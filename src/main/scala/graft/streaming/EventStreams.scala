@@ -66,6 +66,41 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming conversion funnel — the incremental form of the batch
+    * `ev_funnel` (view → click → purchase, each stage reached only after
+    * the previous): a per-user STATE MACHINE via mapGroupsWithState,
+    * state = one Int per user (current stage), emitted in Update mode.
+    *
+    * Within a micro-batch, events are ordered by (event time, stage
+    * rank) so a click tied with its view still counts — the same `>=`
+    * tie rule as the batch operator. Across micro-batches the machine
+    * assumes event-time-ordered arrival (the usual funnel-pipeline
+    * contract); exact out-of-order handling would buffer events until
+    * the watermark, trading state for completeness. [[EventStreamsSpec]]
+    * pins stage-count parity against the batch ev_funnel ground truth. */
+  def funnelStages(events: Dataset[Event]): Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Int, (Long, Int)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Int]) =>
+          var stage = state.getOption.getOrElse(0)
+          batch.toSeq
+            .sortBy(e => (e.ts.getTime, rank.getOrElse(e.event_type, 3), e.event_id))
+            .foreach { e =>
+              e.event_type match {
+                case "view" if stage == 0     => stage = 1
+                case "click" if stage == 1    => stage = 2
+                case "purchase" if stage == 2 => stage = 3
+                case _                        =>
+              }
+            }
+          state.update(stage)
+          (uid, stage)
+      }
+  }
+
   /** Custom state: per-user running (count, total) via mapGroupsWithState
     * — the analog of the reference's resumable job state (P5), but
     * per-key, checkpointed, and incremental. */

@@ -117,4 +117,35 @@ class EventStreamsSpec extends SparkSpec {
       assert(last(2L) == ((1L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming funnel stage counts match the batch ev_funnel ground truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    // real corpus, streamed in two event-time-ordered micro-batches
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), "{}"))
+    val in = MemoryStream[Event]
+    val q = EventStreams.funnelStages(in.toDS)
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      in.addData(h1.toSeq: _*); q.processAllAvailable()
+      in.addData(h2.toSeq: _*); q.processAllAvailable()
+      // last emitted stage per user (stages only ever advance)
+      val streamed = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      val streamCounts = streamed.values.groupBy(identity).map { case (s, xs) => s -> xs.size }
+      val batchCounts = graft.operators.Events.queries("ev_funnel")(spark, sfDir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+      // batch includes stage-0 users only if they produced SOME event;
+      // both sides see the same user universe here, so compare directly
+      assert(streamCounts == batchCounts,
+        s"stream=$streamCounts batch=$batchCounts")
+    } finally q.stop()
+  }
 }
