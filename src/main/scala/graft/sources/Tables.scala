@@ -66,6 +66,20 @@ object Tables {
   def jsonTable(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
 
+  /** Malformed-tolerant CSV: PERMISSIVE mode parks unparseable lines in
+    * `_corrupt` instead of failing the job or silently dropping them —
+    * at crawl scale some fraction of every feed is broken, and the
+    * pipeline wants (clean rows, quarantine rows) from ONE pass, not a
+    * crashed 10-hour job. Callers split on `_corrupt IS NULL`. */
+  def csvTableLenient(spark: SparkSession, path: String,
+                      schemaDdl: String): DataFrame =
+    spark.read
+      .schema(schemaDdl + ", _corrupt STRING")
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
   /** XML reader (Spark 4 built-in source): `rowTag` selects the repeated
     * record element; schema declared for the same
     * no-double-read-at-scale reason as [[jsonTable]]. Feed corpora

@@ -43,6 +43,24 @@ class IngestionSpec extends SparkSpec {
     assert(expect.exceptAll(df).count() === 0)
   }
 
+  test("lenient csv: clean rows parse, malformed rows quarantine, nothing is lost") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.write(Paths.get(dir, "feed.csv"),
+      "1,alpha,10\n2,beta,not_a_number\n3,gamma,30\nbroken line\n4,delta,40\n"
+        .getBytes("UTF-8"))
+    val df = graft.sources.Tables.csvTableLenient(
+      spark, s"$dir/feed.csv", "id LONG, name STRING, n LONG").cache()
+    val clean = df.where(col("_corrupt").isNull)
+    val quarantined = df.where(col("_corrupt").isNotNull)
+    assert(clean.count() === 3)
+    assert(quarantined.count() === 2) // bad number + bad shape, both kept
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    assert(quarantined.select("_corrupt").collect().map(_.getString(0)).toSet ==
+      Set("2,beta,not_a_number", "broken line"))
+    df.unpersist()
+  }
+
   test("text file → textRecords → word count (S1 end-to-end)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-text")
