@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** One SparkSession, many concurrent queries — the multi-user contract a
+  * shared driver actually faces. Pins that the SQL-path queries
+  * (UUID-suffixed temp views: q23/q30/q31) and the checkpoint-using
+  * two-phase scan don't trample each other's state when raced. */
+class ConcurrencySpec extends SparkSpec {
+
+  test("racing SQL-path and checkpoint-path queries returns each query's own answer") {
+    val names = Seq("q23_corr_subquery", "q30_exists_semi", "q31_lateral_topn",
+      "pl_pack_sequences")
+    // sequential ground truth first
+    val expected = names.map { n =>
+      n -> graft.SparkEntry.queries(n)(spark, sfDir).count()
+    }.toMap
+    // then 2 racing rounds of all four in parallel
+    (1 to 2).foreach { _ =>
+      val futs = names.map { n =>
+        Future(n -> graft.SparkEntry.queries(n)(spark, sfDir).count())
+      }
+      Await.result(Future.sequence(futs), 120.seconds).foreach { case (n, c) =>
+        assert(c === expected(n), s"$n drifted under concurrency")
+      }
+    }
+  }
+}
