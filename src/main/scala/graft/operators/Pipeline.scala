@@ -255,6 +255,33 @@ object Pipeline {
       .where(col("cum_before") < TokenBudget)
       .select("doc_id", "n_tokens", "quality", "cum_before")
 
+  /** The 100 TB form of [[tokenBudget]]: instead of one global
+    * sort-window, estimate the quality cutoff with `approxQuantile`
+    * (bounded-state sketch, one pass) and take everything above it with
+    * a narrow filter — no global sort anywhere. The boundary is
+    * approximate (sketch error ε on the quantile), so the selected mass
+    * lands NEAR the budget rather than exactly at it; the greedy-exact
+    * form remains the declared oracle query, this is the documented
+    * scale path made runnable ([[PipelineSpec]] bounds its deviation). */
+  private[graft] def tokenBudgetApprox(s: SparkSession, d: String,
+      budget: Long = TokenBudget, eps: Double = 0.01): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .withColumn("tok", expr(tokExpr))
+      .selectExpr("doc_id", "size(tok) AS n_tokens",
+        "size(array_distinct(tok)) / size(tok) AS quality")
+    val total = scored.agg(sum(col("n_tokens"))).head.getLong(0)
+    if (total <= budget) scored.select("doc_id", "n_tokens", "quality")
+    else {
+      // budget/total of the token mass ≈ the same fraction of docs when
+      // length and quality are uncorrelated; refine by taking the
+      // quantile of quality at that fraction
+      val frac = 1.0 - budget.toDouble / total
+      val cutoff = scored.stat.approxQuantile("quality", Array(frac), eps).head
+      scored.where(col("quality") >= cutoff)
+        .select("doc_id", "n_tokens", "quality")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "pl_token_budget" -> tokenBudget,
     "pl_contamination" -> contamination,

@@ -30,6 +30,25 @@ class PipelineSpec extends SparkSpec {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("token budget: approx-quantile scale path lands near the budget, skips no better doc") {
+    import org.apache.spark.sql.functions._
+    val budget = 20000L
+    val approx = Pipeline.tokenBudgetApprox(spark, sfDir, budget = budget).cache()
+    // (a) selected token mass lands near the budget (sketch-boundary slack)
+    val mass = approx.agg(sum("n_tokens")).head.getLong(0)
+    assert(mass > budget * 3 / 4 && mass < budget * 2, s"mass=$mass")
+    // (b) the selection is a quality-prefix: no unselected doc has
+    // strictly higher quality than the worst selected doc
+    val minTaken = approx.agg(min("quality")).head.getDouble(0)
+    val skippedBetter = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "size(array_distinct(filter(split(text, ' '), t -> t <> ''))) / size(filter(split(text, ' '), t -> t <> '')) AS q")
+      .join(approx.select("doc_id"), Seq("doc_id"), "left_anti")
+      .where(col("q") > lit(minTaken))
+    assert(skippedBetter.count() === 0, "approx path skipped a strictly-better doc")
+    approx.unpersist()
+  }
+
   test("vocab_oov: OOV count is bounded by token count and vocab terms are never OOV") {
     val df = Pipeline.queries("pl_vocab_oov")(spark, sfDir).cache()
     assert(df.where(col("n_oov") > col("n_tokens") || col("n_oov") < 0).count() === 0)
