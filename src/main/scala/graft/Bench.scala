@@ -10,33 +10,84 @@ import org.apache.spark.sql.SparkSession
   * end-to-end (plan + execute + count) SPARK_GRAFT_REPS times
   * (default 3) and reports the MEDIAN: single-shot runs of the heavy
   * similarity/dedup queries swing ±2.5× on identical code (GC, codegen
-  * cache, page cache), medians don't. */
+  * cache, page cache), medians don't.
+  *
+  * BLOCK HYGIENE between reps: queries that materialize state
+  * (`localCheckpoint` in pl_pack_sequences, `cache` anywhere) leave
+  * storage blocks resident in the shared JVM; over 95 queries × 3 reps
+  * those blocks squeeze the execution/storage pool and every query that
+  * runs LATER in sorted order pays in GC time — the round-4 bench showed
+  * exactly that signature (every >2× regression sorted after
+  * `pl_pack_sequences`, every improvement before it). Each rep rebuilds
+  * its DataFrame from scratch, so no old block is ever reused → dropping
+  * them all between reps is free and makes reps independent.
+  *
+  * DIAGNOSABILITY: the output carries per-query rep times and GC-time
+  * deltas, not just medians, so a future regression is attributable from
+  * BENCH_r*.json alone (one cold rep vs all reps; GC-bound vs plan
+  * change). The grand total ("value") is printed LAST in the JSON line
+  * so a tail-truncated capture still sees it; the full object is also
+  * written to bench_detail.json for post-hoc reads. */
 object Bench {
+  private def gcSecs: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum / 1e3
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // drop every resident storage block: cached plans + (local)checkpoint
+    // blocks are never shared across reps (each rep re-plans from the
+    // loader), so this only stops them accumulating across 95 queries
+    def dropBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm-up: touch every table once (footer reads, codegen of one query)
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => }
+    dropBlocks()
     // a failed rep is excluded from the median; a query with zero
     // successful reps reports the -1 sentinel (a broken query must read
     // as broken, never as a fast success)
     val results = ordered.map { case (name, fn) =>
+      val gc0 = gcSecs
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
+        dropBlocks()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }.sorted
-      name -> (if (times.isEmpty) -1.0 else times(times.length / 2))
+      }
+      (name, times.sorted, gcSecs - gc0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val medians = results.map { case (k, ts, _) =>
+      k -> (if (ts.isEmpty) -1.0 else r3(ts(ts.length / 2)))
+    }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val repJson = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val gcJson = results.map { case (k, _, g) => "\"" + k + "\":" + r3(g) }
+      .mkString("{", ",", "}")
+    val total = r3(medians.map(_._2).filter(_ >= 0).sum)
+    // key order matters: a tail-only capture must still see the total and
+    // the medians, so diagnostics come first and "value" is last
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_reps":$reps,""" +
+      s""""gc_sec":$gcJson,"reps":$repJson,"queries":$qs,"value":$total}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 }
