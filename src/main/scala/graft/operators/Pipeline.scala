@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -218,21 +218,74 @@ object Pipeline {
     * the corpus is partitioned). The "cap each domain" step that stops a
     * single crawler host from dominating the mix.
     *
-    * 100 TB shape: one shuffle on source + a rank. With millions of docs
-    * per hot source the window sort degenerates; the drop-in upgrade is
-    * a bounded per-group heap (this repo's `TopKAgg` shape) — same
-    * declared output, O(cap) state per source. The hash is the same
-    * overflow-free masked multiply as `adv_stratified_sample`. */
+    * 100 TB shape: the DECLARED path is [[sourceCapHeap]] — a bounded
+    * per-group heap (the [[Advanced.TopKAgg]] UDAF shape, min-ordered):
+    * O(cap) state per source at any input size, partial heaps merge
+    * map-side, and non-winners never shuffle. The equivalent
+    * `row_number()` window form ([[sourceCapWindow]]) sorts EVERY doc of
+    * a hot source to keep 10 — a 10⁷-doc crawl host pays a 10⁷ sort; it
+    * stays as the differential reference ([[PipelineSpec]] pins heap ≡
+    * window on a skewed corpus). The hash is the same overflow-free
+    * masked multiply as `adv_stratified_sample`. */
   private val SourceCap = 10
   private val sourceCapExpr = Advanced.sampleHashExpr
-  private val sourceCap: Q = (s, d) =>
-    Tables.documents(s, d)
+
+  /** Bounded min-k selector: keeps the [[SourceCap]] smallest
+    * (priority, doc_id) pairs per group in one ordered buffer. Insert is
+    * O(cap) with early exit, merge folds one buffer into the other — the
+    * commutative-monoid contract Spark needs for map-side partials. */
+  class BottomKAgg(k: Int)
+      extends Aggregator[(String, Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    override def zero: Seq[(Long, Long)] = Seq.empty
+    private def before(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(b: Seq[(Long, Long)], e: (Long, Long)): Seq[(Long, Long)] =
+      if (b.length >= k && !before(e, b.last)) b
+      else {
+        val i = b.indexWhere(x => before(e, x))
+        val nb = if (i < 0) b :+ e else (b.take(i) :+ e) ++ b.drop(i)
+        if (nb.length > k) nb.take(k) else nb
+      }
+    override def reduce(b: Seq[(Long, Long)], a: (String, Long, Long)): Seq[(Long, Long)] =
+      insert(b, (a._3, a._2))
+    override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      y.foldLeft(x)(insert)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Declared scale path: per-source bounded heap, rank recovered from
+    * the (already sorted) buffer position. Output is identical to
+    * [[sourceCapWindow]] — (priority, doc_id) is a total order. */
+  private[graft] def sourceCapHeap(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        expr(sourceCapExpr).cast("long").as("priority"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new BottomKAgg(SourceCap).toColumn.name("kept"))
+      .flatMap { case (src, kept) =>
+        kept.iterator.zipWithIndex.map { case ((_, id), i) => (id, src, i + 1) } }
+      .toDF("doc_id", "source", "rk")
+  }
+
+  /** One-shuffle window form — correct, but sorts a hot source's whole
+    * doc list; kept as the differential reference for [[sourceCapHeap]]. */
+  private[graft] def sourceCapWindow(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         expr(sourceCapExpr).as("priority"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))))
       .where(col("rk") <= SourceCap)
       .select("doc_id", "source", "rk")
+
+  private val sourceCap: Q = (s, d) => sourceCapHeap(Tables.documents(s, d))
 
   /** Token-budget selection: take docs in quality order (type-token
     * ratio here, tie-broken by doc_id) until the running token count
@@ -269,21 +322,61 @@ object Pipeline {
       .withColumn("tok", expr(tokExpr))
       .selectExpr("doc_id", "size(tok) AS n_tokens",
         "size(array_distinct(tok)) / size(tok) AS quality")
-    val total = scored.agg(sum(col("n_tokens"))).head.getLong(0)
+    // sum over zero rows is NULL — an empty corpus is trivially complete
+    val totalRow = scored.agg(sum(col("n_tokens"))).head
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     if (total <= budget) scored.select("doc_id", "n_tokens", "quality")
     else {
       // budget/total of the token mass ≈ the same fraction of docs when
       // length and quality are uncorrelated; refine by taking the
       // quantile of quality at that fraction
       val frac = 1.0 - budget.toDouble / total
-      val cutoff = scored.stat.approxQuantile("quality", Array(frac), eps).head
-      scored.where(col("quality") >= cutoff)
+      val cuts = scored.stat.approxQuantile("quality", Array(frac), eps)
+      // approxQuantile returns empty when the column is all-null —
+      // nothing rankable, fall back to the complete selection
+      if (cuts.isEmpty) scored.select("doc_id", "n_tokens", "quality")
+      else scored.where(col("quality") >= cuts.head)
         .select("doc_id", "n_tokens", "quality")
     }
   }
 
+  /** [[tokenBudgetApprox]] as a DECLARED, driver-gated query. The raw
+    * selected set depends on the sketch boundary (engine-specific), so —
+    * like `adv_approx_distinct` / `adv_percentiles` — the declared output
+    * is the deterministic context (budget, corpus totals) plus tolerance
+    * BOOLEANS computed from the actual approx selection: a hard failure
+    * signal if the scale path ever drifts, hash-checkable by DuckDB.
+    *   - `mass_close`: selected token mass within [¾·budget, 2·budget]
+    *     (the [[PipelineSpec]] bound), or exactly the whole corpus when
+    *     the corpus fits the budget.
+    *   - `prefix_sound`: the selection is a quality-prefix — no skipped
+    *     doc outranks a selected one. */
+  private val ApproxBudget = 20000L
+  private val tokenBudgetApproxQ: Q = (s, d) => {
+    val sel = tokenBudgetApprox(s, d, budget = ApproxBudget)
+    val scored = Tables.documents(s, d)
+      .withColumn("tok", expr(tokExpr))
+      .selectExpr("doc_id", "size(tok) AS n_tokens",
+        "size(array_distinct(tok)) / size(tok) AS quality")
+    val selAgg = sel.agg(
+      sum(col("n_tokens")).as("mass"), min(col("quality")).as("min_q"))
+    val totals = scored.agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val skipped = scored.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(max(col("quality")).as("max_skipped_q"))
+    selAgg.crossJoin(totals).crossJoin(skipped)
+      .selectExpr(
+        s"CAST($ApproxBudget AS BIGINT) AS budget",
+        "n_docs",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        s"mass <= 2 * $ApproxBudget AND " +
+          s"(mass >= 3 * $ApproxBudget / 4 OR mass = total_tokens) AS mass_close",
+        "max_skipped_q IS NULL OR max_skipped_q <= min_q AS prefix_sound")
+  }
+
   val queries: Map[String, Q] = Map(
     "pl_token_budget" -> tokenBudget,
+    "pl_token_budget_approx" -> tokenBudgetApproxQ,
     "pl_contamination" -> contamination,
     "pl_cross_dedup" -> crossDedup,
     "pl_pack_sequences" -> packSequences,
@@ -374,6 +467,15 @@ object Pipeline {
             FROM t)
           SELECT doc_id, n_tokens, quality, cum_before
           FROM c WHERE cum_before < $TokenBudget""",
+    // the approx path's boolean contract: deterministic context columns
+    // computed exactly, TRUE literals for the tolerance assertions the
+    // Spark side must earn (same pattern as adv_approx_distinct)
+    "pl_token_budget_approx" ->
+      s"""SELECT CAST($ApproxBudget AS BIGINT) AS budget,
+            count(*) AS n_docs,
+            CAST(sum(len($duckTok)) AS BIGINT) AS total_tokens,
+            TRUE AS mass_close, TRUE AS prefix_sound
+          FROM documents""",
     "pl_source_cap" ->
       s"""SELECT doc_id, source, rk FROM (
             SELECT doc_id, source,

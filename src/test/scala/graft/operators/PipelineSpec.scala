@@ -104,6 +104,38 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("source_cap: bounded-heap path equals the window path on a skewed corpus") {
+    // one crawl host with 1e5 docs (the hot-source case the heap exists
+    // for) + two small sources, one under the cap
+    val docs = spark.range(0, 100000).selectExpr("id AS doc_id", "'hot' AS source")
+      .union(spark.range(100000, 100007).selectExpr("id AS doc_id", "'s1' AS source"))
+      .union(spark.range(100007, 100020).selectExpr("id AS doc_id", "'s2' AS source"))
+    val heap = Pipeline.sourceCapHeap(docs)
+    val win = Pipeline.sourceCapWindow(docs)
+    assert(heap.exceptAll(win).count() === 0)
+    assert(win.exceptAll(heap).count() === 0)
+    // the under-cap source keeps everything, ranked 1..7
+    assert(heap.where(col("source") === "s1").count() === 7)
+    assert(heap.where(col("source") === "hot").count() === 10)
+  }
+
+  test("token_budget_approx declared query: booleans hold and totals are exact") {
+    val row = Pipeline.queries("pl_token_budget_approx")(spark, sfDir).head()
+    assert(row.getAs[Boolean]("mass_close"))
+    assert(row.getAs[Boolean]("prefix_sound"))
+    assert(row.getAs[Long]("n_docs") ===
+      graft.sources.Tables.documents(spark, sfDir).count())
+  }
+
+  test("token budget approx: empty corpus returns the trivially-complete selection") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty")
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Pipeline.tokenBudgetApprox(spark, dir.toString).count() === 0)
+  }
+
   test("mix_weights: token shares sum to 1 and weighted token mass is uniform") {
     val rows = Pipeline.queries("pl_mix_weights")(spark, sfDir).collect()
     assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
