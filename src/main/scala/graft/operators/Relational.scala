@@ -355,6 +355,28 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
 
+  /** The runnable 100 TB twin of [[q29]] (same shape `pl_token_budget`
+    * got for its scale path): decile boundaries from `approxQuantile`
+    * (bounded-state KLL-style sketch, one pass, rank error ≤ ε·N), then
+    * bucket assignment is a NARROW map — count the cutpoints below each
+    * value — followed by one tiny aggregate. No global sort, no window,
+    * no single-task stage anywhere; the exact window form stays the
+    * declared oracle contract. [[RelationalPlanSpec]] bounds the
+    * bucket-size deviation and asserts the sort-free plan. */
+  private[graft] def ntileApprox(s: SparkSession, d: String,
+      n: Int = 10, eps: Double = 0.001): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val cuts = cust.stat.approxQuantile("c_acctbal",
+      (1 until n).map(_.toDouble / n).toArray, eps)
+    val arr = cuts.mkString("array(", ",", ")")
+    cust
+      .withColumn("decile",
+        expr(s"1 + size(filter($arr, c -> c < c_acctbal))"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+  }
+
   /** Correlated EXISTS through the SQL path: customers with at least one
     * URGENT order that still has an open lineitem. Catalyst decorrelates
     * the EXISTS into a left-semi join — asserted in the plan spec; the

@@ -50,6 +50,32 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q29 approx twin: sort-free plan, bucket sizes within sketch tolerance") {
+    val df = Relational.ntileApprox(spark, sfDir)
+    val rows = df.collect()
+    // the scale property: decile assignment is a narrow map + one tiny
+    // agg — no window, no global sort anywhere in the plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+    // all 10 buckets present, sizes within the approxQuantile rank-error
+    // bound (ε·N per boundary, two boundaries per bucket, +2 tie slack)
+    assert(rows.map(_.getAs[Int]("decile")).sorted.sameElements(1 to 10))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n") - total / 10.0) <= 2 * 0.001 * total + 2,
+        s"decile ${r.getAs[Int]("decile")}: n=${r.getAs[Long]("n")} of $total")
+    }
+    // buckets tile the value range in order: no overlap between
+    // consecutive deciles' [lo, hi] spans
+    val byDecile = rows.sortBy(_.getAs[Int]("decile"))
+    byDecile.sliding(2).foreach { w =>
+      assert(w(0).getAs[Double]("hi") <= w(1).getAs[Double]("lo"),
+        s"deciles ${w(0).getAs[Int]("decile")}/${w(1).getAs[Int]("decile")} overlap")
+    }
+  }
+
   test("q31: LATERAL decorrelates to a ranked join, not a per-row subquery") {
     val p = plan("q31_lateral_topn")
     // decorrelation leaves a window/rank over a join — and never a
