@@ -41,6 +41,64 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(spark.read.parquet(out).where("event_id >= 10").count() == 5)
   }
 
+  test("stateful funnel (mapGroupsWithState) survives kill/restart at batch parity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-funnel")
+    val src = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(src).mkdirs()
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    def ev(id: Long, t: String, uid: Long, typ: String) =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, typ, 1.0, "{}")
+    def write(rows: Seq[Event]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = EventStreams.funnelStages(
+          spark.readStream.schema(schema).parquet(src).as[Event])
+        .toDF("user_id", "stage")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    // the stage counter is monotone, so "current state" = max over every
+    // Update-mode emission — idempotent under batch replay too
+    def state(): Map[Long, Int] =
+      spark.read.parquet(out).groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // phase 1: views only, plus user 2's out-of-order click (must not advance)
+    write(Seq(ev(0, "2024-01-01 10:00:00", 0, "view"),
+              ev(1, "2024-01-01 10:00:00", 1, "view"),
+              ev(2, "2024-01-01 10:05:00", 2, "click")))
+    run()
+    assert(state() == Map(0L -> 1, 1L -> 1, 2L -> 0), state().toString)
+
+    // phase 2: the query restarts from the checkpoint; clicks/purchases
+    // can only advance users whose view-stage SURVIVED in the state
+    // store — if recovery lost it, user 0 cannot reach stage 3 because
+    // the view event is never replayed
+    write(Seq(ev(3, "2024-01-01 11:00:00", 0, "click"),
+              ev(4, "2024-01-01 11:30:00", 0, "purchase"),
+              ev(5, "2024-01-01 11:00:00", 1, "purchase"),
+              ev(6, "2024-01-01 11:10:00", 2, "purchase")))
+    run()
+    val fin = state()
+    assert(fin == Map(0L -> 3, 1L -> 1, 2L -> 0), fin.toString)
+
+    // batch parity: the same events through the declared batch funnel
+    val bdir = Files.createTempDirectory("graft-funnel-batch")
+    spark.read.schema(schema).parquet(src)
+      .write.parquet(s"$bdir/events.parquet")
+    val batch = graft.operators.Events.queries("ev_funnel")(spark, bdir.toString)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val streamed = fin.values.groupBy(identity)
+      .map { case (st, us) => st -> us.size.toLong }
+    assert(batch == streamed, s"batch=$batch stream=$streamed")
+  }
+
   test("windowed aggregation resumes from checkpoint after restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ckpt")
