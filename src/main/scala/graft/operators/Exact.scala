@@ -55,7 +55,17 @@ object Exact {
     * — two roundings), which surfaced as a 1-ulp sum_charge drift at
     * sf0.1. Rounding to scale 2 first keeps the scaled integer ≤ 2^53,
     * so both engines perform one exact-numerator IEEE division —
-    * bit-identical by construction. */
+    * bit-identical by construction.
+    *
+    * VALID MAGNITUDE RANGE (scale limits of this correctness guarantee):
+    * the narrowing cast to DECIMAL(18,2) yields NULL under Spark's
+    * default non-ANSI mode once |sum| ≥ 10^16, and the one-division
+    * bit-identity argument needs the cent-scaled integer ≤ 2^53, i.e.
+    * |sum| ≤ ~9.0e13. TPC-H money sums grow ~2e9·sf, so both bounds
+    * hold through sf ≈ 10⁴ (≈10 TB of lineitem) — far past any tested
+    * scale, but a real ceiling: beyond it, keep the DECIMAL
+    * representation end-to-end (drop the double surfacing) instead of
+    * widening this helper. */
   private val D2 = DecimalType(18, 2)
   def dsumRaw(c: Column): Column = sum(c).cast(D2).cast("double")
   // ROUND, not a narrowing CAST: DuckDB's decimal→decimal cast TRUNCATES

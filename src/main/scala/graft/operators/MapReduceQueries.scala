@@ -97,12 +97,23 @@ object MapReduceQueries {
     * `SPARK_GRAFT_FIXTURE` overrides for external corpora. */
   private[graft] lazy val FixturePath: String =
     sys.env.getOrElse("SPARK_GRAFT_FIXTURE", {
-      val target = java.nio.file.Paths.get(
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val target = Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-corpus_small.txt")
       val in = getClass.getResourceAsStream("/graft/corpus_small.txt")
-      try java.nio.file.Files.copy(in, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
+      require(in != null,
+        "bundled corpus /graft/corpus_small.txt missing from the classpath")
+      // stage to a unique temp file, then ATOMIC_MOVE into place: two
+      // concurrent JVMs (Bench ∥ Verify, parallel CI forks) may race
+      // this init, and a reader must never observe a missing/truncated
+      // target mid-replace
+      try {
+        val tmp = Files.createTempFile(target.getParent, ".graft-corpus", ".tmp")
+        Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING) }
+      } finally in.close()
       target.toString
     })
 

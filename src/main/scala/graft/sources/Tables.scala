@@ -70,7 +70,20 @@ object Tables {
     * `_corrupt` instead of failing the job or silently dropping them —
     * at crawl scale some fraction of every feed is broken, and the
     * pipeline wants (clean rows, quarantine rows) from ONE pass, not a
-    * crashed 10-hour job. Callers split on `_corrupt IS NULL`. */
+    * crashed 10-hour job. Callers split on `_corrupt IS NULL`.
+    *
+    * The frame is returned CACHED (lazily — nothing materializes until
+    * an action), for a correctness reason, not a performance one: since
+    * Spark 2.3, a query over raw CSV that references ONLY the
+    * corrupt-record column (e.g. `df.where($"_corrupt".isNull).count()`)
+    * throws `AnalysisException` unless the parsed frame is persisted
+    * first, and column pruning can leave `_corrupt` unpopulated when no
+    * data column is selected alongside it. Caching pins the fully-parsed
+    * rows, making both halves of the split valid and single-read.
+    * Callers `unpersist()` when done with the split; for feeds too big
+    * to cache, write the split out once instead (one pass,
+    * `partitionBy` on a `_corrupt IS NULL` validity flag) rather than
+    * holding the feed in memory. */
   def csvTableLenient(spark: SparkSession, path: String,
                       schemaDdl: String): DataFrame =
     spark.read
@@ -79,6 +92,7 @@ object Tables {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
+      .cache()
 
   /** XML reader (Spark 4 built-in source): `rowTag` selects the repeated
     * record element; schema declared for the same

@@ -9,6 +9,11 @@ object MrTestFns {
     line.split("\\s+").filter(_.nonEmpty).toSeq
 }
 
+/** Structured MR key for the keys-need-total-equality contract test
+  * (`MapReduce.scala:28-29`): top-level so the Dataset encoder derives
+  * cleanly (no outer-instance capture). */
+case class Bigram(a: String, b: String)
+
 /** Differential tests against in-process Scala oracles — the reference's
   * own test strategy (`counting_words.py:15-36`, `word_set_example.py:
   * 15-34`) industrialized (SURVEY.md §5). */
@@ -42,6 +47,30 @@ class MapReduceSpec extends SparkSpec {
     val got = job.run(records).collect().toMap
     val oracle = corpus.flatMap(tokens).groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(got == oracle)
+  }
+
+  test("case-class key: grouping follows encoded equality (keys need a total equality/hash)") {
+    import spark.implicits._
+    // the documented contract (MapReduce.scala:28-29): any key with a
+    // total equality works — Spark groups on the ENCODED form, so a
+    // structured key must group exactly like its value-equality classes
+    val job = MapReduceJob[Bigram, Long, Long](
+      mapper = (_, v) => {
+        val t = tokens(v)
+        t.zip(t.drop(1)).iterator.map { case (a, b) => Bigram(a, b) -> 1L }
+      },
+      reducer = (k, vs) => (k, vs.sum),
+      combiner = Some((k, vs) => (k, vs.sum)))
+    val got = job.run(records).collect().toMap
+    val oracle = corpus
+      .flatMap { l => val t = tokens(l); t.zip(t.drop(1)) }
+      .groupBy(identity).view
+      .map { case ((a, b), hits) => Bigram(a, b) -> hits.size.toLong }.toMap
+    assert(got == oracle)
+    // combiner path and plain path agree on the structured key too
+    val plain = MapReduceJob[Bigram, Long, Long](job.mapper, job.reducer, None)
+      .run(records).collect().toMap
+    assert(plain == got)
   }
 
   test("word count without combiner gives identical result") {

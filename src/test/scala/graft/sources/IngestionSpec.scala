@@ -24,10 +24,15 @@ class IngestionSpec extends SparkSpec {
   }
 
   test("xml source: declared-schema read round-trips a parquet-written corpus slice") {
-    import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_xml").toString
+    // collect ONCE (ordered — LIMIT without ORDER BY may pick different
+    // rows per evaluation) and build both the XML and the expectation
+    // from the same rows
+    val rows = graft.sources.Tables.documents(spark, sfDir)
+      .orderBy("doc_id").limit(20)
+      .select("doc_id", "lang", "n_chars").collect()
     val xml = new StringBuilder("<docs>")
-    graft.sources.Tables.documents(spark, sfDir).limit(20).collect().foreach { r =>
+    rows.foreach { r =>
       xml.append(s"<doc><doc_id>${r.getAs[Long]("doc_id")}</doc_id>")
       xml.append(s"<lang>${r.getAs[String]("lang")}</lang>")
       xml.append(s"<n_chars>${r.getAs[Long]("n_chars")}</n_chars></doc>")
@@ -36,11 +41,14 @@ class IngestionSpec extends SparkSpec {
     Files.write(Paths.get(dir, "docs.xml"), xml.toString.getBytes("UTF-8"))
     val df = graft.sources.Tables.xmlTable(spark, s"$dir/docs.xml", "doc",
       "doc_id LONG, lang STRING, n_chars LONG")
-    assert(df.count() === 20)
-    val expect = graft.sources.Tables.documents(spark, sfDir).limit(20)
-      .select("doc_id", "lang", "n_chars")
-    assert(df.exceptAll(expect).count() === 0)
-    assert(expect.exceptAll(df).count() === 0)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_chars"))).toSet
+    val expect = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_chars"))).toSet
+    assert(got.size === 20)
+    assert(got === expect)
   }
 
   test("lenient csv: clean rows parse, malformed rows quarantine, nothing is lost") {
@@ -49,8 +57,9 @@ class IngestionSpec extends SparkSpec {
     Files.write(Paths.get(dir, "feed.csv"),
       "1,alpha,10\n2,beta,not_a_number\n3,gamma,30\nbroken line\n4,delta,40\n"
         .getBytes("UTF-8"))
+    // the helper caches internally (required for corrupt-only queries)
     val df = graft.sources.Tables.csvTableLenient(
-      spark, s"$dir/feed.csv", "id LONG, name STRING, n LONG").cache()
+      spark, s"$dir/feed.csv", "id LONG, name STRING, n LONG")
     val clean = df.where(col("_corrupt").isNull)
     val quarantined = df.where(col("_corrupt").isNotNull)
     assert(clean.count() === 3)
