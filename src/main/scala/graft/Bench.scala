@@ -49,7 +49,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // SPARK_GRAFT_ONLY=<substring> restricts the run for single-query
+    // diagnosis; unset (the driver's case) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
     // warm-up: touch every table once (footer reads, codegen of one query)
     try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => }
     dropBlocks()

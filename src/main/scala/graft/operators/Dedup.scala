@@ -49,29 +49,30 @@ object Dedup {
   /** Candidate pairs via prefix filtering + size-ratio pruning
     * (jac ≥ τ ⇒ τ·|B| ≤ |A| ≤ |B|/τ). Exact-complete for jac ≥ τ.
     *
-    * Prefix selection is one hash-aggregate (collect each doc's
-    * (df, shingle) list) + a per-row `array_sort`/`slice` — NOT a
-    * `row_number()` window: the window form sorts the ENTIRE exploded
-    * (doc, shingle, df) relation within each partition before ranking,
-    * while this shape shuffles the same bytes once into a hash agg and
-    * sorts only each doc's own list, O(|sh| log |sh|) per doc with state
-    * bounded by the longest document — no partition-wide sort at any
-    * corpus size. */
+    * Prefix selection is the `row_number()` window — MEASURED, not
+    * assumed: two window-free variants (collect each doc's (df, shingle)
+    * list in a hash agg, then per-row `array_sort`+`slice`; once with
+    * struct elements, once with the pair packed into one zero-padded
+    * string) benchmarked 1.68 s and 1.94 s vs the window's 1.39 s at
+    * sf0.1 (median of 5, identical harness) — Spark's window sort runs
+    * codegen'd on UnsafeRows while `array_sort` materializes object
+    * arrays and pays interpreted comparisons. The window is also not a
+    * skew hazard here, unlike `pl_source_cap`'s: it partitions by
+    * doc_id, so the per-GROUP sort is bounded by one document's shingle
+    * list (group count is huge, group size is small), and the
+    * partition-wide sort is a spillable external sort like any shuffle —
+    * no single hot key ever concentrates work. */
   private def prefixFilteredPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = shingleSets(s, d)
       .where(col("set_size") > 0)
       .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
     val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
     val prefix = ex.join(freq, "shingle")
-      .groupBy("doc_id", "set_size")
-      .agg(collect_list(struct(col("df"), col("shingle"))).as("ds"))
-      // struct array sorts by (df, shingle) — the same rarest-first
-      // global order the window form ranked by; the prefix length is
-      // |sh| − ⌈τ·|sh|⌉ + 1, always ≥ 1 for non-empty sets
-      .select(col("doc_id"), col("set_size"),
-        explode(expr(s"slice(array_sort(ds), 1, " +
-          s"CAST(set_size - CEIL(set_size * $tau) + 1 AS INT))")).as("e"))
-      .select(col("doc_id"), col("set_size"), col("e.shingle").as("shingle"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .where(col("r") <= col("set_size") - ceil(col("set_size") * tau) + 1)
+      .select(col("doc_id"), col("set_size"), col("shingle"))
     prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id") &&
