@@ -21,10 +21,12 @@ object Plans {
     "q30_exists_semi",      // EXISTS decorrelated to left semi
     "q31_lateral_topn",     // LATERAL decorrelated to ranked join
     "dd_minhash_lsh",       // banded LSH candidates + exact verify
+    "dd_ngram_jaccard",     // hash-agg prefix filter (no window sort)
     "dd_winnow",            // capped inverted fingerprint index
     "sim_topk_lsh",         // id-only bucket joins, vectors join once
     "pl_contamination",     // broadcast dictionary probe
     "pl_pack_sequences",    // two-phase distributed scan
+    "pl_source_cap",        // bounded per-group heap (map-side partials)
     "adv_salted_join",      // deterministic skew salting
   )
 

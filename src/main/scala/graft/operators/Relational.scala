@@ -339,10 +339,10 @@ object Relational {
   /** NTILE deciles: equal-frequency bucketing of customers by account
     * balance — the histogram/equi-depth-binning window op. One global
     * sort (NTILE is inherently total-order); at 100 TB the same output
-    * comes from `approxQuantile` cutpoints + a narrow bucket join, which
-    * is the documented scale path; here the exact form is the declared
-    * contract. Ties broken by custkey so both engines bucket
-    * identically. */
+    * comes from `approxQuantile` cutpoints + a narrow bucket map — the
+    * scale path made RUNNABLE in [[ntileApprox]]; here the exact form is
+    * the declared contract. Ties broken by custkey so both engines
+    * bucket identically. */
   private val q29: Q = (s, d) =>
     Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"))
