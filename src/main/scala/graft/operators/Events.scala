@@ -41,11 +41,64 @@ object Events {
         max(col("ts")).as("session_end"))
   }
 
-  /** Late-vs-ontime accounting: events whose ts lags the running max by
-    * >10 minutes (what a watermark would drop). */
-  private val lateEvents: Q = (s, d) => {
-    // global ordering is only for the high-water mark; a real pipeline
-    // tracks it per partition + max-aggregates, same result
+  /** Late-vs-ontime accounting: events whose ts lags the running
+    * high-water mark (max ts over all events that ARRIVED earlier, i.e.
+    * smaller event_id) by >10 minutes — what a watermark would drop.
+    *
+    * The high-water mark is a PREFIX MAX over arrival order. The naive
+    * form — `max(ts) OVER (ORDER BY event_id)`, no partition — moves
+    * the whole stream to ONE task. Unlike NTILE or the greedy token
+    * budget, a prefix max distributes EXACTLY, so the DECLARED path is
+    * the same two-phase scan as `pl_pack_sequences`: range-partition by
+    * event_id, one pass of per-split running maxes, then lift each
+    * split by the max of every earlier split (a |splits|-row broadcast;
+    * the only window left runs over those |splits| rows). Output is
+    * identical to the window form for any range boundaries —
+    * [[EventsSpec]] pins the equivalence row-for-row; the oracle is
+    * unchanged. */
+  private val lateEvents: Q = (s, d) => lateArrivalsScan(s, d)
+
+  private[graft] def lateArrivalsScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSplits = s.sparkContext.defaultParallelism
+    val base = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long, Long)]
+      .repartitionByRange(nSplits, col("event_id"))
+      .sortWithinPartitions("event_id")
+    // one pass per split: running max BEFORE each row (MinValue = none
+    // yet). localCheckpoint pins one sampled range-boundary assignment —
+    // same reason as the pack-sequences scan: `local` feeds both the
+    // lift table and the final probe.
+    val local = base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = Long.MinValue
+      it.map { case (typ, id, us) =>
+        val before = run
+        if (us > run) run = us
+        (typ, us, before, pid)
+      }
+    }.toDF("event_type", "us", "local_before", "split")
+      .localCheckpoint(true)
+    val lift = local.groupBy("split")
+      .agg(max(col("us")).as("split_max"))
+      .withColumn("lift", max(col("split_max")).over(
+        Window.orderBy("split").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("split", "lift")
+    local.join(broadcast(lift), Seq("split"))
+      .withColumn("seen_max_us", greatest(
+        when(col("local_before") =!= Long.MinValue, col("local_before")),
+        col("lift")))
+      .withColumn("late",
+        when(col("seen_max_us").isNotNull &&
+          col("seen_max_us") - col("us") > 600L * 1000000, 1).otherwise(0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("late")).as("n_late"))
+  }
+
+  /** The one-task global-window form — correct but serial; kept as the
+    * differential reference for [[lateArrivalsScan]]. */
+  private[graft] def lateArrivalsWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("seen_max", max(col("ts")).over(
         Window.orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, -1)))
@@ -54,7 +107,6 @@ object Events {
           unix_micros(col("seen_max")) - unix_micros(col("ts")) > 600L * 1000000, 1).otherwise(0))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("late")).as("n_late"))
-  }
 
   /** Sliding windows (1h length, 15m slide): each event lands in 4
     * windows. Spark expands this inside the window() operator; the

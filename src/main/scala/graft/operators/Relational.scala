@@ -377,6 +377,30 @@ object Relational {
         min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
   }
 
+  /** [[ntileApprox]] as a DECLARED, driver-gated query (the same
+    * promotion `pl_token_budget_approx` got): bucket boundaries are
+    * sketch-dependent, so the declared output is the deterministic
+    * context (exact customer count, bucket count) plus tolerance
+    * booleans the Spark side must earn — `sizes_within_tol` (every
+    * bucket within the approxQuantile rank-error bound of N/10) and
+    * `spans_ordered` (consecutive deciles' [lo, hi] ranges never
+    * overlap). */
+  private val q29approx: Q = (s, d) => {
+    val b = ntileApprox(s, d)
+    val flags = b.crossJoin(broadcast(b.agg(sum(col("n")).as("total"))))
+      .select(col("decile"), col("n"), col("lo"), col("hi"), col("total"),
+        (abs(col("n") - col("total") / 10.0) <= col("total") * 0.002 + 2)
+          .as("size_ok"))
+    val spans = flags.as("a")
+      .join(flags.as("b"), col("a.decile") + 1 === col("b.decile"))
+      .agg(min(col("a.hi") <= col("b.lo")).as("spans_ordered"))
+    flags.agg(
+        max(col("total")).as("n_customers"),
+        count(lit(1)).as("n_buckets"),
+        min(col("size_ok")).as("sizes_within_tol"))
+      .crossJoin(spans)
+  }
+
   /** Correlated EXISTS through the SQL path: customers with at least one
     * URGENT order that still has an open lineitem. Catalyst decorrelates
     * the EXISTS into a left-semi join — asserted in the plan spec; the
@@ -429,6 +453,7 @@ object Relational {
     "q22_unpivot" -> q22,
     "q23_corr_subquery" -> q23,
     "q29_ntile_deciles" -> q29,
+    "q29_ntile_approx" -> q29approx,
     "q30_exists_semi" -> q30,
     "q24_nation_pairs" -> q24,
     "q25_priority_months" -> q25,
@@ -535,6 +560,12 @@ object Relational {
                  NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
                FROM customer)
          GROUP BY decile""",
+    // sketch boundaries are engine-specific; the declared contract is
+    // the exact context + the tolerance booleans the Spark side earns
+    "q29_ntile_approx" ->
+      """SELECT count(*) AS n_customers, CAST(10 AS BIGINT) AS n_buckets,
+           TRUE AS sizes_within_tol, TRUE AS spans_ordered
+         FROM customer""",
     "q30_exists_semi" ->
       """SELECT c.c_custkey, c.c_mktsegment
          FROM customer c
