@@ -116,9 +116,32 @@ object Multimodal {
         col("features")(0).as("f0"), col("features")(7).as("f7"))
   }
 
+  /** Frame sampling as a declared query: every [[FrameEvery]]-th
+    * [[FrameBytes]]-byte frame of each payload, identified by its md5 —
+    * the video keyframe-sample pipeline shape (offset arithmetic,
+    * fan-out, per-frame hashing) with the codec seek stubbed as a fixed
+    * stride. Slices are BYTE offsets; the oracle replays them with
+    * char-based `substring`, valid only where the payload is
+    * single-byte-per-char — so the query RESTRICTS to such docs
+    * EXPLICITLY (`octet_length = char_length`, every doc on this
+    * corpus) rather than assuming ASCII silently. */
+  private val FrameBytes = 64
+  private val FrameEvery = 4
+  private val frameSample: Q = (s, d) => {
+    import s.implicits._
+    val asciiDocs = Tables.documents(s, d)
+      .where(expr("length(CAST(text AS BINARY)) = length(text)"))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
+      .as[MediaRow]
+    sampleFrames(asciiDocs, FrameBytes, FrameEvery)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata" -> metadata,
     "mm_features" -> features,
+    "mm_frame_sample" -> frameSample,
   )
 
   val oracle: Map[String, String] = Map(
@@ -148,5 +171,16 @@ object Multimodal {
           ${lane(7)} AS f7
           FROM documents"""
     },
+    // char-based substring replays the byte slices because the query
+    // restricts to single-byte-per-char payloads; range() is
+    // exclusive-end with stride, exactly `0 until n by every`
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, frame_no,
+            md5(substring(text, frame_no * $FrameBytes + 1, $FrameBytes)) AS frame_md5
+          FROM (SELECT doc_id, text,
+                  unnest(range(0, octet_length(encode(text)) // $FrameBytes,
+                               $FrameEvery)) AS frame_no
+                FROM documents
+                WHERE octet_length(encode(text)) = length(text))""",
   )
 }
