@@ -44,14 +44,22 @@ object Bench {
     // drop every resident storage block: cached plans + (local)checkpoint
     // blocks are never shared across reps (each rep re-plans from the
     // loader), so this only stops them accumulating across 95 queries
+    // blocking=true: async removal runs on block-manager threads and can
+    // execute DURING the next timed rep (the round-5 q22_unpivot rep
+    // spread 0.68/2.98/4.09 s had exactly that signature); synchronous
+    // removal costs milliseconds OUTSIDE the timed region and makes reps
+    // independent
     def dropBlocks(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // SPARK_GRAFT_ONLY=<substring> restricts the run for single-query
-    // diagnosis; unset (the driver's case) runs everything
+    // diagnosis; unset (the driver's case) runs everything.
+    // SPARK_GRAFT_KEEP_BLOCKS=1 skips per-rep block hygiene — the A/B
+    // switch for attributing cold-state vs plan regressions.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val keepBlocks = sys.env.get("SPARK_GRAFT_KEEP_BLOCKS").contains("1")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
     // warm-up: touch every table once (footer reads, codegen of one query)
@@ -66,7 +74,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        dropBlocks()
+        if (!keepBlocks) dropBlocks()
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       (name, times.sorted, gcSecs - gc0)

@@ -250,11 +250,25 @@ object Dedup {
     * clusters are near-cliques — 2-3 rounds in practice). */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sc = pairs.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val edges = pairs.toDF("doc_a", "doc_b")
       .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(true)
+    // RESIDENT-STATE DISCIPLINE: each round's eager localCheckpoint pins
+    // storage blocks. Once round N's checkpoint has materialized, round
+    // N-1's blocks back no live plan — drop them, or resident state grows
+    // O(rounds × |labels|) for the query's lifetime (the exact block-
+    // residency mechanism that poisoned the round-4 bench). The edges
+    // checkpoint and the FINAL labels round stay resident by design: the
+    // loop reads edges every round and the returned plan reads the last
+    // checkpoint. Tracking is by persistent-RDD id delta around each
+    // checkpoint call — the Dataset API gives no handle to the
+    // checkpoint's backing RDD.
+    val preLabels = persistedIds
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    var prevRound: Set[Int] = persistedIds -- preLabels
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -267,14 +281,19 @@ object Dedup {
           least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
             .as("label"))
       // pointer jump: follow one hop through the label's own label
+      val preCp = persistedIds
       val jumped = stepped
         .join(stepped.select(col("id").as("p_id"), col("label").as("p_label")),
           stepped("label") === col("p_id"), "left")
         .select(col("id"), col("old_label"),
           least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
         .localCheckpoint(true)
+      val thisRound = persistedIds -- preCp
       converged = jumped.where(col("label") < col("old_label")).isEmpty
       labels = jumped.select("id", "label")
+      prevRound.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+      prevRound = thisRound
       iter += 1
     }
     labels.toDF("doc_id", "component_id")

@@ -76,6 +76,76 @@ object Pipeline {
       .select("doc_id", "fp", "n_copies")
   }
 
+  /** Bloom fast path for [[crossDedup]] — the documented "same plan one
+    * step cheaper". Build a bloom filter over the corpus hashes
+    * (`DataFrameStatFunctions.bloomFilter`: executor-side treeAggregate,
+    * driver holds only the merged bit array — bounded by (expected, fpp),
+    * not by corpus size), broadcast it, and probe the batch map-side:
+    * a miss proves the hash is NOWHERE in the corpus, so the doc
+    * survives without touching the join; only bloom HITS (true dups +
+    * ~fpp false positives) reach the exact anti-join, which re-checks
+    * them. False positives therefore cost join work, never answers —
+    * the OUTPUT is bit-identical to [[crossDedup]] for any fpp, which is
+    * why this is a DECLARED query sharing the exact form's oracle SQL.
+    *
+    * 100 TB shape: the incremental-crawl batch shuffles only its bloom
+    * hits instead of every row, and the corpus side of the anti-join
+    * prunes to hashes the hits could match. The probe broadcast is
+    * O(expected·log(1/fpp)) bits regardless of corpus size. The probe
+    * sits in `mapPartitions` (per-partition shared probe state is the
+    * point); the bloom build is the one documented driver-side sketch
+    * materialization, same family as `approxQuantile`. */
+  /** The filter is keyed on `xxhash64(fp)`, not the hex string:
+    * `stat.bloomFilter` accepts integral keys (it casts other types),
+    * and a 64-bit rehash collision is just one more false positive for
+    * the exact re-check to discard — it can never change the answer. */
+  private def corpusBloom(s: SparkSession, d: String, fpp: Double) = {
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+        xxhash64(md5(col("text").cast("binary"))).as("k"))
+    val corpus = h.where(col("doc_id") % 5 =!= 4)
+    // expected-items bound from the parquet row count (metadata-only,
+    // no scan); overestimates the corpus side by the batch share, which
+    // only drives the actual fpp below the target
+    val expected = math.max(1L, Tables.documents(s, d).count())
+    val bloom = corpus.select("k").stat.bloomFilter("k", expected, fpp)
+    (h, corpus.select("fp"), s.sparkContext.broadcast(bloom))
+  }
+
+  private[graft] def crossDedupBloom(s: SparkSession, d: String,
+      fpp: Double = 0.01): DataFrame = {
+    import s.implicits._
+    val (h, corpus, bc) = corpusBloom(s, d, fpp)
+    val batch = h.where(col("doc_id") % 5 === 4).as[(Long, String, Long)]
+    def probe(keep: Boolean) = batch.mapPartitions { it =>
+      val f = bc.value
+      it.filter(r => f.mightContainLong(r._3) == keep)
+    }.toDF("doc_id", "fp", "k").drop("k")
+    val definitelyNew = probe(keep = false)
+    // a USING join moves the key column first — re-order before the
+    // positional union or doc_id/fp swap places in the right branch
+    val verified = probe(keep = true)
+      .join(corpus.distinct(), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    definitelyNew.union(verified)
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "fp", "n_copies")
+  }
+
+  /** How many batch rows the bloom probe routes to the anti-join — the
+    * observable the differential spec bounds (true dups + ≈fpp·|batch|
+    * false positives). */
+  private[graft] def crossDedupBloomHits(s: SparkSession, d: String,
+      fpp: Double = 0.01): Long = {
+    import s.implicits._
+    val (h, _, bc) = corpusBloom(s, d, fpp)
+    h.where(col("doc_id") % 5 === 4).as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val f = bc.value; it.filter(r => f.mightContainLong(r._3)) }
+      .count()
+  }
+
   /** Sequence packing: assign each doc its (sequence id, offset) in a
     * stream of fixed [[SeqLen]]-token training windows, concatenating
     * docs in doc_id order within each language. The running token count
@@ -379,6 +449,7 @@ object Pipeline {
     "pl_token_budget_approx" -> tokenBudgetApproxQ,
     "pl_contamination" -> contamination,
     "pl_cross_dedup" -> crossDedup,
+    "pl_cross_dedup_bloom" -> ((s, d) => crossDedupBloom(s, d)),
     "pl_pack_sequences" -> packSequences,
     "pl_vocab_oov" -> vocabOov,
     "pl_mix_weights" -> mixWeights,
@@ -411,6 +482,15 @@ object Pipeline {
           FROM corpus JOIN bench USING (shingle)
           GROUP BY doc_id, n_grams""",
     "pl_cross_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
+          batch AS (SELECT * FROM h WHERE doc_id % 5 = 4
+                    AND fp NOT IN (SELECT fp FROM h WHERE doc_id % 5 <> 4))
+          SELECT min(doc_id) AS doc_id, fp, count(*) AS n_copies
+          FROM batch GROUP BY fp""",
+    // the bloom path re-checks every bloom hit with the exact anti-join,
+    // so false positives never change the answer — same oracle as the
+    // exact form, any fpp
+    "pl_cross_dedup_bloom" ->
       """WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
           batch AS (SELECT * FROM h WHERE doc_id % 5 = 4
                     AND fp NOT IN (SELECT fp FROM h WHERE doc_id % 5 <> 4))

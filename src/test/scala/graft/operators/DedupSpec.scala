@@ -56,11 +56,20 @@ class DedupSpec extends SparkSpec {
     // propagation (120 rounds); pointer jumping must finish inside the
     // 50-round backstop, i.e. in O(log n)
     val chain = (1L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val residentBefore = spark.sparkContext.getPersistentRDDs.size
     val out = Dedup.connectedComponents(chain)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.length == 120)
     assert(out.forall(_._2 == 1L), "every chain node labels to the min id")
     assert(out.forall(_._3 == 120L))
+    // resident state must be O(1) in rounds: a length-120 chain takes
+    // multiple pointer-jumping rounds, but only the edges checkpoint and
+    // the FINAL round's labels may stay resident — superseded rounds are
+    // unpersisted as soon as their successor materializes
+    val residentAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(residentAfter - residentBefore <= 2,
+      s"expected <= 2 resident checkpoints (edges + final labels), " +
+        s"got ${residentAfter - residentBefore} extra")
     // two disjoint cliques stay distinct components
     val two = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L)))
       .toDF("doc_a", "doc_b")

@@ -67,6 +67,25 @@ class PipelineSpec extends SparkSpec {
     assert(surviving.where(col("doc_id") % 5 =!= 4).count() === 0)
   }
 
+  test("cross_dedup bloom path: identical answer, join traffic bounded by dups + fpp") {
+    val exact = Pipeline.queries("pl_cross_dedup")(spark, sfDir)
+    val bloom = Pipeline.crossDedupBloom(spark, sfDir, fpp = 0.01)
+    // false positives are re-checked by the exact anti-join, so the two
+    // paths must agree row-for-row at ANY fpp
+    assert(bloom.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(bloom).count() === 0)
+    // the fast path's point: rows routed to the anti-join = true dups +
+    // false positives, the latter bounded by ≈fpp·|batch| (generous 5×
+    // slack keeps the assertion sharp but not flaky across sketch seeds)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val batchSize = docs.where(col("doc_id") % 5 === 4).count()
+    val trueDups = batchSize - exact.agg(sum("n_copies")).head.getLong(0)
+    val hits = Pipeline.crossDedupBloomHits(spark, sfDir, fpp = 0.01)
+    assert(hits >= trueDups, "bloom must never miss a true duplicate")
+    assert(hits - trueDups <= math.max(5, (0.05 * batchSize).toLong),
+      s"false positives ${hits - trueDups} exceed the fpp bound on batch of $batchSize")
+  }
+
   test("contamination: shares lie in (0, 1] and benchmark docs never appear") {
     val df = Pipeline.queries("pl_contamination")(spark, sfDir).cache()
     assert(df.where(col("doc_id") % 20 === 0).count() === 0)
