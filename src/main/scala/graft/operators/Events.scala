@@ -121,8 +121,13 @@ object Events {
     * stage k only through the earliest event of each prior stage — the
     * sequential-pattern query behind product funnels, distinct from
     * windows/sessions (order constraints across event types, not time
-    * buckets). Three aggregations all keyed on user_id: one shuffle
-    * partitioning reused by every stage join, no re-exchange. */
+    * buckets). All stage aggregations key on user_id; the AQE-final plan
+    * holds at ≤6 exchanges — one per stage branch + the distinct-user
+    * spine + one SMJ alignment + the 4-row final stage count — with the
+    * view-stage aggregate computed ONCE and wired to both later stages
+    * via ReusedExchange, and the post-agg stage tables broadcast into
+    * the spine joins (they are ≪ events at any scale). [[EventsSpec]]
+    * pins the exchange budget and the reuse. */
   private val funnel: Q = (s, d) => {
     val e = Tables.events(s, d).select("user_id", "event_type", "ts")
     val v = e.where(col("event_type") === "view")

@@ -302,8 +302,10 @@ object Pipeline {
 
   /** Bounded min-k selector: keeps the [[SourceCap]] smallest
     * (priority, doc_id) pairs per group in one ordered buffer. Insert is
-    * O(cap) with early exit, merge folds one buffer into the other — the
-    * commutative-monoid contract Spark needs for map-side partials. */
+    * an O(log cap) binary search + ONE bounded array copy (early exit
+    * when the candidate can't place), merge folds one buffer into the
+    * other — the commutative-monoid contract Spark needs for map-side
+    * partials. Per-row work stays flat however large caps grow. */
   class BottomKAgg(k: Int)
       extends Aggregator[(String, Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
     override def zero: Seq[(Long, Long)] = Seq.empty
@@ -312,9 +314,21 @@ object Pipeline {
     private def insert(b: Seq[(Long, Long)], e: (Long, Long)): Seq[(Long, Long)] =
       if (b.length >= k && !before(e, b.last)) b
       else {
-        val i = b.indexWhere(x => before(e, x))
-        val nb = if (i < 0) b :+ e else (b.take(i) :+ e) ++ b.drop(i)
-        if (nb.length > k) nb.take(k) else nb
+        val arr = b.toArray
+        var lo = 0
+        var hi = arr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (before(e, arr(mid))) hi = mid else lo = mid + 1
+        }
+        // lo = insertion point; it is < k here (the early exit handled
+        // the full-buffer, sorts-last case)
+        val n = math.min(arr.length + 1, k)
+        val out = new Array[(Long, Long)](n)
+        System.arraycopy(arr, 0, out, 0, lo)
+        out(lo) = e
+        if (lo + 1 < n) System.arraycopy(arr, lo, out, lo + 1, n - lo - 1)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
       }
     override def reduce(b: Seq[(Long, Long)], a: (String, Long, Long)): Seq[(Long, Long)] =
       insert(b, (a._3, a._2))

@@ -27,6 +27,24 @@ class EventsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("funnel: exchange budget holds and the view aggregate is computed once") {
+    val df = Events.queries("ev_funnel")(spark, sfDir)
+    df.collect()
+    // count exchanges in the AQE-FINAL plan only (toString appends the
+    // pre-adaptive "Initial Plan" section, which double-counts)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    // the budget: one user_id shuffle per stage aggregation (view/click/
+    // purchase), one for the distinct-user spine, at most one SMJ
+    // re-alignment, one tiny final stage-count — 6. A regression to
+    // per-join re-exchanges (no partitioning reuse) lands well above.
+    assert(shuffles <= 6, s"ev_funnel shuffle-exchange budget blown ($shuffles):\n$p")
+    // the view-stage min(ts) aggregate must be COMPUTED once and reused
+    // by the later stages, not re-derived per consumer
+    assert(p.contains("ReusedExchange"), s"expected view-agg exchange reuse:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("ntile approx declared query: earns its tolerance booleans") {
     val row = Relational.queries("q29_ntile_approx")(spark, sfDir).head()
     assert(row.getAs[Boolean]("sizes_within_tol"))

@@ -99,6 +99,88 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(batch == streamed, s"batch=$batch stream=$streamed")
   }
 
+  test("streaming near-dedup state survives kill/restart (dup across restart stays dropped)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-neardedup")
+    val src = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(src).mkdirs()
+    val schema = implicitly[org.apache.spark.sql.Encoder[StreamDoc]].schema
+    def doc(id: Long, t: String, text: String) =
+      StreamDoc(id, java.sql.Timestamp.valueOf(t), text)
+    def write(rows: Seq[StreamDoc]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = DedupStreams.nearDedup(
+          spark.readStream.schema(schema).parquet(src).as[StreamDoc])
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    // phase 1: two distinct texts + one near-dup (token repetition
+    // collapses to the same simhash signature)
+    write(Seq(doc(1, "2024-01-01 10:00:00", "alpha beta gamma delta"),
+              doc(2, "2024-01-01 10:01:00", "epsilon zeta eta theta"),
+              doc(3, "2024-01-01 10:02:00", "alpha beta gamma delta alpha")))
+    run()
+    // phase 2 (restarted from checkpoint): a near-dup of doc 1 INSIDE
+    // the horizon — only the checkpointed state knows signature(doc 1)
+    // was seen, the event itself is never replayed. If recovery lost
+    // state, doc 4 would be emitted. Doc 5 is genuinely new.
+    write(Seq(doc(4, "2024-01-01 10:03:00", "delta gamma beta alpha"),
+              doc(5, "2024-01-01 10:04:00", "iota kappa lambda mu")))
+    run()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L), s"kept=$kept")
+    // batch parity: the sink holds exactly one representative per
+    // distinct signature over everything ingested across both
+    // incarnations
+    val batchSigs = spark.read.schema(schema).parquet(src).as[StreamDoc]
+      .collect().map(d => DedupStreams.simhash60(d.text)).toSet
+    val streamSigs = spark.read.parquet(out).select("simhash")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamSigs == batchSigs, s"stream=$streamSigs batch=$batchSigs")
+  }
+
+  test("streaming contamination filter survives kill/restart (no re-emit, flags correct)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-contam")
+    val src = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(src).mkdirs()
+    val schema = implicitly[org.apache.spark.sql.Encoder[StreamDoc]].schema
+    val bench = Seq("the quick brown", "quick brown fox").toDF("shingle")
+    def doc(id: Long, t: String, text: String) =
+      StreamDoc(id, java.sql.Timestamp.valueOf(t), text)
+    def write(rows: Seq[StreamDoc]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = DedupStreams.contaminated(
+          spark.readStream.schema(schema).parquet(src), bench)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    // phase 1: doc 1 contaminated (shares a 3-gram with the dictionary),
+    // doc 2 clean
+    write(Seq(doc(1, "2024-01-01 10:00:00", "see the quick brown fox run"),
+              doc(2, "2024-01-01 10:01:00", "completely unrelated clean text here")))
+    run()
+    // phase 2 (restart): the SAME contaminated doc re-delivered inside
+    // the horizon (source replay / duplicate crawl) — the per-doc_id
+    // dedup state must survive the restart and swallow it; doc 3 is a
+    // fresh contaminated doc and must flag
+    write(Seq(doc(1, "2024-01-01 10:02:00", "see the quick brown fox run"),
+              doc(3, "2024-01-01 10:03:00", "again the quick brown fox appears")))
+    run()
+    val flagged = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toList.sorted
+    assert(flagged == List(1L, 3L), s"flagged=$flagged")
+  }
+
   test("windowed aggregation resumes from checkpoint after restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ckpt")
