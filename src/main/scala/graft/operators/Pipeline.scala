@@ -76,6 +76,57 @@ object Pipeline {
       .select("doc_id", "fp", "n_copies")
   }
 
+  /** Duplicated-span detection — the span-level signal behind exact-
+    * substring training-data dedup (public design: Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * removes verbatim ≥50-token spans; the word-[[SpanN]]-gram form is
+    * the shuffle-friendly approximation of its suffix-array core). A
+    * doc reports how many of its distinct 8-gram spans occur in ≥2
+    * corpus docs — the score used to route docs to span-level surgery
+    * vs whole-doc dedup.
+    *
+    * 100 TB shape: two passes over the shingle stream (same shape as
+    * [[vocabOov]]): pass 1 aggregates per-shingle doc frequency
+    * map-side-partial and keeps only df≥2 survivors (tiny unless the
+    * corpus is duplicate-ridden — and then the dict IS the signal);
+    * pass 2 re-joins the survivors. The join key is the shingle string;
+    * AQE broadcasts the dict when it fits, falls back to a hash join
+    * keyed on (shingle) otherwise — never a nested loop. */
+  private val SpanN = 8
+  private val spanDupes: Q = (s, d) => {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"word_shingles(text, $SpanN)").as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_grams"),
+        explode(col("sh")).as("g"))
+    val dup = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select("g")
+    ex.join(dup, "g")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_duped"))
+      .withColumn("dup_frac", col("n_duped") / col("n_grams"))
+      .select("doc_id", "n_grams", "n_duped", "dup_frac")
+  }
+
+  /** Quality-weighted importance resampling (the public CCNet/DCLM
+    * recipe: keep probability rises with document quality, so the
+    * selected corpus upweights high-quality text without a hard
+    * cutoff). Keep probability = quality² (quality = type-token
+    * ratio), decided by a DETERMINISTIC uniform draw — the same
+    * overflow-free multiplicative hash as `adv_stratified_sample` /
+    * [[sourceCapHeap]], mapped to [0,1). Replayable: membership depends
+    * only on doc_id and text, never on partitioning or engine RNG.
+    *
+    * 100 TB shape: one narrow codegen'd scan — no shuffle, no state;
+    * the draw and the quality score are per-row expressions. */
+  private val qualitySample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("tok", expr(tokExpr))
+      .selectExpr("doc_id",
+        "size(array_distinct(tok)) / size(tok) AS quality",
+        s"CAST($sourceCapExpr AS DOUBLE) / 4294967296.0D AS u")
+      .where(col("u") < col("quality") * col("quality"))
+      .select("doc_id", "quality", "u")
+
   /** Bloom fast path for [[crossDedup]] — the documented "same plan one
     * step cheaper". Build a bloom filter over the corpus hashes
     * (`DataFrameStatFunctions.bloomFilter`: executor-side treeAggregate,
@@ -468,6 +519,8 @@ object Pipeline {
     "pl_vocab_oov" -> vocabOov,
     "pl_mix_weights" -> mixWeights,
     "pl_source_cap" -> sourceCap,
+    "pl_span_dupes" -> spanDupes,
+    "pl_quality_sample" -> qualitySample,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -570,6 +623,32 @@ object Pipeline {
             CAST(sum(len($duckTok)) AS BIGINT) AS total_tokens,
             TRUE AS mass_close, TRUE AS prefix_sound
           FROM documents""",
+    "pl_span_dupes" ->
+      s"""WITH tok AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+              list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                             ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' ||
+                             ts[i+6] || ' ' || ts[i+7]
+                             FOR i IN range(1, len(ts) - ${SpanN - 2})]) s
+            FROM tok),
+          ex AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh),
+          dup AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+                  WHERE df >= 2)
+          SELECT doc_id, n_grams, count(*) AS n_duped,
+            count(*) / n_grams AS dup_frac
+          FROM ex JOIN dup USING (g)
+          GROUP BY doc_id, n_grams""",
+    "pl_quality_sample" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              len(list_distinct($duckTok)) / len($duckTok) AS quality,
+              CAST($sourceCapExpr AS DOUBLE) / 4294967296.0 AS u
+            FROM documents)
+          SELECT doc_id, quality, u FROM t
+          WHERE u < quality * quality""",
     "pl_source_cap" ->
       s"""SELECT doc_id, source, rk FROM (
             SELECT doc_id, source,

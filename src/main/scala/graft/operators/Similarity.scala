@@ -187,6 +187,48 @@ object Similarity {
       .where(col("rnk") <= 5)
   }
 
+  // ---- Scalar-quantization scale path ------------------------------------
+
+  /** Scalar-quantized (SQ8 / int8) approximate top-5 — the embedding
+    * MEMORY scale path (public FAISS `SQ8` design): each vector is
+    * quantized per-vector to int8 codes (scale = max|v|/127,
+    * q_i = floor(v_i/scale + 0.5) — floor(x+0.5), not round(), because
+    * round-half tie semantics differ across engines), and cosine is
+    * computed entirely from EXACT int64 sums — the per-vector scale
+    * cancels in cosine, so no float accumulation appears anywhere and
+    * the score is bit-identical across engines (the norms are ≤ 64·127²
+    * ≪ 2⁵³; the final sqrt/divide is one IEEE operation per side).
+    *
+    * 100 TB shape: the quantized corpus is 4× smaller than float32
+    * (16× vs the float64 scoring form) — at serving scale the int8
+    * codes column is what you'd store and scan, and the integer dot is
+    * the SIMD-friendly kernel every public ANN library ships. Zero
+    * vectors are excluded on both sides (scale 0 has no code), queries
+    * broadcast, the corpus never shuffles. Rank fidelity vs the exact
+    * brute-force path is pinned differentially in [[SimilaritySpec]]. */
+  private val topkSq8: Q = (s, d) => {
+    val qz = vecs(s, d)
+      .where(expr("array_max(transform(v, x -> abs(x))) > 0D"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+      .withColumn("q", expr("transform(v, x -> CAST(floor(x / scale + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), col("q"))
+    val qq = qz.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    qz.join(broadcast(qq), col("vec_id") =!= col("query_id"))
+      .withColumn("dotq",
+        expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("nq",
+        expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
+      .withColumn("nqq",
+        expr("aggregate(transform(qq, x -> x * x), 0L, (a, x) -> a + x)"))
+      .withColumn("cos_q", expr(
+        "CAST(dotq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nqq AS DOUBLE)))"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_q"),
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_q").desc, col("vec_id"))).as("rnk"))
+      .where(col("rnk") <= 5)
+  }
+
   /** Per-label centroids (class prototypes — the embedding-space
     * aggregate behind nearest-centroid classification and IVF list
     * training). Output is flat (label, pos, n_vecs, centroid) rows —
@@ -220,6 +262,7 @@ object Similarity {
     "sim_cosine_pairs" -> cosinePairs,
     "sim_topk_lsh" -> topkLsh,
     "sim_topk_ivf" -> topkIvf,
+    "sim_topk_sq8" -> topkSq8,
     "sim_label_centroids" -> labelCentroids,
   )
 
@@ -320,6 +363,30 @@ object Similarity {
               ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
             FROM sc) WHERE rnk <= 5""",
+    // int64-exact quantized cosine: q, dot, and norms are integers in
+    // both engines; the one float divide at the end is a single IEEE op
+    "sim_topk_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                 FROM e),
+          qz AS (SELECT vec_id,
+                   list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+                 FROM sc WHERE scale > 0),
+          sims AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CAST(list_reduce(list_transform(list_zip(c.q, qs.q),
+                            x -> x[1] * x[2]), (p, r) -> p + r) AS DOUBLE) /
+                     (sqrt(CAST(list_reduce(list_transform(c.q, x -> x * x),
+                            (p, r) -> p + r) AS DOUBLE)) *
+                      sqrt(CAST(list_reduce(list_transform(qs.q, x -> x * x),
+                            (p, r) -> p + r) AS DOUBLE))) AS cos_q
+                   FROM qz c JOIN qz qs
+                     ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
+          SELECT query_id, neighbor_id, cos_q, rnk FROM (
+            SELECT query_id, neighbor_id, cos_q,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_q DESC, neighbor_id) AS rnk
+            FROM sims) WHERE rnk <= 5""",
     // parallel unnests zip; pos is 0-based to match posexplode
     "sim_label_centroids" ->
       """WITH x AS (

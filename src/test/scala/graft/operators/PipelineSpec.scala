@@ -155,6 +155,50 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.tokenBudgetApprox(spark, dir.toString).count() === 0)
   }
 
+  test("span_dupes: every reported span count is backed by a shingle seen in >=2 docs") {
+    val df = Pipeline.queries("pl_span_dupes")(spark, sfDir).cache()
+    assert(df.count() > 0, "corpus plants near-dups, some 8-gram span must repeat")
+    assert(df.where(col("n_duped") < 1 || col("n_duped") > col("n_grams")).count() === 0)
+    assert(df.where(col("dup_frac") <= 0 || col("dup_frac") > 1).count() === 0)
+    // exact near-dup docs (identical text) must BOTH appear with full overlap:
+    // any doc whose text is verbatim-duplicated shares every span
+    val twins = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val missed = twins.join(df, Seq("doc_id"), "left_anti")
+      // docs shorter than the span length carry no 8-gram to match
+      .join(graft.sources.Tables.documents(spark, sfDir), "doc_id")
+      .where(expr("size(filter(split(text, ' '), t -> t <> '')) >= 8"))
+    assert(missed.count() === 0, "verbatim duplicate doc missing from span report")
+    df.unpersist()
+  }
+
+  test("quality_sample: membership is exactly the deterministic draw, partition-invariant") {
+    val df = Pipeline.queries("pl_quality_sample")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // u really is the hash draw and the keep rule really is u < q^2
+    assert(df.where(col("u") >= col("quality") * col("quality")).count() === 0)
+    // replay membership on a single partition — same set (no RNG, no
+    // partition sensitivity)
+    val replay = graft.sources.Tables.documents(spark, sfDir).coalesce(1)
+      .selectExpr("doc_id",
+        "size(array_distinct(filter(split(text, ' '), t -> t <> ''))) / size(filter(split(text, ' '), t -> t <> '')) AS q",
+        "CAST(((doc_id & 1073741823) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0D AS u")
+      .where(col("u") < col("q") * col("q"))
+      .select("doc_id")
+    assert(df.select("doc_id").exceptAll(replay).count() === 0)
+    assert(replay.exceptAll(df.select("doc_id")).count() === 0)
+    // higher quality => higher keep rate (the operator's whole point):
+    // mean quality of kept docs exceeds the corpus mean
+    val keptQ = df.agg(avg("quality")).head.getDouble(0)
+    val allQ = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("size(array_distinct(filter(split(text, ' '), t -> t <> ''))) / size(filter(split(text, ' '), t -> t <> '')) AS q")
+      .agg(avg("q")).head.getDouble(0)
+    assert(keptQ > allQ, s"kept mean quality $keptQ should exceed corpus mean $allQ")
+    df.unpersist()
+  }
+
   test("mix_weights: token shares sum to 1 and weighted token mass is uniform") {
     val rows = Pipeline.queries("pl_mix_weights")(spark, sfDir).collect()
     assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)

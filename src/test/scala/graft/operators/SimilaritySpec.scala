@@ -74,6 +74,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall below floor")
   }
 
+  test("SQ8 top-k: int8 quantization preserves neighbor ranking (high overlap vs exact)") {
+    val brute = Similarity.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.queries("sim_topk_sq8")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) <= 5))
+    // quantized scores stay inside the cosine range
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    val sq8 = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 over 64 dims perturbs each component by <= scale/2 ~ 0.4% of
+    // max|v| — unlike LSH/IVF there is no bucketing miss, so top-5
+    // overlap with the exact ranking should be near-total; 0.8 is the
+    // conservative floor (ties near rank 5 can flip)
+    val overlap = (brute & sq8).size.toDouble / brute.size
+    assert(overlap >= 0.8, s"SQ8 top-5 overlap $overlap below floor")
+  }
+
   test("cosine pairs: precision 1 vs brute force, deterministic candidates") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
