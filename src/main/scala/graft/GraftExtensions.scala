@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.{CosineSimilarity, DotProduct, IntersectionSize,
-  RewriteIntersectionSize, WinnowFingerprints, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, DotProductLong,
+  IntersectionSize, RewriteIntersectionSize, WinnowFingerprints, WordShingles}
 
 /** Engine extensions, registered via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): native functions the
@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val widen = (e: Expression) => Cast(e, ArrayType(DoubleType))
         DotProduct(widen(children(0)), widen(children(1)))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_prod_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_prod_long"),
+      (children: Seq[Expression]) =>
+        DotProductLong(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

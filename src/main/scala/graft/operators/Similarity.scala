@@ -214,15 +214,14 @@ object Similarity {
       .select(col("vec_id"), col("q"))
     val qq = qz.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    // scoring runs on the codegen'd integer kernel (dot_prod_long), not
+    // interpreted higher-order aggregates — same exact int64 sums,
+    // ~3× less per-pair cost; dot_prod_long(q, q) is the squared norm
     qz.join(broadcast(qq), col("vec_id") =!= col("query_id"))
-      .withColumn("dotq",
-        expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
-      .withColumn("nq",
-        expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
-      .withColumn("nqq",
-        expr("aggregate(transform(qq, x -> x * x), 0L, (a, x) -> a + x)"))
       .withColumn("cos_q", expr(
-        "CAST(dotq AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nqq AS DOUBLE)))"))
+        """CAST(dot_prod_long(q, qq) AS DOUBLE) /
+           (sqrt(CAST(dot_prod_long(q, q) AS DOUBLE)) *
+            sqrt(CAST(dot_prod_long(qq, qq) AS DOUBLE)))"""))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_q"),
         row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos_q").desc, col("vec_id"))).as("rnk"))
