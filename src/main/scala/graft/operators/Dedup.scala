@@ -252,9 +252,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sc = pairs.sparkSession.sparkContext
     def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // pre-partition edges on the join key BEFORE checkpointing:
+    // localCheckpoint pins the physical partitioning into the LogicalRDD,
+    // so every round's edges⋈labels join reuses it and only the (smaller)
+    // labels side shuffles — without this the full edge table re-exchanges
+    // once per round
     val edges = pairs.toDF("doc_a", "doc_b")
       .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
     // RESIDENT-STATE DISCIPLINE: each round's eager localCheckpoint pins
     // storage blocks. Once round N's checkpoint has materialized, round
     // N-1's blocks back no live plan — drop them, or resident state grows
