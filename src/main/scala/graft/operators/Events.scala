@@ -149,15 +149,55 @@ object Events {
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Daily cohort retention: users grouped by first-active day, counted
+    * on each later day they return — the (cohort × day-offset) retention
+    * matrix behind every product-analytics dashboard. Offsets are day
+    * differences of DATEs (UTC session), so the matrix is
+    * calendar-stable however timestamps cluster inside a day.
+    *
+    * 100 TB shape: one (user_id, day) distinct (shuffle carries 12-byte
+    * rows, map-side partial), the per-user min reuses that partitioning
+    * prefix, the cohort join is user_id-keyed, and the final matrix is
+    * |days|² rows — tiny at any scale. (user_id, day) pairs are unique
+    * after the distinct and a user has one cohort, so the final count
+    * needs no count-distinct state. */
+  private val retention: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(
+        // ISO string, not DateType: engines agree on the VALUE but
+        // driver-side dataframe readers widen DATE differently
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select("cohort_day", "day_offset", "n_users")
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling_1h" -> tumbling,
     "ev_sliding_1h_15m" -> sliding,
     "ev_sessions" -> sessions,
     "ev_late_arrivals" -> lateEvents,
     "ev_funnel" -> funnel,
+    "ev_retention" -> retention,
   )
 
   val oracle: Map[String, String] = Map(
+    // DATE truncation is tz-free in DuckDB; the Spark session pins UTC so
+    // to_date lands on the same calendar day
+    "ev_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         cohort AS (
+           SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           count(*) AS n_users
+         FROM days JOIN cohort USING (user_id)
+         GROUP BY 1, 2""",
     "ev_funnel" ->
       """WITH v AS (
            SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -45,6 +45,27 @@ class EventsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("retention: offsets non-negative, day-0 equals cohort size and bounds later days") {
+    import org.apache.spark.sql.functions._
+    val df = Events.queries("ev_retention")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.where(col("day_offset") < 0).count() === 0)
+    // every cohort reports its own formation day (offset 0 exists)...
+    val day0 = df.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    assert(day0.count() === df.select("cohort_day").distinct().count())
+    // ...and no later day exceeds the cohort's size
+    val over = df.join(day0, "cohort_day")
+      .where(col("n_users") > col("cohort_size"))
+    assert(over.count() === 0)
+    // cohort sizes partition the user base: sum = distinct users overall
+    val total = day0.agg(sum("cohort_size")).head.getLong(0)
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(total === users)
+    df.unpersist()
+  }
+
   test("ntile approx declared query: earns its tolerance booleans") {
     val row = Relational.queries("q29_ntile_approx")(spark, sfDir).head()
     assert(row.getAs[Boolean]("sizes_within_tol"))
