@@ -229,6 +229,59 @@ object Dedup {
     jaccardVerify(cand, s, d)
   }
 
+  /** Overlap-coefficient (containment) near-dup pairs at c ≥ 0.9, where
+    * c = |A∩B| / min(|A|,|B|) — the ASYMMETRIC dedup Jaccard misses: a
+    * short doc fully quoted inside a long one has c = 1 but Jaccard
+    * |A|/|B| ≈ 0, so [[ngramJaccard]]'s size-ratio pruning (correctly)
+    * never pairs them. Declared semantics: ALL pairs with c ≥ τ — no
+    * candidate contract in the output, because the filter below is
+    * COMPLETE.
+    *
+    * Candidate generation is the asymmetric prefix principle (the
+    * overlap-join form of PPJoin's lemma): with |A| ≤ |B|, c ≥ τ needs
+    * |A∩B| ≥ ⌈τ·|A|⌉, so A must share a shingle within its first
+    * |A| − ⌈τ·|A|⌉ + 1 shingles under the global rarest-first order —
+    * index only the SMALLER side's prefix (~(1−τ)·|A| shingles), probe
+    * the larger side's FULL list. Hot boilerplate shingles rarely enter
+    * any prefix (they sort last), so per-shingle fan-out is
+    * prefix_df · full_df, near-linear in true duplications — the same
+    * reason [[ngramJaccard]] scales, adapted to the one-sided bound.
+    * Exact verification keeps precision 1. */
+  private val ContainTau = 0.9
+  private val containment: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleSets(s, d)
+      .where(col("set_size") > 0)
+      .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(freq, "shingle")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .where(col("r") <= col("set_size") - ceil(col("set_size") * ContainTau) + 1)
+      .select(col("doc_id"), col("set_size"), col("shingle"))
+    // prefix side must be the smaller set; equal sizes keep both
+    // orientations (either prefix certifies the pair), normalized below
+    val cand = prefix.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        (col("a.set_size") < col("b.set_size") ||
+          (col("a.set_size") === col("b.set_size") &&
+           col("a.doc_id") =!= col("b.doc_id"))))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val sets = shingleSets(s, d)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("set_size").as("size_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("set_size").as("size_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        col("n_common") / least(col("size_a"), col("size_b")))
+      .where(col("containment") >= ContainTau)
+      .select("doc_a", "doc_b", "n_common", "containment")
+  }
+
   /** Connected components over an undirected pair list — min-label
     * propagation accelerated with pointer jumping:
     *
@@ -332,6 +385,7 @@ object Dedup {
     "dd_minhash_lsh" -> minhashLsh,
     "dd_simhash" -> simhash,
     "dd_winnow" -> winnowDedup,
+    "dd_containment" -> containment,
     "dd_components" -> components,
     "dd_dedup_corpus" -> dedupedCorpus,
   )
@@ -438,6 +492,17 @@ object Dedup {
     // restricted to fingerprints with df ≤ WinnowDfCap, then the exact
     // Jaccard verify — bit-identical declared semantics on both sides.
     "dd_winnow" -> duckWinnowPairs,
+    // containment semantics are candidate-free (the prefix filter is
+    // complete), so the oracle brute-forces all pairs like the jaccard one
+    "dd_containment" ->
+      s"""$duckShingles
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s)) AS n_common,
+           len(list_intersect(a.s, b.s)) / LEAST(len(a.s), len(b.s))
+             AS containment
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(a.s) > 0 AND len(b.s) > 0
+           AND len(list_intersect(a.s, b.s)) / LEAST(len(a.s), len(b.s)) >= 0.9""",
     // transitive closure over the same ground-truth pairs: min reachable
     // id per node = the component representative
     "dd_components" ->

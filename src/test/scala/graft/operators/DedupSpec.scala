@@ -78,6 +78,48 @@ class DedupSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("containment: complete vs local brute force; catches subset-dups jaccard misses") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(' ').filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val ids = sets.keys.toSeq.sorted
+    // brute-force ground truth: the declared semantics carry NO candidate
+    // contract (the asymmetric prefix filter must be complete)
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      (a, b) = (ids(i), ids(j))
+      minSz = math.min(sets(a).size, sets(b).size)
+      if minSz > 0
+      inter = (sets(a) & sets(b)).size
+      if inter.toDouble / minSz >= 0.9
+    } yield (a, b, inter)).toSet
+    val got = Dedup.queries("dd_containment")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus plants near-dups; containment must find them")
+  }
+
+  test("containment: a short doc quoted inside a long one is caught (jaccard can't)") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"            // 4 shingles
+    val long = short + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain")
+    Seq((1L, short, "en", "s", short.length.toLong),
+        (2L, long, "en", "s", long.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.queries("dd_containment")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), got.mkString(","))
+    val jac = Dedup.queries("dd_ngram_jaccard")(spark, dir.toString).count()
+    assert(jac === 0, "jaccard at 0.8 must not pair a 6-word doc with a 66-word doc")
+  }
+
   test("minhash LSH pairs equal exact ngram-jaccard pairs on driver corpus") {
     val exact = Dedup.queries("dd_ngram_jaccard")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
