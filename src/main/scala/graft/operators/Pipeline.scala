@@ -127,6 +127,40 @@ object Pipeline {
       .where(col("u") < col("quality") * col("quality"))
       .select("doc_id", "quality", "u")
 
+  /** One-row corpus health report — the summary a curation run reads
+    * before deciding what to do next, composing the suite's signals:
+    * exact-dup rate, span-duplication and contamination counts, token
+    * mass, mean quality, diversity counts. Every column is deterministic:
+    * counts are exact, the one floating aggregate (mean quality) uses
+    * the same order-free fixed-point micro-unit trick as
+    * `sim_label_centroids` (floor(q·10⁶) int sums, one final divide).
+    *
+    * 100 TB shape: four independent aggregates (each narrow or
+    * single-shuffle — the span/contamination legs reuse those operators'
+    * scale shapes) cross-joined as 1-row broadcasts. */
+  private val corpusReport: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_unique_texts"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val toks = docs.withColumn("tok", expr(tokExpr))
+      .selectExpr("size(tok) AS n",
+        "size(array_distinct(tok)) / size(tok) AS q")
+      .agg(sum(col("n")).cast("long").as("total_tokens"),
+        sum(expr("CAST(floor(q * 1000000) AS BIGINT)")).as("q_micros"))
+    val spanDocs = spanDupes(s, d).agg(count(lit(1)).as("n_span_dup_docs"))
+    val contam = contamination(s, d).agg(count(lit(1)).as("n_contaminated"))
+    base.crossJoin(broadcast(toks)).crossJoin(broadcast(spanDocs))
+      .crossJoin(broadcast(contam))
+      .selectExpr("n_docs", "n_unique_texts",
+        "CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs AS exact_dup_rate",
+        "n_span_dup_docs", "n_contaminated", "total_tokens",
+        "CAST(q_micros AS DOUBLE) / (n_docs * 1000000) AS mean_quality",
+        "n_langs", "n_sources")
+  }
+
   /** Bloom fast path for [[crossDedup]] — the documented "same plan one
     * step cheaper". Build a bloom filter over the corpus hashes
     * (`DataFrameStatFunctions.bloomFilter`: executor-side treeAggregate,
@@ -521,6 +555,7 @@ object Pipeline {
     "pl_source_cap" -> sourceCap,
     "pl_span_dupes" -> spanDupes,
     "pl_quality_sample" -> qualitySample,
+    "pl_corpus_report" -> corpusReport,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -536,18 +571,39 @@ object Pipeline {
                           FOR i IN range(1, len(ts) - 1)]) s
          FROM tok)"""
 
+  private val contaminationSql =
+    s"""$duckShingles,
+        bench AS (
+          SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+        corpus AS (
+          SELECT doc_id, len(s) AS n_grams, unnest(s) AS shingle
+          FROM sh WHERE doc_id % 20 <> 0)
+        SELECT doc_id, n_grams, count(*) AS n_shared,
+          count(*) / n_grams AS contamination
+        FROM corpus JOIN bench USING (shingle)
+        GROUP BY doc_id, n_grams"""
+
+  private val spanDupesSql =
+    s"""WITH tok AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                           ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' ||
+                           ts[i+6] || ' ' || ts[i+7]
+                           FOR i IN range(1, len(ts) - ${SpanN - 2})]) s
+          FROM tok),
+        ex AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh),
+        dup AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+                WHERE df >= 2)
+        SELECT doc_id, n_grams, count(*) AS n_duped,
+          count(*) / n_grams AS dup_frac
+        FROM ex JOIN dup USING (g)
+        GROUP BY doc_id, n_grams"""
+
   val oracle: Map[String, String] = Map(
-    "pl_contamination" ->
-      s"""$duckShingles,
-          bench AS (
-            SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
-          corpus AS (
-            SELECT doc_id, len(s) AS n_grams, unnest(s) AS shingle
-            FROM sh WHERE doc_id % 20 <> 0)
-          SELECT doc_id, n_grams, count(*) AS n_shared,
-            count(*) / n_grams AS contamination
-          FROM corpus JOIN bench USING (shingle)
-          GROUP BY doc_id, n_grams""",
+    "pl_contamination" -> contaminationSql,
     "pl_cross_dedup" ->
       """WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),
           batch AS (SELECT * FROM h WHERE doc_id % 5 = 4
@@ -623,24 +679,7 @@ object Pipeline {
             CAST(sum(len($duckTok)) AS BIGINT) AS total_tokens,
             TRUE AS mass_close, TRUE AS prefix_sound
           FROM documents""",
-    "pl_span_dupes" ->
-      s"""WITH tok AS (
-            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
-            FROM documents),
-          sh AS (
-            SELECT doc_id,
-              list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
-                             ts[i+3] || ' ' || ts[i+4] || ' ' || ts[i+5] || ' ' ||
-                             ts[i+6] || ' ' || ts[i+7]
-                             FOR i IN range(1, len(ts) - ${SpanN - 2})]) s
-            FROM tok),
-          ex AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh),
-          dup AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
-                  WHERE df >= 2)
-          SELECT doc_id, n_grams, count(*) AS n_duped,
-            count(*) / n_grams AS dup_frac
-          FROM ex JOIN dup USING (g)
-          GROUP BY doc_id, n_grams""",
+    "pl_span_dupes" -> spanDupesSql,
     "pl_quality_sample" ->
       s"""WITH t AS (
             SELECT doc_id,
@@ -649,6 +688,30 @@ object Pipeline {
             FROM documents)
           SELECT doc_id, quality, u FROM t
           WHERE u < quality * quality""",
+    // the span/contamination legs embed those queries' own oracle SQL as
+    // derived tables, so the report can never drift from its parts
+    "pl_corpus_report" ->
+      s"""WITH base AS (
+            SELECT count(*) AS n_docs,
+              count(DISTINCT md5(text)) AS n_unique_texts,
+              count(DISTINCT lang) AS n_langs,
+              count(DISTINCT source) AS n_sources
+            FROM documents),
+          tk AS (
+            SELECT CAST(sum(len(tok)) AS BIGINT) AS total_tokens,
+              CAST(sum(CAST(floor(len(list_distinct(tok)) / len(tok) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS q_micros
+            FROM (SELECT $duckTok AS tok FROM documents)),
+          span AS (SELECT count(*) AS n_span_dup_docs FROM (
+            $spanDupesSql)),
+          contam AS (SELECT count(*) AS n_contaminated FROM (
+            $contaminationSql))
+          SELECT n_docs, n_unique_texts,
+            CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs AS exact_dup_rate,
+            n_span_dup_docs, n_contaminated, total_tokens,
+            CAST(q_micros AS DOUBLE) / (n_docs * 1000000) AS mean_quality,
+            n_langs, n_sources
+          FROM base, tk, span, contam""",
     "pl_source_cap" ->
       s"""SELECT doc_id, source, rk FROM (
             SELECT doc_id, source,

@@ -199,6 +199,23 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("corpus_report: every column agrees with the operator it summarizes") {
+    val row = Pipeline.queries("pl_corpus_report")(spark, sfDir).head()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(row.getAs[Long]("n_docs") === docs.count())
+    assert(row.getAs[Long]("n_span_dup_docs") ===
+      Pipeline.queries("pl_span_dupes")(spark, sfDir).count())
+    assert(row.getAs[Long]("n_contaminated") ===
+      Pipeline.queries("pl_contamination")(spark, sfDir).count())
+    val uniq = docs.select(org.apache.spark.sql.functions.md5(
+      col("text").cast("binary"))).distinct().count()
+    assert(row.getAs[Long]("n_unique_texts") === uniq)
+    val rate = row.getAs[Double]("exact_dup_rate")
+    assert(rate >= 0.0 && rate < 1.0)
+    assert(row.getAs[Double]("mean_quality") > 0.0)
+    assert(row.getAs[Double]("mean_quality") <= 1.0)
+  }
+
   test("mix_weights: token shares sum to 1 and weighted token mass is uniform") {
     val rows = Pipeline.queries("pl_mix_weights")(spark, sfDir).collect()
     assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
