@@ -28,6 +28,12 @@ object Plans {
     "pl_pack_sequences",    // two-phase distributed scan
     "pl_source_cap",        // bounded per-group heap (map-side partials)
     "adv_salted_join",      // deterministic skew salting
+    "dd_containment",       // asymmetric prefix filter (smaller-side index)
+    "pl_cross_dedup_bloom", // broadcast bloom probe, hits-only anti join
+    "pl_span_dupes",        // two-pass shingle stream, df>=2 dictionary
+    "sim_topk_sq8",         // int8 codes + codegen'd integer dot kernel
+    "ev_retention",         // (user, day) distinct reused by cohort join
+    "ev_funnel",            // exchange-budget/reuse showcase
   )
 
   def main(args: Array[String]): Unit = {
