@@ -176,6 +176,31 @@ object Events {
       .select("cohort_day", "day_offset", "n_users")
   }
 
+  /** Gap-filled hourly counts: the dense (event_type × hour) grid over
+    * the stream's active range, with silent hours materialized as
+    * explicit zero rows — the resampling step dashboards and anomaly
+    * detectors need (a missing bucket and a zero bucket are different
+    * facts). Grid = per-type hour `sequence` between the global min/max
+    * hour; counts left-join onto it.
+    *
+    * 100 TB shape: the raw stream collapses map-side to |hours × types|
+    * rows before anything else happens; the grid is generated from a
+    * 1-row bounds aggregate crossed with the distinct types (both
+    * broadcast), so the only data-sized work is the initial partial
+    * agg — the join and explode run over post-agg cardinalities. */
+  private val gapfill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+    val counts = ev.groupBy("bucket", "event_type").agg(count(lit(1)).as("n_raw"))
+    val bounds = ev.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val grid = bounds.crossJoin(ev.select("event_type").distinct())
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+    grid.join(counts, Seq("bucket", "event_type"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n_raw"), lit(0L)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling_1h" -> tumbling,
     "ev_sliding_1h_15m" -> sliding,
@@ -183,9 +208,24 @@ object Events {
     "ev_late_arrivals" -> lateEvents,
     "ev_funnel" -> funnel,
     "ev_retention" -> retention,
+    "ev_gapfill" -> gapfill,
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_gapfill" ->
+      """WITH ev AS (
+           SELECT date_trunc('hour', ts) AS bucket, event_type FROM events),
+         counts AS (
+           SELECT bucket, event_type, count(*) AS n_raw FROM ev GROUP BY 1, 2),
+         bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev),
+         grid AS (
+           SELECT t.event_type, g.bucket
+           FROM (SELECT DISTINCT event_type FROM ev) t
+           CROSS JOIN (
+             SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+             FROM bounds) g)
+         SELECT event_type, bucket, COALESCE(n_raw, 0) AS n
+         FROM grid LEFT JOIN counts USING (bucket, event_type)""",
     // DATE truncation is tz-free in DuckDB; the Spark session pins UTC so
     // to_date lands on the same calendar day
     "ev_retention" ->

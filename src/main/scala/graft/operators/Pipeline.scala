@@ -543,6 +543,134 @@ object Pipeline {
         "max_skipped_q IS NULL OR max_skipped_q <= min_q AS prefix_sound")
   }
 
+  /** RAG / training-window chunking: split every document into
+    * overlapping token windows of [[ChunkSize]] tokens advancing by
+    * [[ChunkStride]] (the standard fixed-size-with-overlap chunker used
+    * to prepare retrieval corpora and packed training windows). Output
+    * is one row per chunk with a content fingerprint, so downstream
+    * chunk-level dedup / embedding jobs key on `chunk_fp`.
+    *
+    * 100 TB shape: purely narrow — tokenize, generate start offsets
+    * (`sequence`), explode, slice — no shuffle anywhere; parallelism is
+    * the scan's split count and output size is input × (1 + overlap
+    * fraction). The fan-out happens inside whole-stage codegen, never
+    * through an exchange. */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+  private val chunk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokExpr).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, size(ts) - 1, $ChunkStride)")).as("start"))
+      .selectExpr(
+        "doc_id",
+        s"start DIV $ChunkStride AS chunk_idx",
+        "CAST(start AS BIGINT) AS chunk_start",
+        s"CAST(size(slice(ts, start + 1, $ChunkSize)) AS BIGINT) AS n_chunk_tokens",
+        s"md5(CAST(array_join(slice(ts, start + 1, $ChunkSize), ' ') AS BINARY)) AS chunk_fp")
+
+  /** CDC snapshot diff — the incremental-ingestion primitive: given two
+    * snapshots of a mutable upstream table, classify every key as
+    * added / removed / changed / unchanged. Snapshots are derived
+    * deterministically from `customer` so the query is self-contained:
+    * the OLD snapshot lacks keys ≡3 (mod 13) (rows inserted later), the
+    * NEW snapshot lacks keys ≡5 (mod 11) (rows since deleted) and bumps
+    * `c_acctbal` by 100 on keys ≡0 (mod 7) (rows updated in place).
+    *
+    * 100 TB shape: ONE full-outer sort-merge join on the primary key —
+    * the canonical CDC plan; with both snapshots bucketed by key on
+    * disk it degrades to a zipper merge with no exchange at all. Column
+    * comparison uses null-safe equality on the raw columns (never a
+    * stringified row hash, which would be float-format-sensitive). The
+    * output is the per-class summary, so nothing wide leaves the join. */
+  private val snapshotDiff: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    val old = c.where(col("c_custkey") % 13 =!= 3).as("o")
+    val neu = c.where(col("c_custkey") % 11 =!= 5)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      .as("n")
+    old.join(neu, col("o.c_custkey") === col("n.c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o.c_custkey"), col("n.c_custkey")).as("key"),
+        when(col("o.c_custkey").isNull, "added")
+          .when(col("n.c_custkey").isNull, "removed")
+          .when(!(col("o.c_acctbal") <=> col("n.c_acctbal")) ||
+                !(col("o.c_name") <=> col("n.c_name")) ||
+                !(col("o.c_nationkey") <=> col("n.c_nationkey")), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+  }
+
+  /** Language-balanced downsampling: keep each doc with probability
+    * n_min/n_lang (n_min = size of the smallest language) via the same
+    * deterministic uniform hash as [[qualitySample]], so every language
+    * lands at ≈ the minority language's size — the rebalancing step
+    * before training on a multilingual corpus. The accept test is pure
+    * integer arithmetic (`h·n_lang < n_min·2³²`), so both engines agree
+    * exactly; at larger counts widen to 128-bit or compare against the
+    * precomputed per-lang threshold `n_min·2³²/n_lang` instead.
+    *
+    * 100 TB shape: the per-lang census is a tiny partial-agg'd rollup
+    * that BROADCASTS back onto one narrow corpus pass — no corpus
+    * shuffle; the declared output re-aggregates to the per-lang summary
+    * so the gate stays small. */
+  private val balanceSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("n_min"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minN))
+      .where(expr(s"($sourceCapExpr) * n_lang < n_min * 4294967296"))
+      .groupBy(col("lang"), col("n_lang"), col("n_min"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Column profiling — the data-quality census run before any corpus
+    * is trusted: per column, null count, exact distinct count, and
+    * min/max rendered through engine-stable formats (bigint as-is,
+    * doubles via DECIMAL(18,2), timestamps via an explicit pattern —
+    * never raw double/timestamp → string, whose formatting is
+    * engine-specific). One aggregate pass over `lineitem`, then `stack`
+    * to the long (column_name, stats) form.
+    *
+    * 100 TB shape: a single scan with partial aggregation; the exact
+    * multi-column COUNT(DISTINCT) expands the input ×4 through one
+    * shuffle, which is the documented trade for exact NDV — the scale
+    * knob is swapping `count(distinct c)` for `approx_count_distinct(c)`
+    * per column, which collapses the plan back to one narrow pass. */
+  private val profile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("ok_nulls"),
+        countDistinct(col("l_orderkey")).as("ok_ndv"),
+        min(col("l_orderkey")).cast("string").as("ok_min"),
+        max(col("l_orderkey")).cast("string").as("ok_max"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+        countDistinct(col("l_quantity")).as("qty_ndv"),
+        min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("qty_min"),
+        max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("qty_max"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("rf_nulls"),
+        countDistinct(col("l_returnflag")).as("rf_ndv"),
+        min(col("l_returnflag")).as("rf_min"),
+        max(col("l_returnflag")).as("rf_max"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("sd_nulls"),
+        countDistinct(col("l_shipdate")).as("sd_ndv"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("sd_min"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("sd_max"))
+      .selectExpr(
+        """stack(4,
+             'l_orderkey',  ok_nulls,  ok_ndv,  ok_min,  ok_max,
+             'l_quantity',  qty_nulls, qty_ndv, qty_min, qty_max,
+             'l_returnflag', rf_nulls, rf_ndv,  rf_min,  rf_max,
+             'l_shipdate',  sd_nulls,  sd_ndv,  sd_min,  sd_max)
+           AS (column_name, n_nulls, n_distinct, min_s, max_s)""")
+
   val queries: Map[String, Q] = Map(
     "pl_token_budget" -> tokenBudget,
     "pl_token_budget_approx" -> tokenBudgetApproxQ,
@@ -556,6 +684,10 @@ object Pipeline {
     "pl_span_dupes" -> spanDupes,
     "pl_quality_sample" -> qualitySample,
     "pl_corpus_report" -> corpusReport,
+    "pl_chunk" -> chunk,
+    "pl_snapshot_diff" -> snapshotDiff,
+    "pl_balance_sample" -> balanceSample,
+    "pl_profile" -> profile,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -680,6 +812,78 @@ object Pipeline {
             TRUE AS mass_close, TRUE AS prefix_sound
           FROM documents""",
     "pl_span_dupes" -> spanDupesSql,
+    "pl_chunk" ->
+      s"""WITH tok AS (
+            SELECT doc_id, $duckTok AS ts FROM documents),
+          st AS (
+            SELECT doc_id, ts, unnest(range(0, len(ts), $ChunkStride)) AS start
+            FROM tok WHERE len(ts) > 0)
+          SELECT doc_id,
+            start // $ChunkStride AS chunk_idx,
+            CAST(start AS BIGINT) AS chunk_start,
+            CAST(len(ts[start + 1 : start + $ChunkSize]) AS BIGINT)
+              AS n_chunk_tokens,
+            md5(array_to_string(ts[start + 1 : start + $ChunkSize], ' '))
+              AS chunk_fp
+          FROM st""",
+    "pl_snapshot_diff" ->
+      """WITH base AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+          old AS (SELECT * FROM base WHERE c_custkey % 13 <> 3),
+          new AS (
+            SELECT c_custkey, c_name, c_nationkey,
+              CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                   ELSE c_acctbal END AS c_acctbal
+            FROM base WHERE c_custkey % 11 <> 5),
+          j AS (
+            SELECT COALESCE(o.c_custkey, n.c_custkey) AS key,
+              CASE WHEN o.c_custkey IS NULL THEN 'added'
+                   WHEN n.c_custkey IS NULL THEN 'removed'
+                   WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                     OR o.c_name IS DISTINCT FROM n.c_name
+                     OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                     THEN 'changed'
+                   ELSE 'unchanged' END AS change_type
+            FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey)
+          SELECT change_type, count(*) AS n,
+            min(key) AS min_key, max(key) AS max_key
+          FROM j GROUP BY change_type""",
+    "pl_balance_sample" ->
+      s"""WITH counts AS (
+            SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+          m AS (SELECT min(n_lang) AS n_min FROM counts)
+          SELECT lang, n_lang, n_min, count(*) AS n_kept
+          FROM documents JOIN counts USING (lang) CROSS JOIN m
+          WHERE ($sourceCapExpr) * n_lang < n_min * 4294967296
+          GROUP BY lang, n_lang, n_min""",
+    "pl_profile" ->
+      """WITH a AS (
+            SELECT
+              CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_nulls,
+              count(DISTINCT l_orderkey) AS ok_ndv,
+              CAST(min(l_orderkey) AS VARCHAR) AS ok_min,
+              CAST(max(l_orderkey) AS VARCHAR) AS ok_max,
+              CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+              count(DISTINCT l_quantity) AS qty_ndv,
+              CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS qty_min,
+              CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS qty_max,
+              CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_nulls,
+              count(DISTINCT l_returnflag) AS rf_ndv,
+              min(l_returnflag) AS rf_min,
+              max(l_returnflag) AS rf_max,
+              CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sd_nulls,
+              count(DISTINCT l_shipdate) AS sd_ndv,
+              strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS sd_min,
+              strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS sd_max
+            FROM lineitem)
+          SELECT 'l_orderkey' AS column_name, ok_nulls AS n_nulls,
+            ok_ndv AS n_distinct, ok_min AS min_s, ok_max AS max_s FROM a
+          UNION ALL
+          SELECT 'l_quantity', qty_nulls, qty_ndv, qty_min, qty_max FROM a
+          UNION ALL
+          SELECT 'l_returnflag', rf_nulls, rf_ndv, rf_min, rf_max FROM a
+          UNION ALL
+          SELECT 'l_shipdate', sd_nulls, sd_ndv, sd_min, sd_max FROM a""",
     "pl_quality_sample" ->
       s"""WITH t AS (
             SELECT doc_id,

@@ -174,6 +174,36 @@ object TextAnalysis {
         array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
       .where(col("df") >= 5)
 
+  /** Bigram-typicality scoring — the language-model-perplexity-style
+    * quality filter, kept in exact integer arithmetic: per doc, how
+    * common are its word bigrams in the whole corpus? Per doc (over its
+    * DISTINCT bigrams — `word_shingles` dedups), reports the summed
+    * document frequency (`sum_df`), the count of bigrams occurring in
+    * no other doc (`n_hapax` — high = novel or garbled), and a
+    * per-bigram average in integer milli-units. A real pipeline maps
+    * these through -log downstream; the monotone integer form is
+    * declared because cross-engine libm log differs in the last ulp
+    * (same reasoning as [[tfidf]]).
+    *
+    * 100 TB shape: distinct bigrams → df rollup (partial agg) → one
+    * bigram-keyed shuffle join back onto the instances → doc-keyed
+    * re-agg. The df side is a bounded dictionary after a frequency
+    * floor; stopword-grade bigrams are the skew keys and ride the same
+    * salting discipline as every hot-key join here. */
+  private lazy val typicality: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 2)")).as("bg"))
+    val df = bg.groupBy("bg").agg(count(lit(1)).as("df"))
+    bg.join(df, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("df")).as("sum_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .selectExpr("doc_id", "n_bigrams", "CAST(sum_df AS BIGINT) AS sum_df",
+        "CAST(n_hapax AS BIGINT) AS n_hapax",
+        "(1000 * sum_df) DIV n_bigrams AS typicality_milli")
+  }
+
   val queries: Map[String, Q] = Map(
     "ta_token_stats" -> tokenStats,
     "ta_quality" -> quality,
@@ -186,6 +216,7 @@ object TextAnalysis {
     "ta_tfidf" -> tfidf,
     "ta_inverted_index" -> invertedIndex,
     "ta_bpe_tokens" -> bpeTokens,
+    "ta_typicality" -> typicality,
   )
 
   /** Repetition signal (Gopher-style quality filter): fraction of a
@@ -280,6 +311,22 @@ object TextAnalysis {
            COALESCE(a.fp_sig, md5('')) AS fp_sig
          FROM documents d LEFT JOIN agg a USING (doc_id)""",
     // bigram DOCUMENT frequency (word_shingles dedups within a doc)
+    "ta_typicality" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_distinct([ts[i] || ' ' || ts[i+1]
+                                   FOR i IN range(1, len(ts))])) AS bg
+           FROM tok),
+         df AS (SELECT bg, count(*) AS df FROM bg GROUP BY bg)
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(df) AS BIGINT) AS sum_df,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           (1000 * CAST(sum(df) AS BIGINT)) // count(*) AS typicality_milli
+         FROM bg JOIN df USING (bg)
+         GROUP BY doc_id""",
     "ta_bigrams" ->
       """WITH tok AS (
            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts

@@ -74,4 +74,26 @@ class EventsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_customers") ===
       graft.sources.Tables.customer(spark, sfDir).count())
   }
+
+  test("gapfill: dense type×hour grid, mass-preserving, zeros explicit") {
+    import org.apache.spark.sql.functions._
+    val g = Events.queries("ev_gapfill")(spark, sfDir).cache()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")).as("bucket"), col("event_type")).cache()
+    val nTypes = ev.select("event_type").distinct().count()
+    val hours = ev.agg(
+      (floor(unix_micros(max(col("bucket"))) / 3600000000L) -
+       floor(unix_micros(min(col("bucket"))) / 3600000000L) + 1).as("h"))
+      .head.getLong(0)
+    // the grid is complete and exactly dense: |types| × |hours| rows, no dupes
+    assert(g.count() === nTypes * hours)
+    assert(g.select("event_type", "bucket").distinct().count() === nTypes * hours)
+    // gap-filling invents no events and drops none
+    assert(g.agg(sum("n")).head.getLong(0) === ev.count())
+    // silent hours surface as explicit zero rows (synthetic stream has gaps
+    // per type at smoke scale; if not, the grid equals the raw cardinality)
+    assert(g.where(col("n") === 0).count() ===
+      nTypes * hours - ev.select("bucket", "event_type").distinct().count())
+    ev.unpersist(); g.unpersist()
+  }
 }

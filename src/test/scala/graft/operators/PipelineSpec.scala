@@ -223,4 +223,63 @@ class PipelineSpec extends SparkSpec {
     val mass = rows.map(r => r.getAs[Double]("mix_weight") * r.getAs[Long]("n_tokens"))
     assert(mass.max - mass.min < 1e-6)
   }
+
+  test("chunk: stride grid covers every token exactly to the doc tail") {
+    val chunks = Pipeline.queries("pl_chunk")(spark, sfDir).cache()
+    // chunk_idx is the start/stride quotient — grid is the stride lattice
+    assert(chunks.where(col("chunk_start") =!= col("chunk_idx") * 48).count() === 0)
+    // per doc: chunk count is ceil(n/stride) and the last chunk ends at
+    // exactly n_tokens — no token uncovered, none invented
+    val perDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("chunk_start") + col("n_chunk_tokens")).as("covered"))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "CAST(size(filter(split(text, ' '), t -> t <> '')) AS BIGINT) AS n")
+      .where(col("n") > 0)
+    val bad = perDoc.join(docs, "doc_id")
+      .where(col("covered") =!= col("n") ||
+        col("n_chunks") =!= expr("CAST((n - 1) DIV 48 AS BIGINT) + 1"))
+    assert(bad.count() === 0)
+    chunks.unpersist()
+  }
+
+  test("snapshot_diff: every class count matches the generating arithmetic") {
+    val diff = Pipeline.queries("pl_snapshot_diff")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = graft.sources.Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0))
+    def n(p: Long => Boolean) = keys.count(p).toLong
+    assert(diff.getOrElse("added", 0L) === n(k => k % 13 == 3 && k % 11 != 5))
+    assert(diff.getOrElse("removed", 0L) === n(k => k % 11 == 5 && k % 13 != 3))
+    assert(diff.getOrElse("changed", 0L) ===
+      n(k => k % 7 == 0 && k % 13 != 3 && k % 11 != 5))
+    assert(diff.values.sum === n(k => !(k % 13 == 3 && k % 11 == 5)))
+  }
+
+  test("balance_sample: deterministic, bounded by census, near the minority size") {
+    val a = Pipeline.queries("pl_balance_sample")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_lang"),
+        r.getAs[Long]("n_min"), r.getAs[Long]("n_kept")))
+    val b = Pipeline.queries("pl_balance_sample")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_lang"),
+        r.getAs[Long]("n_min"), r.getAs[Long]("n_kept")))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)), "sample must be replayable")
+    a.foreach { case (lang, nLang, nMin, nKept) =>
+      assert(nKept <= nLang, s"$lang kept more than exists")
+      // uniform hash at rate n_min/n_lang: expect ≈ n_min, allow wide
+      // statistical slack at smoke scale
+      assert(nKept <= 2 * nMin + 10 && nKept + 10 >= nMin / 2, s"$lang kept=$nKept min=$nMin")
+    }
+  }
+
+  test("profile: one row per profiled column, exact census invariants") {
+    val p = Pipeline.queries("pl_profile")(spark, sfDir).cache()
+    assert(p.count() === 4)
+    assert(p.where(col("n_nulls") =!= 0).count() === 0)
+    assert(p.where(col("n_distinct") <= 0).count() === 0)
+    // NDV never exceeds row count
+    val rows = graft.sources.Tables.lineitem(spark, sfDir).count()
+    assert(p.where(col("n_distinct") > rows).count() === 0)
+    p.unpersist()
+  }
 }

@@ -53,4 +53,22 @@ class TextAnalysisSpec extends SparkSpec {
       .selectExpr("avg(n_tokens) AS nt").head.getDouble(0)
     assert(stats < tokens / 2, s"fingerprints $stats vs tokens $tokens")
   }
+
+  test("typicality: df algebra closes — hapax total equals df=1 bigrams") {
+    import org.apache.spark.sql.functions._
+    val t = TextAnalysis.queries("ta_typicality")(spark, sfDir).cache()
+    // every distinct bigram contributes df ≥ 1 → sum_df ≥ n_bigrams,
+    // milli-average ≥ 1000; hapax can't exceed the doc's bigram count
+    assert(t.where(col("sum_df") < col("n_bigrams") ||
+      col("typicality_milli") < 1000 ||
+      col("n_hapax") > col("n_bigrams")).count() === 0)
+    // cross-doc closure: summed per-doc hapax = number of corpus bigrams
+    // with document frequency exactly 1 (each lives in exactly one doc)
+    val bg = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 2)")).as("bg"))
+    val df1 = bg.groupBy("bg").agg(count(lit(1)).as("df"))
+      .where(col("df") === 1).count()
+    assert(t.agg(sum("n_hapax")).head.getLong(0) === df1)
+    t.unpersist()
+  }
 }
