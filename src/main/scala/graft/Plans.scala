@@ -34,6 +34,11 @@ object Plans {
     "sim_topk_sq8",         // int8 codes + codegen'd integer dot kernel
     "ev_retention",         // (user, day) distinct reused by cohort join
     "ev_funnel",            // exchange-budget/reuse showcase
+    "pl_chunk",             // shuffle-free codegen chunk fan-out
+    "pl_snapshot_diff",     // single full-outer key join (CDC shape)
+    "ev_gapfill",           // map-side collapse + broadcast grid join
+    "pl_profile",           // per-column legs, no multi-distinct Expand
+    "gr_pagerank",          // final round: rank side shuffles, edges pinned
   )
 
   def main(args: Array[String]): Unit = {

@@ -24,7 +24,8 @@ object SparkEntry {
     operators.Functions.queries ++
     operators.Multimodal.queries ++
     operators.Advanced.queries ++
-    operators.Pipeline.queries
+    operators.Pipeline.queries ++
+    operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     operators.Functions.oracle ++
     operators.Multimodal.oracle ++
     operators.Advanced.oracle ++
-    operators.Pipeline.oracle
+    operators.Pipeline.oracle ++
+    operators.Graph.oracle
 }

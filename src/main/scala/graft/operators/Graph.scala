@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph analytics beyond connected components — PageRank over
+  * the part↔supplier bipartite graph implied by `lineitem` (who supplies
+  * what; the reference has no graph surface at all, but any 100 TB
+  * entity store grows one: link graphs for crawl prioritization,
+  * citation/source graphs for corpus weighting).
+  *
+  * The rank arithmetic is EXACT INTEGER micro-units (damping 0.85 as
+  * `(85·x) DIV 100`, per-edge contribution as `rank DIV degree`) — the
+  * same cross-engine determinism discipline as `sim_label_centroids` /
+  * `ta_tfidf`: truncating integer division is bit-identical in Spark and
+  * DuckDB, while float PageRank would drift with summation order. The
+  * truncation bleeds ≤1 micro-unit per edge per round — irrelevant to
+  * ranking, priceless for the hash gate.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 3
+
+  /** Fixed-iteration integer PageRank.
+    *
+    * 100 TB shape (same discipline as `Dedup.connectedComponents`):
+    * the undirected edge list joins per round on `src`, so it is
+    * repartitioned on that key ONCE and eagerly checkpointed — every
+    * round's edges⋈ranks join reuses the pinned partitioning and only
+    * the (smaller) rank side shuffles. Each round's rank checkpoint
+    * truncates lineage; the previous round's blocks are dropped once
+    * the new one materializes, keeping resident state O(|nodes|), not
+    * O(rounds × |nodes|). Degrees ride along inside the edge
+    * checkpoint, so the loop body is exactly one join + one partial
+    * agg. */
+  private[graft] def pageRank(lineitem: DataFrame, iters: Int = Iters): DataFrame = {
+    val sc = lineitem.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val e = lineitem
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    // static per-round build side: (src, dst, deg-of-src), partitioned on
+    // the join key and pinned
+    val edges = und.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val preRanks = persistedIds
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+      .localCheckpoint(true)
+    var prevRound: Set[Int] = persistedIds -- preRanks
+    (1 to iters).foreach { _ =>
+      val preCp = persistedIds
+      val next = edges.join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"), expr("rank DIV deg").as("contrib"))
+        .groupBy(col("dst").as("id"))
+        .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
+        .localCheckpoint(true)
+      val thisRound = persistedIds -- preCp
+      ranks = next
+      prevRound.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+      prevRound = thisRound
+    }
+    ranks
+      .select(
+        when(col("id") % 2 === 0, "part").otherwise("supplier").as("entity"),
+        expr("id DIV 2").as("entity_key"),
+        col("rank").as("rank_micro"))
+  }
+
+  private val pagerankQ: Q = (s, d) => pageRank(Tables.lineitem(s, d))
+
+  val queries: Map[String, Q] = Map(
+    "gr_pagerank" -> pagerankQ,
+  )
+
+  /** DuckDB replay: the three rounds unrolled as plain CTEs (aggregates
+    * are not portable inside a recursive term), same integer ops. */
+  val oracle: Map[String, String] = Map(
+    "gr_pagerank" -> {
+      // sum(BIGINT) widens to HUGEINT in DuckDB (then to float in the
+      // driver's dataframe) — cast each round back to BIGINT
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS (
+             SELECT u.dst AS id,
+               CAST(150000 + (85 * sum(r.rank // u.deg)) // 100 AS BIGINT) AS rank
+             FROM $prev r JOIN und u ON u.src = r.id
+             GROUP BY u.dst)"""
+      s"""WITH e AS (
+            SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem),
+          undirected AS (
+            SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+          deg AS (SELECT src, count(*) AS deg FROM undirected GROUP BY src),
+          und AS (
+            SELECT u.src, u.dst, d.deg FROM undirected u JOIN deg d USING (src)),
+          r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+          ${step("r0", "r1")},
+          ${step("r1", "r2")},
+          ${step("r2", "r3")}
+          SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
+            id // 2 AS entity_key, rank AS rank_micro
+          FROM r3"""
+    },
+  )
+}

@@ -447,6 +447,39 @@ object Relational {
     out
   }
 
+  /** Mode (most frequent value) per group with a deterministic
+    * tie-break (higher count wins, then smaller value) — the
+    * categorical-summary aggregate SQL lacks a portable builtin for.
+    * Count-then-rank: the raw table collapses map-side to
+    * |groups × distinct values| before the window, so the sort ranks a
+    * tiny frequency table, never rows. At 100 TB that pre-aggregation
+    * is the whole trick — mode over raw rows would be a global
+    * sort-by-count per group. */
+  private val q32: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("l_quantity"))))
+      .where(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+
+  /** Ordered string aggregation (LISTAGG/string_agg): nations per
+    * region as one sorted comma-joined string. Spark has no ordered
+    * string_agg — `collect_list` order is partition-dependent — so the
+    * deterministic form is collect → `array_sort` → `array_join`,
+    * which is also the scale-safe shape: per-group state is bounded by
+    * the group's member list, built through partial aggregation, and
+    * the dimension join broadcasts. */
+  private val q33: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+
   val queries: Map[String, Q] = Map(
     "q31_lateral_topn" -> q31,
     "q21_pivot" -> q21,
@@ -480,9 +513,23 @@ object Relational {
     "q18_except_cust" -> q18,
     "q19_having_parts" -> q19,
     "q20_above_avg" -> q20,
+    "q32_mode" -> q32,
+    "q33_string_agg" -> q33,
   )
 
   val oracle: Map[String, String] = Map(
+    "q32_mode" ->
+      """SELECT l_returnflag, mode_qty, n FROM (
+           SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS n,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY count(*) DESC, l_quantity) AS rk
+           FROM lineitem GROUP BY l_returnflag, l_quantity)
+         WHERE rk = 1""",
+    "q33_string_agg" ->
+      """SELECT r_name, count(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
     "q31_lateral_topn" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
          FROM nation n,
