@@ -188,17 +188,72 @@ object Events {
     * 1-row bounds aggregate crossed with the distinct types (both
     * broadcast), so the only data-sized work is the initial partial
     * agg — the join and explode run over post-agg cardinalities. */
-  private val gapfill: Q = (s, d) => {
+  /** The dense grid with per-bucket count AND exact value sum (null for
+    * silent hours — [[gapfill]] zero-fills the count, [[ffill]] imputes
+    * the sum). Shared by the resampling family. */
+  private def hourGrid(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-      .select(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-    val counts = ev.groupBy("bucket", "event_type").agg(count(lit(1)).as("n_raw"))
+      .select(date_trunc("hour", col("ts")).as("bucket"), col("event_type"),
+        col("value"))
+    val counts = ev.groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n_raw"), dsum(col("value")).as("sum_raw"))
     val bounds = ev.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
     val grid = bounds.crossJoin(ev.select("event_type").distinct())
       .select(col("event_type"),
         explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
     grid.join(counts, Seq("bucket", "event_type"), "left")
       .select(col("event_type"), col("bucket"),
-        coalesce(col("n_raw"), lit(0L)).as("n"))
+        coalesce(col("n_raw"), lit(0L)).as("n"), col("sum_raw"))
+  }
+
+  private val gapfill: Q = (s, d) =>
+    hourGrid(s, d).select("event_type", "bucket", "n")
+
+  /** Forward-fill imputation over the dense grid: silent hours carry
+    * the most recent observed hourly value-sum forward (hours before
+    * the type's first observation fill with 0) — the standard
+    * time-series resampling step after gap-filling. The carried value
+    * is the exact decimal-cast sum, so imputed rows are bit-identical
+    * cross-engine.
+    *
+    * 100 TB shape: the window runs over the POST-AGG grid (|hours ×
+    * types| rows), partitioned by type — never over raw events; the
+    * data-sized work remains the one partial agg inside [[hourGrid]]. */
+  private val ffill: Q = (s, d) =>
+    hourGrid(s, d)
+      .withColumn("filled_sum",
+        coalesce(
+          last(col("sum_raw"), ignoreNulls = true).over(
+            Window.partitionBy("event_type").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0.0)))
+      .select(col("event_type"), col("bucket"), col("n"),
+        col("filled_sum"), col("sum_raw").isNull.as("is_imputed"))
+
+  /** Hourly anomaly flags in EXACT integer arithmetic: a bucket is
+    * anomalous when its count deviates from its type's mean by more
+    * than 2 population standard deviations — tested as
+    * `(n·C − S)² > 4·(C·SS − S²)` over integer counts (C buckets,
+    * S = Σn, SS = Σn²), which clears denominators so neither engine
+    * ever divides or touches a float. Stats are over the DENSE grid
+    * (silent hours are real zeros, not missing data).
+    *
+    * Magnitude bound: |n·C − S| ≤ n_max·C, so the square needs
+    * n_max·C < 3·10⁹ to stay in int64 — at larger scale widen to
+    * DECIMAL(38,0)/HUGEINT or pre-scale counts.
+    *
+    * 100 TB shape: per-type stats are a 1-row-per-type rollup of the
+    * post-agg grid, broadcast back onto it — nothing bigger than the
+    * grid ever moves. */
+  private val anomaly: Q = (s, d) => {
+    val g = hourGrid(s, d).select("event_type", "bucket", "n")
+    val stats = g.groupBy("event_type").agg(
+      count(lit(1)).as("c"), sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("ss"))
+    g.join(broadcast(stats), "event_type")
+      .where(expr("(n * c - s) * (n * c - s) > 4 * (c * ss - s * s)"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        col("c").as("n_buckets"), col("s").as("total_n"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -209,9 +264,50 @@ object Events {
     "ev_funnel" -> funnel,
     "ev_retention" -> retention,
     "ev_gapfill" -> gapfill,
+    "ev_ffill" -> ffill,
+    "ev_anomaly" -> anomaly,
   )
 
+  /** Shared dense-grid CTE prefix for the resampling family's oracles. */
+  private val duckGrid =
+    s"""WITH ev AS (
+          SELECT date_trunc('hour', ts) AS bucket, event_type, value FROM events),
+        counts AS (
+          SELECT bucket, event_type, count(*) AS n_raw,
+            ${sqlSum("value")} AS sum_raw
+          FROM ev GROUP BY 1, 2),
+        bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM ev),
+        grid AS (
+          SELECT t.event_type, g.bucket
+          FROM (SELECT DISTINCT event_type FROM ev) t
+          CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds) g),
+        g AS (
+          SELECT grid.event_type, grid.bucket,
+            COALESCE(n_raw, 0) AS n, sum_raw
+          FROM grid LEFT JOIN counts USING (bucket, event_type))"""
+
   val oracle: Map[String, String] = Map(
+    "ev_ffill" ->
+      s"""$duckGrid
+         SELECT event_type, bucket, n,
+           COALESCE(last_value(sum_raw IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             AS filled_sum,
+           sum_raw IS NULL AS is_imputed
+         FROM g""",
+    "ev_anomaly" ->
+      s"""$duckGrid,
+         stats AS (
+           SELECT event_type, count(*) AS c,
+             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+           FROM g GROUP BY event_type)
+         SELECT g.event_type, g.bucket, g.n,
+           c AS n_buckets, s AS total_n
+         FROM g JOIN stats USING (event_type)
+         WHERE (n * c - s) * (n * c - s) > 4 * (c * ss - s * s)""",
     "ev_gapfill" ->
       """WITH ev AS (
            SELECT date_trunc('hour', ts) AS bucket, event_type FROM events),

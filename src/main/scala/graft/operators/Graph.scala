@@ -52,7 +52,11 @@ object Graph {
     var prevRound: Set[Int] = persistedIds -- preRanks
     (1 to iters).foreach { _ =>
       val preCp = persistedIds
-      val next = edges.join(ranks, edges("src") === ranks("id"))
+      // SHUFFLE_HASH on the rank side: a sort-merge join would re-SORT
+      // the full edge list every round (the pinned partitioning spares
+      // the exchange, not the sort); hash-building the |nodes|-sized
+      // rank partitions keeps each round sort-free on the big side
+      val next = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
         .select(col("dst"), expr("rank DIV deg").as("contrib"))
         .groupBy(col("dst").as("id"))
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))

@@ -96,4 +96,38 @@ class EventsSpec extends SparkSpec {
       nTypes * hours - ev.select("bucket", "event_type").distinct().count())
     ev.unpersist(); g.unpersist()
   }
+
+  test("ffill: imputation exactly on silent hours, carried value matches predecessor") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val f = Events.queries("ev_ffill")(spark, sfDir).cache()
+    // imputed ⟺ the hour was silent
+    assert(f.where(col("is_imputed") =!= (col("n") === 0)).count() === 0)
+    // an imputed row carries its predecessor's filled value verbatim
+    // (or 0.0 with no predecessor); observed rows may change it
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val bad = f.withColumn("prev", lag(col("filled_sum"), 1).over(w))
+      .where(col("is_imputed") &&
+        col("filled_sum") =!= coalesce(col("prev"), lit(0.0)))
+    assert(bad.count() === 0)
+    f.unpersist()
+  }
+
+  test("anomaly: flag set equals the integer z-test recomputed from the grid") {
+    import org.apache.spark.sql.functions._
+    val grid = Events.queries("ev_gapfill")(spark, sfDir).cache()
+    val stats = grid.groupBy("event_type").agg(
+      count(lit(1)).as("c"), sum("n").as("s"),
+      sum(col("n") * col("n")).as("ss"))
+    val expected = grid.join(stats, "event_type")
+      .where(expr("(n * c - s) * (n * c - s) > 4 * (c * ss - s * s)"))
+      .select("event_type", "bucket", "n")
+    val got = Events.queries("ev_anomaly")(spark, sfDir)
+      .select("event_type", "bucket", "n")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+    // 2σ on a dense grid flags a sparse minority of buckets
+    assert(got.count() > 0 && got.count() < grid.count() / 4)
+    grid.unpersist()
+  }
 }
