@@ -666,6 +666,35 @@ object Pipeline {
       .union(profileLeg(s, d, "l_shipdate",
         date_format(_, "yyyy-MM-dd HH:mm:ss")))
 
+  /** CDC apply (MERGE/upsert) — the write-side complement of
+    * [[snapshotDiff]]: apply a change feed (upserts + deletes) to a base
+    * snapshot. The feed is derived from the same deterministic
+    * old/new-snapshot arithmetic, so the invariant
+    * `apply(base, diff(base, target)) == target` is end-to-end
+    * checkable: the declared result IS the new snapshot, reached through
+    * the merge plan rather than read directly.
+    *
+    * 100 TB shape: the lakehouse MERGE INTO plan without a table
+    * format — one anti join of the base against the (small) change-key
+    * set, then a union with the upsert rows; with the base bucketed by
+    * key the anti join is map-side against a broadcast key set (change
+    * feeds are small relative to snapshots by definition). */
+  private val applyCdc: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+    val base = c.where(col("c_custkey") % 13 =!= 3)
+    val target = c.where(col("c_custkey") % 11 =!= 5)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+    // the feed: upserts = added ∪ changed rows (new image), deletes = removed keys
+    val upserts = target.where(col("c_custkey") % 13 === 3 || col("c_custkey") % 7 === 0)
+    val deletes = base.where(col("c_custkey") % 11 === 5).select("c_custkey")
+    val changedKeys = upserts.select("c_custkey").union(deletes)
+    base.join(broadcast(changedKeys), Seq("c_custkey"), "left_anti")
+      .union(upserts)
+  }
+
   val queries: Map[String, Q] = Map(
     "pl_token_budget" -> tokenBudget,
     "pl_token_budget_approx" -> tokenBudgetApproxQ,
@@ -683,6 +712,7 @@ object Pipeline {
     "pl_snapshot_diff" -> snapshotDiff,
     "pl_balance_sample" -> balanceSample,
     "pl_profile" -> profile,
+    "pl_apply_cdc" -> applyCdc,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -843,6 +873,13 @@ object Pipeline {
           SELECT change_type, count(*) AS n,
             min(key) AS min_key, max(key) AS max_key
           FROM j GROUP BY change_type""",
+    // the oracle states the invariant directly: applying the derived
+    // change feed to the base snapshot reproduces the NEW snapshot
+    "pl_apply_cdc" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                ELSE c_acctbal END AS c_acctbal
+         FROM customer WHERE c_custkey % 11 <> 5""",
     "pl_balance_sample" ->
       s"""WITH counts AS (
             SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),

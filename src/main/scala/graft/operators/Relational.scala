@@ -480,6 +480,28 @@ object Relational {
       .agg(count(lit(1)).as("n_nations"),
         array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
 
+  /** Value-selection window family (first_value / last_value /
+    * nth_value) over the full-group frame: per order priority, the
+    * order date of the most expensive order, the cheapest price, and
+    * the third-highest price. Selections, not accumulations — double
+    * outputs are picked, never summed, so they are deterministic
+    * without the decimal treatment; ties broken by orderkey. One
+    * window over 5 groups; rank=1 projects all frame-wide values. */
+  private val q34: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("top_order_date",
+        date_format(first(col("o_orderdate")).over(full), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("min_price", last(col("o_totalprice")).over(full))
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(full))
+      .where(col("rk") === 1)
+      .select(col("o_orderpriority"), col("o_totalprice").as("top_price"),
+        col("top_order_date"), col("min_price"), col("third_price"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_lateral_topn" -> q31,
     "q21_pivot" -> q21,
@@ -515,6 +537,7 @@ object Relational {
     "q20_above_avg" -> q20,
     "q32_mode" -> q32,
     "q33_string_agg" -> q33,
+    "q34_order_stats" -> q34,
   )
 
   val oracle: Map[String, String] = Map(
@@ -530,6 +553,24 @@ object Relational {
            string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+    "q34_order_stats" ->
+      """SELECT o_orderpriority, top_price, top_order_date, min_price, third_price
+         FROM (
+           SELECT o_orderpriority,
+             o_totalprice AS top_price,
+             row_number() OVER w AS rk,
+             strftime(first_value(o_orderdate) OVER wf, '%Y-%m-%d %H:%M:%S')
+               AS top_order_date,
+             last_value(o_totalprice) OVER wf AS min_price,
+             nth_value(o_totalprice, 3) OVER wf AS third_price
+           FROM orders
+           WINDOW
+             w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey),
+             wf AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         WHERE rk = 1""",
     "q31_lateral_topn" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
          FROM nation n,

@@ -204,6 +204,24 @@ object TextAnalysis {
         "(1000 * sum_df) DIV n_bigrams AS typicality_milli")
   }
 
+  /** Zipf rank-frequency head: the top-50 corpus terms with their rank
+    * and the rank·frequency product (near-constant under Zipf's law —
+    * the one-glance sanity check that a corpus is natural-ish text and
+    * the tokenizer isn't broken). All integers. Same shuffle shape as
+    * [[bigrams]]: explode → partial-agg count → global top-k; the
+    * window ranks only the 50 surviving rows. */
+  private lazy val zipf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(explode(expr(tokExpr)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("term"))))
+      .withColumn("rank_x_freq", col("rank") * col("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ta_token_stats" -> tokenStats,
     "ta_quality" -> quality,
@@ -217,6 +235,7 @@ object TextAnalysis {
     "ta_inverted_index" -> invertedIndex,
     "ta_bpe_tokens" -> bpeTokens,
     "ta_typicality" -> typicality,
+    "ta_zipf" -> zipf,
   )
 
   /** Repetition signal (Gopher-style quality filter): fraction of a
@@ -311,6 +330,16 @@ object TextAnalysis {
            COALESCE(a.fp_sig, md5('')) AS fp_sig
          FROM documents d LEFT JOIN agg a USING (doc_id)""",
     // bigram DOCUMENT frequency (word_shingles dedups within a doc)
+    "ta_zipf" ->
+      s"""WITH t AS (
+            SELECT unnest($duckTok) AS term FROM documents),
+          top AS (
+            SELECT term, count(*) AS n FROM t GROUP BY term
+            ORDER BY n DESC, term LIMIT 50)
+          SELECT term, n,
+            row_number() OVER (ORDER BY n DESC, term) AS rank,
+            row_number() OVER (ORDER BY n DESC, term) * n AS rank_x_freq
+          FROM top""",
     "ta_typicality" ->
       """WITH tok AS (
            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts

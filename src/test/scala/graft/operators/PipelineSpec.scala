@@ -272,6 +272,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("apply_cdc: merging the change feed onto the base reproduces the new snapshot") {
+    import org.apache.spark.sql.functions._
+    val merged = Pipeline.queries("pl_apply_cdc")(spark, sfDir)
+    val target = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      .where(col("c_custkey") % 11 =!= 5)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+    assert(merged.exceptAll(target).count() === 0)
+    assert(target.exceptAll(merged).count() === 0)
+  }
+
   test("profile: one row per profiled column, exact census invariants") {
     val p = Pipeline.queries("pl_profile")(spark, sfDir).cache()
     assert(p.count() === 4)

@@ -130,4 +130,17 @@ class RelationalPlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("q34: frame-wide selections are mutually consistent per priority") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.queries("q34_order_stats")(spark, sfDir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val top = r.getAs[Double]("top_price")
+      val min = r.getAs[Double]("min_price")
+      val third = r.getAs[Double]("third_price")
+      assert(min <= third && third <= top,
+        s"${r.getAs[String]("o_orderpriority")}: $min / $third / $top")
+    }
+  }
 }

@@ -54,6 +54,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stats < tokens / 2, s"fingerprints $stats vs tokens $tokens")
   }
 
+  test("zipf: dense ranks, monotone frequencies, exact corpus mass in the head") {
+    import org.apache.spark.sql.functions._
+    val z = TextAnalysis.queries("ta_zipf")(spark, sfDir).cache()
+    // 31-term synthetic vocabulary < 50 → the head IS the whole vocabulary
+    val vocab = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+      .cache()
+    assert(z.count() === math.min(50L, vocab.distinct().count()))
+    assert(z.agg(sum("n")).head.getLong(0) === vocab.count())
+    val rows = z.orderBy("rank").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("rank") === i + 1)
+      assert(r.getAs[Long]("rank_x_freq") === (i + 1) * r.getAs[Long]("n"))
+    }
+    assert(rows.sliding(2).forall(p =>
+      p.head.getAs[Long]("n") >= p.last.getAs[Long]("n")))
+    vocab.unpersist(); z.unpersist()
+  }
+
   test("typicality: df algebra closes — hapax total equals df=1 bigrams") {
     import org.apache.spark.sql.functions._
     val t = TextAnalysis.queries("ta_typicality")(spark, sfDir).cache()
