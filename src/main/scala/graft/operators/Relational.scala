@@ -502,6 +502,35 @@ object Relational {
         col("top_order_date"), col("min_price"), col("third_price"))
   }
 
+  /** Recursive CTE (Spark 4 executes WITH RECURSIVE natively as an
+    * iterative union): walk every customer key up the implicit binary
+    * hierarchy `k → k/2 → … → 1` and report the depth-to-root
+    * histogram — the org-chart/BOM ancestor-walk shape. All-integer
+    * arithmetic; DuckDB replays the identical recursion.
+    *
+    * 100 TB shape: each recursion step is one narrow distributed
+    * projection + filter over the frontier (no joins here — the parent
+    * is computed, not looked up), and depth is bounded by log₂(max
+    * key), so the iteration count is ~60 even at 2⁶⁰ keys. For DEEP
+    * recursions (path-length diameter), prefer the pointer-jumping
+    * formulation (`dd_components`) — O(log) rounds instead of
+    * O(depth). */
+  private val q35: Q = (s, d) => {
+    val vc = s"customer_q35_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.customer(s, d).createOrReplaceTempView(vc)
+    val out = s.sql(
+      s"""WITH RECURSIVE walk(key, anc, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM $vc
+            UNION ALL
+            SELECT key, anc DIV 2, depth + 1 FROM walk WHERE anc > 1)
+          SELECT depth_to_root, count(*) AS n FROM (
+            SELECT key, CAST(max(depth) AS BIGINT) AS depth_to_root
+            FROM walk GROUP BY key)
+          GROUP BY depth_to_root""")
+    s.catalog.dropTempView(vc)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_lateral_topn" -> q31,
     "q21_pivot" -> q21,
@@ -538,6 +567,7 @@ object Relational {
     "q32_mode" -> q32,
     "q33_string_agg" -> q33,
     "q34_order_stats" -> q34,
+    "q35_recursive_depth" -> q35,
   )
 
   val oracle: Map[String, String] = Map(
@@ -571,6 +601,15 @@ object Relational {
                     ORDER BY o_totalprice DESC, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
          WHERE rk = 1""",
+    "q35_recursive_depth" ->
+      """WITH RECURSIVE walk(key, anc, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer
+           UNION ALL
+           SELECT key, anc // 2, depth + 1 FROM walk WHERE anc > 1)
+         SELECT depth_to_root, count(*) AS n FROM (
+           SELECT key, CAST(max(depth) AS BIGINT) AS depth_to_root
+           FROM walk GROUP BY key)
+         GROUP BY depth_to_root""",
     "q31_lateral_topn" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
          FROM nation n,

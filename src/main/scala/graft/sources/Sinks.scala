@@ -30,6 +30,23 @@ object Sinks {
   def orc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Parquet with an explicit codec (`zstd`/`gzip`/`snappy`/`lz4`).
+    * At 100 TB the codec choice is a first-order cost knob: zstd
+    * typically halves storage vs snappy for ~equal scan CPU, and the
+    * reader needs no configuration — the codec is recorded per column
+    * chunk in the file footer. */
+  def parquetCompressed(df: DataFrame, path: String, codec: String = "zstd"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", codec).parquet(path)
+
+  /** Gzip-compressed text lines — the wire format crawl corpora
+    * actually arrive in (WET/WARC dumps are gzip members). Spark reads
+    * `.gz` transparently via the codec registry; the scale caveat is
+    * that gzip is NOT splittable, so one .gz file = one task — shard
+    * uploads into many files (or recompress to a splittable layout)
+    * before the first heavy scan. */
+  def textGz(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").text(path)
+
   /** Small-files compaction: rewrite a parquet dataset into files of
     * ~`targetBytes`. Millions of kilobyte files are the classic slow
     * death of a 100 TB lake (footer reads + task-per-file scheduling);

@@ -131,6 +131,16 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q35: recursive walk depth equals the closed-form bit length") {
+    val got = Relational.queries("q35_recursive_depth")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = graft.sources.Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => if (k <= 1) 0L else (63 - java.lang.Long.numberOfLeadingZeros(k)).toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got === expected)
+  }
+
   test("q34: frame-wide selections are mutually consistent per priority") {
     import org.apache.spark.sql.functions._
     val rows = Relational.queries("q34_order_stats")(spark, sfDir).collect()

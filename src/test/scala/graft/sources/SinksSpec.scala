@@ -79,6 +79,24 @@ class SinksSpec extends SparkSpec {
       n.collect().map(_.toSeq).toSet)
   }
 
+  test("zstd parquet and gzip text round-trip, codec visible on disk") {
+    val dir = Files.createTempDirectory("graft-codec").toString
+    val n = Tables.nation(spark, sfDir)
+    Sinks.parquetCompressed(n, s"$dir/zstd", "zstd")
+    assert(spark.read.parquet(s"$dir/zstd").collect().map(_.toSeq).toSet ==
+      n.collect().map(_.toSeq).toSet)
+    // codec is recorded in the filename convention Spark uses
+    assert(new java.io.File(s"$dir/zstd").listFiles()
+      .exists(_.getName.contains(".zstd.")), "expected zstd part files")
+    val names = Tables.nation(spark, sfDir).select("n_name")
+    Sinks.textGz(names, s"$dir/gz")
+    assert(new java.io.File(s"$dir/gz").listFiles()
+      .exists(_.getName.endsWith(".txt.gz")), "expected .gz part files")
+    // .gz reads back transparently through the codec registry
+    assert(spark.read.text(s"$dir/gz").collect().map(_.getString(0)).toSet ==
+      names.collect().map(_.getString(0)).toSet)
+  }
+
   test("csv and json round-trip") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val n = Tables.nation(spark, sfDir)
