@@ -256,6 +256,28 @@ object Events {
         col("c").as("n_buckets"), col("s").as("total_n"))
   }
 
+  /** Per-user ordered event prefix — the classic MapReduce "secondary
+    * sort" (values ordered WITHIN each key during the shuffle; the
+    * reference's model can only sort inside the reducer,
+    * `tasktracker.py` reduce loop): each user's first three event types
+    * in (ts, event_id) order, plus their total event count. In Spark
+    * the composite-key trick collapses to one window: both window
+    * passes and the final aggregate reuse the same user_id
+    * partitioning → ONE shuffle end-to-end, and the rank filter bounds
+    * per-user state to 3 rows before the collect. */
+  private val userPath: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rk", row_number().over(byUser))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+      .where(col("rk") <= 3)
+      .groupBy("user_id", "n_events")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(rk, event_type))), x -> x.event_type), ',')")
+        .as("first3"))
+      .select(col("user_id"), col("first3"), col("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling_1h" -> tumbling,
     "ev_sliding_1h_15m" -> sliding,
@@ -266,6 +288,7 @@ object Events {
     "ev_gapfill" -> gapfill,
     "ev_ffill" -> ffill,
     "ev_anomaly" -> anomaly,
+    "ev_user_path" -> userPath,
   )
 
   /** Shared dense-grid CTE prefix for the resampling family's oracles. */
@@ -289,6 +312,15 @@ object Events {
           FROM grid LEFT JOIN counts USING (bucket, event_type))"""
 
   val oracle: Map[String, String] = Map(
+    "ev_user_path" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+           FROM events)
+         SELECT user_id, string_agg(event_type, ',' ORDER BY rk) AS first3,
+           n_events
+         FROM r WHERE rk <= 3 GROUP BY user_id, n_events""",
     "ev_ffill" ->
       s"""$duckGrid
          SELECT event_type, bucket, n,

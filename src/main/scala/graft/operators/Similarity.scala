@@ -206,12 +206,17 @@ object Similarity {
     * vectors are excluded on both sides (scale 0 has no code), queries
     * broadcast, the corpus never shuffles. Rank fidelity vs the exact
     * brute-force path is pinned differentially in [[SimilaritySpec]]. */
-  private val topkSq8: Q = (s, d) => {
-    val qz = vecs(s, d)
+  /** Per-vector SQ8 codes: max-abs scale, round-half-up to int8 range.
+    * Shared by [[topkSq8]] and [[kmeansSq8]]. */
+  private def sq8Codes(s: SparkSession, d: String): DataFrame =
+    vecs(s, d)
       .where(expr("array_max(transform(v, x -> abs(x))) > 0D"))
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
       .withColumn("q", expr("transform(v, x -> CAST(floor(x / scale + 0.5D) AS BIGINT))"))
       .select(col("vec_id"), col("q"))
+
+  private val topkSq8: Q = (s, d) => {
+    val qz = sq8Codes(s, d)
     val qq = qz.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     // scoring runs on the codegen'd integer kernel (dot_prod_long), not
@@ -263,7 +268,56 @@ object Similarity {
     "sim_topk_ivf" -> topkIvf,
     "sim_topk_sq8" -> topkSq8,
     "sim_label_centroids" -> labelCentroids,
+    "sim_kmeans_sq8" -> kmeansSq8,
   )
+
+  /** Distributed Lloyd's k-means over the SQ8 codes, ENTIRELY in exact
+    * integer arithmetic — the clustering step behind IVF list training
+    * and corpus bucketing, made hash-checkable: squared L2 distances
+    * are int64 sums over int8 codes (`dot_prod_long` kernel), centroid
+    * updates are per-dimension truncating integer means, and the
+    * argmin ties break on centroid id. Seeds = codes of vec_id 0..k-1.
+    * Float Lloyd's would drift with summation order; the quantized
+    * form is bit-identical in any engine (same discipline as
+    * `sim_label_centroids` / `gr_pagerank`). An empty cluster simply
+    * drops (documented, deterministic).
+    *
+    * 100 TB shape: centroids BROADCAST every round (k·dim longs);
+    * assignment is a narrow map over the corpus (argmin over k, no
+    * join shuffle), and the update is one partial-agg'd
+    * (cluster, dim)-keyed rollup — the textbook distributed Lloyd's.
+    * Declared output is the per-cluster summary (size + exact integer
+    * inertia), so the gate stays small at any corpus size. */
+  private val KmeansK = 8
+  private val KmeansIters = 2
+  private lazy val kmeansSq8: Q = (s, d) => kmeansSq8Run(s, d, KmeansIters)
+
+  private[graft] def kmeansSq8Run(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val codes = sq8Codes(s, d)
+    val distExpr =
+      "dot_prod_long(q, q) - 2 * dot_prod_long(q, cq) + dot_prod_long(cq, cq)"
+    def assign(cents: DataFrame): DataFrame =
+      codes.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(distExpr))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+        .where(col("rk") === 1)
+    var cents = codes.where(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    (1 to iters).foreach { _ =>
+      cents = assign(cents)
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "component")))
+        .groupBy("cid", "pos")
+        .agg(expr("CAST(sum(component) AS BIGINT) DIV count(1)").as("cval"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
+          .as("cq"))
+    }
+    assign(cents)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).cast("long").as("inertia"))
+  }
 
   // ---- DuckDB oracles ----------------------------------------------------
   // The LSH/IVF models are ±1 literals, so the oracle SQL regenerates the
@@ -309,7 +363,51 @@ object Similarity {
                     ORDER BY dot DESC, list_id) AS rk
                 FROM dots)"""
 
+  /** Squared L2 over BIGINT code lists — exact, fold order irrelevant. */
+  private def dsqSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+        x -> (x[1] - x[2]) * (x[1] - x[2])), (p, r) -> p + r)"""
+
+  /** One Lloyd's round in SQL: assign to nearest centroid (tie → lower
+    * cid), then per-dimension truncating integer means. */
+  private def kmeansRoundSql(cents: String, asg: String, next: String): String =
+    s"""$asg AS (
+          SELECT vec_id, q, cid, dist FROM (
+            SELECT z.vec_id, z.q, c.cid, ${dsqSql("z.q", "c.cq")} AS dist,
+              ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                ORDER BY ${dsqSql("z.q", "c.cq")}, c.cid) AS rk
+            FROM qz z CROSS JOIN $cents c) WHERE rk = 1),
+        $next AS (
+          SELECT cid, list(cval ORDER BY pos) AS cq FROM (
+            SELECT cid, pos, CAST(sum(comp) AS BIGINT) // count(*) AS cval
+            FROM (SELECT cid,
+                    unnest([{'pos': i, 'comp': q[i]}
+                            FOR i IN range(1, len(q) + 1)], recursive := true)
+                  FROM $asg)
+            GROUP BY cid, pos)
+          GROUP BY cid)"""
+
   val oracle: Map[String, String] = Map(
+    "sim_kmeans_sq8" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                 FROM e),
+          qz AS (SELECT vec_id,
+                   list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+                 FROM sc WHERE scale > 0),
+          c0 AS (SELECT vec_id AS cid, q AS cq FROM qz WHERE vec_id < $KmeansK),
+          ${kmeansRoundSql("c0", "a1", "c1")},
+          ${kmeansRoundSql("c1", "a2", "c2")},
+          af AS (
+            SELECT vec_id, cid, dist FROM (
+              SELECT z.vec_id, c.cid, ${dsqSql("z.q", "c.cq")} AS dist,
+                ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                  ORDER BY ${dsqSql("z.q", "c.cq")}, c.cid) AS rk
+              FROM qz z CROSS JOIN c2 c) WHERE rk = 1)
+          SELECT cid AS cluster_id, count(*) AS n_vecs,
+            CAST(sum(dist) AS BIGINT) AS inertia
+          FROM af GROUP BY cid""",
     "sim_topk_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
           q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -113,6 +113,23 @@ class EventsSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("user_path: one shuffle end-to-end and a 3-type prefix per user") {
+    import org.apache.spark.sql.functions._
+    val df = Events.queries("ev_user_path")(spark, sfDir)
+    df.collect()
+    // both windows and the aggregate reuse the user_id partitioning —
+    // count exchanges in the AQE-final plan (same method as the funnel spec)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(df.count() === users)
+    // prefix length = min(3, n_events), comma-separated
+    assert(df.where(
+      size(split(col("first3"), ",")) =!= least(lit(3), col("n_events"))).count() === 0)
+  }
+
   test("anomaly: flag set equals the integer z-test recomputed from the grid") {
     import org.apache.spark.sql.functions._
     val grid = Events.queries("ev_gapfill")(spark, sfDir).cache()

@@ -132,4 +132,25 @@ class SimilaritySpec extends SparkSpec {
     // this corpus, assert a floor with margin.
     assert(recall >= 0.2, s"LSH recall $recall below floor")
   }
+
+  test("kmeans_sq8: full coverage, deterministic, Lloyd's inertia never increases") {
+    import org.apache.spark.sql.functions._
+    val a = Similarity.queries("sim_kmeans_sq8")(spark, sfDir).cache()
+    // every quantizable vector lands in exactly one cluster
+    val nCodes = graft.sources.Tables.embeddings(spark, sfDir)
+      .where(expr("array_max(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> abs(x))) > 0D"))
+      .count()
+    assert(a.agg(sum("n_vecs")).head.getLong(0) === nCodes)
+    assert(a.count() <= 8)
+    assert(a.where(col("inertia") < 0).count() === 0)
+    // identical rerun — no RNG anywhere
+    val b = Similarity.queries("sim_kmeans_sq8")(spark, sfDir)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // one more Lloyd's round can only tighten total inertia
+    def inertia(iters: Int): Long =
+      Similarity.kmeansSq8Run(spark, sfDir, iters)
+        .agg(sum("inertia")).head.getLong(0)
+    assert(inertia(2) <= inertia(1))
+    a.unpersist()
+  }
 }
