@@ -152,7 +152,25 @@ object Functions {
         "url_encode(concat(lang, ' ', source)) AS enc",
         "url_decode('a%20b%2Fc') AS dec")
 
+  /** Fuzzy matching (edit distance) with blocking — the entity-
+    * resolution primitive: nation-name pairs within levenshtein ≤ 1.
+    * The length-difference filter runs BEFORE the quadratic metric —
+    * |len(a) − len(b)| lower-bounds the edit distance, so it prunes
+    * pairs for free. At 100 TB the blocking key becomes (length band,
+    * name prefix / q-gram) so candidate generation is a key-partitioned
+    * join, never all-pairs; the metric only ever scores candidates. */
+  private val fuzzy: Q = (s, d) => {
+    val a = Tables.nation(s, d).select(col("n_nationkey").as("ka"), col("n_name").as("a"))
+    val b = Tables.nation(s, d).select(col("n_nationkey").as("kb"), col("n_name").as("b"))
+    a.join(b, col("ka") < col("kb"))
+      .where(abs(length(col("a")) - length(col("b"))) <= 1)
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .where(col("dist") <= 1)
+      .select("ka", "kb", "a", "b", "dist")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_fuzzy" -> fuzzy,
     "fn_url" -> urls,
     "fn_string" -> strings,
     "fn_date" -> dates,
@@ -166,6 +184,14 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_fuzzy" ->
+      """SELECT ka, kb, a, b, dist FROM (
+           SELECT n1.n_nationkey AS ka, n2.n_nationkey AS kb,
+             n1.n_name AS a, n2.n_name AS b,
+             levenshtein(n1.n_name, n2.n_name) AS dist
+           FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+           WHERE abs(length(n1.n_name) - length(n2.n_name)) <= 1)
+         WHERE dist <= 1""",
     // independent construction of every URL component from the same
     // columns (lang/source are [a-z0-9]+, so x-www-form-urlencoded
     // encoding is identity except the joining space → '+')

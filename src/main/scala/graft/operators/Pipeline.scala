@@ -695,7 +695,24 @@ object Pipeline {
       .union(upserts)
   }
 
+  /** k-anonymity risk census — the data-governance gate a corpus with
+    * person-linked attributes must pass before release: every
+    * quasi-identifier combination (here nation × market segment) whose
+    * group is smaller than k = [[KanonK]] re-identifies its members to
+    * within that group and is reported for suppression/generalization.
+    *
+    * 100 TB shape: one partial-agg'd groupBy on the quasi-identifier
+    * tuple; output ∝ risky cells only. The quasi-identifier space, not
+    * the row count, bounds the aggregate state. */
+  private val KanonK = 20
+  private val kAnonymity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("group_size"))
+      .where(col("group_size") < KanonK)
+
   val queries: Map[String, Q] = Map(
+    "pl_k_anonymity" -> kAnonymity,
     "pl_token_budget" -> tokenBudget,
     "pl_token_budget_approx" -> tokenBudgetApproxQ,
     "pl_contamination" -> contamination,
@@ -873,6 +890,10 @@ object Pipeline {
           SELECT change_type, count(*) AS n,
             min(key) AS min_key, max(key) AS max_key
           FROM j GROUP BY change_type""",
+    "pl_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+          FROM customer GROUP BY c_nationkey, c_mktsegment
+          HAVING count(*) < $KanonK""",
     // the oracle states the invariant directly: applying the derived
     // change feed to the base snapshot reproduces the NEW snapshot
     "pl_apply_cdc" ->

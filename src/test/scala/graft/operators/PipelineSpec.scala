@@ -272,6 +272,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("k_anonymity: exactly the sub-k cells, none larger, none missed") {
+    import org.apache.spark.sql.functions._
+    val risky = Pipeline.queries("pl_k_anonymity")(spark, sfDir).cache()
+    assert(risky.where(col("group_size") >= 20).count() === 0)
+    val all = graft.sources.Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n")).cache()
+    assert(risky.count() === all.where(col("n") < 20).count())
+    // completeness: the risky cells plus the safe cells tile the QI space
+    assert(risky.count() + all.where(col("n") >= 20).count() === all.count())
+    all.unpersist(); risky.unpersist()
+  }
+
   test("apply_cdc: merging the change feed onto the base reproduces the new snapshot") {
     import org.apache.spark.sql.functions._
     val merged = Pipeline.queries("pl_apply_cdc")(spark, sfDir)
