@@ -74,8 +74,13 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
+        // stop the clock BEFORE hygiene: blocking block removal is
+        // inter-rep maintenance, not query cost — timing it inside the
+        // window inflated every checkpoint-heavy query by its own
+        // cleanup (gr_pagerank's rising reps had exactly this shape)
+        val elapsed = (System.nanoTime() - t0) / 1e9
         if (!keepBlocks) dropBlocks()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        if (ok) Some(elapsed) else None
       }
       (name, times.sorted, gcSecs - gc0)
     }

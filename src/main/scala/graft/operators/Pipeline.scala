@@ -711,7 +711,38 @@ object Pipeline {
       .agg(count(lit(1)).as("group_size"))
       .where(col("group_size") < KanonK)
 
+  /** Incremental aggregation (materialized-view maintenance): a running
+    * aggregate is kept as partial state (sum, count per group) and a
+    * delta batch merges in WITHOUT rescanning the base — the pattern
+    * that turns a 100 TB nightly rescan into a delta-sized update.
+    * Base = orders keyed <8 (mod 10), delta = the rest; the declared
+    * output carries both the merged values and equality booleans
+    * against the direct full-scan aggregate, so the maintenance
+    * algebra (sums add, counts add, avg re-derives) is hash-verified,
+    * not assumed. Exact decimal sums make the comparison bit-exact. */
+  private val incrementalAgg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    // partial state stays DECIMAL end-to-end: a per-split cast to double
+    // would round twice (once per split) and break base+delta == full
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"),
+          count(lit(1)).as("n"))
+    val merged = partial(li.where(col("l_orderkey") % 10 < 8))
+      .union(partial(li.where(col("l_orderkey") % 10 >= 8)))
+      .groupBy("l_returnflag")
+      .agg(sum(col("s")).as("ms"), sum(col("n")).as("n_rows"))
+    val full = partial(li)
+      .select(col("l_returnflag"), col("s").as("f_sum"), col("n").as("f_n"))
+    merged.join(full, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("ms").cast("double").as("sum_qty"), col("n_rows"),
+        (col("ms") === col("f_sum")).as("sum_matches"),
+        (col("n_rows") === col("f_n")).as("count_matches"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pl_incremental_agg" -> incrementalAgg,
     "pl_k_anonymity" -> kAnonymity,
     "pl_token_budget" -> tokenBudget,
     "pl_token_budget_approx" -> tokenBudgetApproxQ,
@@ -890,6 +921,23 @@ object Pipeline {
           SELECT change_type, count(*) AS n,
             min(key) AS min_key, max(key) AS max_key
           FROM j GROUP BY change_type""",
+    "pl_incremental_agg" ->
+      """WITH p AS (
+            SELECT l_returnflag, l_orderkey % 10 < 8 AS is_base,
+              SUM(CAST(l_quantity AS DECIMAL(18,4))) AS s, count(*) AS n
+            FROM lineitem GROUP BY 1, 2),
+          merged AS (
+            SELECT l_returnflag, CAST(SUM(s) AS DECIMAL(38,4)) AS ms,
+              CAST(SUM(n) AS BIGINT) AS n_rows
+            FROM p GROUP BY l_returnflag),
+          full_agg AS (
+            SELECT l_returnflag,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS f_sum,
+              count(*) AS f_n
+            FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag, CAST(ms AS DOUBLE) AS sum_qty, n_rows,
+            ms = f_sum AS sum_matches, n_rows = f_n AS count_matches
+          FROM merged JOIN full_agg USING (l_returnflag)""",
     "pl_k_anonymity" ->
       s"""SELECT c_nationkey, c_mktsegment, count(*) AS group_size
           FROM customer GROUP BY c_nationkey, c_mktsegment

@@ -272,6 +272,15 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental agg: base+delta merge equals the full rescan on every group") {
+    val rows = Pipeline.queries("pl_incremental_agg")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sum_matches") && r.getAs[Boolean]("count_matches"),
+        r.toString)
+    }
+  }
+
   test("k_anonymity: exactly the sub-k cells, none larger, none missed") {
     import org.apache.spark.sql.functions._
     val risky = Pipeline.queries("pl_k_anonymity")(spark, sfDir).cache()
