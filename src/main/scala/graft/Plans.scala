@@ -39,6 +39,9 @@ object Plans {
     "ev_gapfill",           // map-side collapse + broadcast grid join
     "pl_profile",           // per-column legs, no multi-distinct Expand
     "gr_pagerank",          // final round: rank side shuffles, edges pinned
+    "ev_user_path",         // secondary sort: one user_id shuffle end-to-end
+    "q35_recursive_depth",  // native WITH RECURSIVE (iterative union)
+    "pl_shuffle_order",     // epoch shuffle: rank without a global sort
   )
 
   def main(args: Array[String]): Unit = {

@@ -741,7 +741,47 @@ object Pipeline {
         (col("n_rows") === col("f_n")).as("count_matches"))
   }
 
+  /** Epoch shuffle order: every document's rank in a deterministic
+    * pseudo-random permutation (multiplicative-hash order, doc_id
+    * tie-break) — the training-order shuffle an epoch needs, REPLAYABLE
+    * across engines/runs because the permutation is a function of the
+    * data, not an RNG stream.
+    *
+    * 100 TB shape: rank-in-total-order WITHOUT a global sort-window —
+    * the same two-phase distributed scan as [[packSequencesScan]] /
+    * `ev_late_arrivals`: range-partition by (hash, id), count rows per
+    * split locally, lift each split by the earlier splits' totals (a
+    * |splits|-row broadcast; the only window runs over those rows).
+    * Parallelism = cluster width; the window form is the oracle. */
+  private[graft] def shuffleOrderScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nSplits = s.sparkContext.defaultParallelism
+    val base = Tables.documents(s, d)
+      .selectExpr("doc_id", s"($sourceCapExpr) AS h")
+      .as[(Long, Long)]
+      .repartitionByRange(nSplits, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+    // checkpoint pins ONE split assignment (range boundaries are sampled
+    // per evaluation — same reasoning as packScanCore)
+    val local = base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = 0L
+      it.map { case (id, h) => val r = i; i += 1; (id, h, r, pid) }
+    }.toDF("doc_id", "h", "local_rank", "split").localCheckpoint(true)
+    val lifts = local.groupBy("split").agg(count(lit(1)).as("cnt"))
+      .withColumn("lift", coalesce(sum(col("cnt")).over(
+        Window.orderBy("split").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("split", "lift")
+    local.join(broadcast(lifts), "split")
+      .select(col("doc_id"), col("h"),
+        (col("local_rank") + col("lift")).as("shuffle_rank"))
+  }
+
+  private val shuffleOrder: Q = (s, d) => shuffleOrderScan(s, d)
+
   val queries: Map[String, Q] = Map(
+    "pl_shuffle_order" -> shuffleOrder,
     "pl_incremental_agg" -> incrementalAgg,
     "pl_k_anonymity" -> kAnonymity,
     "pl_token_budget" -> tokenBudget,
@@ -921,6 +961,11 @@ object Pipeline {
           SELECT change_type, count(*) AS n,
             min(key) AS min_key, max(key) AS max_key
           FROM j GROUP BY change_type""",
+    "pl_shuffle_order" ->
+      s"""SELECT doc_id, ($sourceCapExpr) AS h,
+            row_number() OVER (ORDER BY ($sourceCapExpr), doc_id) - 1
+              AS shuffle_rank
+          FROM documents""",
     "pl_incremental_agg" ->
       """WITH p AS (
             SELECT l_returnflag, l_orderkey % 10 < 8 AS is_base,

@@ -272,6 +272,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shuffle_order: two-phase scan equals the global-window rank, no doc-stream window") {
+    import org.apache.spark.sql.expressions.Window
+    val scan = Pipeline.queries("pl_shuffle_order")(spark, sfDir)
+    val window = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "(((doc_id & 1073741823) * 2654435761) % 4294967296) AS h")
+      .withColumn("shuffle_rank",
+        row_number().over(Window.orderBy("h", "doc_id")) - 1)
+      .select("doc_id", "h", "shuffle_rank")
+    assert(scan.exceptAll(window).count() === 0)
+    assert(window.exceptAll(scan).count() === 0)
+    // the only window left ranks the |splits|-row lift table
+    scan.collect()
+    val p = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("windowspecdefinition(split"), p)
+    assert(!p.contains("windowspecdefinition(h"), p)
+  }
+
   test("incremental agg: base+delta merge equals the full rescan on every group") {
     val rows = Pipeline.queries("pl_incremental_agg")(spark, sfDir).collect()
     assert(rows.nonEmpty)
