@@ -152,20 +152,29 @@ object Functions {
         "url_encode(concat(lang, ' ', source)) AS enc",
         "url_decode('a%20b%2Fc') AS dec")
 
-  /** Fuzzy matching (edit distance) with blocking — the entity-
-    * resolution primitive: nation-name pairs within levenshtein ≤ 1.
-    * The length-difference filter runs BEFORE the quadratic metric —
-    * |len(a) − len(b)| lower-bounds the edit distance, so it prunes
-    * pairs for free. At 100 TB the blocking key becomes (length band,
-    * name prefix / q-gram) so candidate generation is a key-partitioned
-    * join, never all-pairs; the metric only ever scores candidates. */
+  /** Fuzzy matching (edit distance) with STRUCTURAL blocking — the
+    * entity-resolution primitive: nation-name pairs within
+    * levenshtein ≤ 1. |len(a) − len(b)| lower-bounds the edit
+    * distance, so the left side EXPLODES to its admissible length band
+    * {len−1, len, len+1} and candidates come from an EQUI hash join on
+    * (band = length) — a key-partitioned join the planner can hash,
+    * never the all-pairs nested loop a `ka < kb` theta join degenerates
+    * to. At 100 TB the band key extends with a name prefix / q-gram;
+    * the quadratic metric only ever scores candidates. */
   private val fuzzy: Q = (s, d) => {
-    val a = Tables.nation(s, d).select(col("n_nationkey").as("ka"), col("n_name").as("a"))
-    val b = Tables.nation(s, d).select(col("n_nationkey").as("kb"), col("n_name").as("b"))
-    a.join(b, col("ka") < col("kb"))
-      .where(abs(length(col("a")) - length(col("b"))) <= 1)
+    val a = Tables.nation(s, d)
+      .select(col("n_nationkey").as("ka"), col("n_name").as("a"))
+      .withColumn("band",
+        explode(array(length(col("a")) - 1, length(col("a")), length(col("a")) + 1)))
+    val b = Tables.nation(s, d)
+      .select(col("n_nationkey").as("kb"), col("n_name").as("b"),
+        length(col("n_name")).as("band"))
+    a.join(b, Seq("band"))
+      .where(col("ka") < col("kb"))
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .where(col("dist") <= 1)
+      // no dedup needed: b carries exactly one band (its own length), so
+      // each (ka, kb) pair survives on exactly one band value
       .select("ka", "kb", "a", "b", "dist")
   }
 

@@ -131,6 +131,12 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("fn_fuzzy: length-band blocking plans as a hash join, not a nested loop") {
+    val df = Functions.queries("fn_fuzzy")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q35: recursive walk depth equals the closed-form bit length") {
     val got = Relational.queries("q35_recursive_depth")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
