@@ -486,7 +486,15 @@ object Relational {
     * the third-highest price. Selections, not accumulations — double
     * outputs are picked, never summed, so they are deterministic
     * without the decimal treatment; ties broken by orderkey. One
-    * window over 5 groups; rank=1 projects all frame-wide values. */
+    * window over 5 groups; rank=1 projects all frame-wide values.
+    *
+    * Scale note: the full-frame window sorts each priority's WHOLE
+    * group (5 one-task sorts at 100 TB). Every column here is
+    * recoverable from bounded aggregates — min/max plus an O(k)
+    * [[Advanced.TopKAgg]] heap for the 3rd value and the winner's id
+    * (payload re-joined by id) — and [[RelationalPlanSpec]] pins that
+    * bounded form row-for-row equal; the window form stays declared as
+    * the window-function-family coverage contract. */
   private val q34: Q = (s, d) => {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -147,6 +147,36 @@ class RelationalPlanSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q34: bounded top-k aggregate form reproduces the window form row-for-row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    // O(k) heap per group replaces the full-frame sort: top-3 by
+    // (price desc, orderkey), winner's payload re-joined by id
+    val top3 = orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new Advanced.TopKAgg(3).toColumn.name("top"))
+      .toDF("o_orderpriority", "top")
+    val mins = orders.groupBy("o_orderpriority")
+      .agg(min(col("o_totalprice")).as("min_price"))
+    val dates = orders.select(col("o_orderkey").as("top_key"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("top_order_date"))
+    val bounded = top3
+      .selectExpr("o_orderpriority", "top[0]._1 AS top_price",
+        "top[0]._2 AS top_key", "top[2]._1 AS third_price")
+      .join(broadcast(mins), "o_orderpriority")
+      .join(dates, "top_key")
+      .select("o_orderpriority", "top_price", "top_order_date",
+        "min_price", "third_price")
+    val window = Relational.queries("q34_order_stats")(spark, sfDir)
+      .select("o_orderpriority", "top_price", "top_order_date",
+        "min_price", "third_price")
+    assert(window.exceptAll(bounded).count() === 0)
+    assert(bounded.exceptAll(window).count() === 0)
+  }
+
   test("q34: frame-wide selections are mutually consistent per priority") {
     import org.apache.spark.sql.functions._
     val rows = Relational.queries("q34_order_stats")(spark, sfDir).collect()
