@@ -780,7 +780,44 @@ object Pipeline {
 
   private val shuffleOrder: Q = (s, d) => shuffleOrderScan(s, d)
 
+  /** URL canonicalization + dedup — the crawl-frontier step that keeps
+    * one fetch per logical page: lowercase the host, strip the default
+    * port, drop a trailing slash, sort query parameters. Three
+    * deterministic variants per doc (uppercased host, explicit :443,
+    * reversed param order) are generated and must collapse to ONE
+    * canonical form each — the declared output asserts its own
+    * invariant (`n_canonical = 1`) per doc, plus the canonical URL for
+    * the hash gate.
+    *
+    * 100 TB shape: canonicalization is a narrow per-row projection;
+    * the dedup is a groupBy on the canonical string (map-side partial).
+    * A real frontier keys state on `md5(canon)` — same plan, fixed-
+    * width keys. */
+  private val urlCanon: Q = (s, d) => {
+    val base = Tables.documents(s, d).selectExpr("doc_id", "lang", "source")
+    val variants = base.selectExpr("doc_id", s"""explode(array(
+        concat('https://', upper(source), '.Example.COM/docs/', lang, '/', doc_id,
+               '?page=', doc_id % 7, '&ref=feed'),
+        concat('https://', source, '.example.com:443/docs/', lang, '/', doc_id,
+               '?page=', doc_id % 7, '&ref=feed'),
+        concat('https://', source, '.example.com/docs/', lang, '/', doc_id,
+               '/?ref=feed&page=', doc_id % 7))) AS url""")
+    variants
+      .withColumn("host", lower(expr("parse_url(url, 'HOST')")))
+      .withColumn("host", regexp_replace(col("host"), ":443$", ""))
+      .withColumn("path", expr("regexp_replace(parse_url(url, 'PATH'), '/$', '')"))
+      .withColumn("params", expr(
+        "array_join(array_sort(split(parse_url(url, 'QUERY'), '&')), '&')"))
+      .withColumn("canon", concat(lit("https://"), col("host"), col("path"),
+        lit("?"), col("params")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("canon")).as("n_canonical"),
+        min(col("canon")).as("canon_url"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pl_url_canon" -> urlCanon,
     "pl_shuffle_order" -> shuffleOrder,
     "pl_incremental_agg" -> incrementalAgg,
     "pl_k_anonymity" -> kAnonymity,
@@ -961,6 +998,15 @@ object Pipeline {
           SELECT change_type, count(*) AS n,
             min(key) AS min_key, max(key) AS max_key
           FROM j GROUP BY change_type""",
+    // the oracle constructs the canonical form from ground truth (DuckDB
+    // has no parse_url) and states the collapse invariant as literals —
+    // Spark must EARN n_canonical = 1 by actually canonicalizing
+    "pl_url_canon" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_variants,
+           CAST(1 AS BIGINT) AS n_canonical,
+           'https://' || source || '.example.com/docs/' || lang || '/' ||
+             doc_id || '?page=' || (doc_id % 7) || '&ref=feed' AS canon_url
+         FROM documents""",
     "pl_shuffle_order" ->
       s"""SELECT doc_id, ($sourceCapExpr) AS h,
             row_number() OVER (ORDER BY ($sourceCapExpr), doc_id) - 1

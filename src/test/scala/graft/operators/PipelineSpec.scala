@@ -272,6 +272,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("url_canon: the planted variants are genuinely distinct before canonicalization") {
+    import org.apache.spark.sql.functions._
+    // the collapse invariant (n_canonical = 1) is the oracle's job; this
+    // pins that the test isn't vacuous — the raw variants DO differ
+    val raw = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", """explode(array(
+          concat('https://', upper(source), '.Example.COM/docs/', lang, '/', doc_id,
+                 '?page=', doc_id % 7, '&ref=feed'),
+          concat('https://', source, '.example.com:443/docs/', lang, '/', doc_id,
+                 '?page=', doc_id % 7, '&ref=feed'),
+          concat('https://', source, '.example.com/docs/', lang, '/', doc_id,
+                 '/?ref=feed&page=', doc_id % 7))) AS url""")
+      .groupBy("doc_id").agg(countDistinct(col("url")).as("n_raw"))
+    assert(raw.where(col("n_raw") =!= 3).count() === 0)
+    val canon = Pipeline.queries("pl_url_canon")(spark, sfDir)
+    assert(canon.where(col("n_canonical") =!= 1).count() === 0)
+  }
+
   test("shuffle_order: two-phase scan equals the global-window rank, no doc-stream window") {
     import org.apache.spark.sql.expressions.Window
     val scan = Pipeline.queries("pl_shuffle_order")(spark, sfDir)
