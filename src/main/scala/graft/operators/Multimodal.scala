@@ -138,10 +138,29 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
   }
 
+  /** Video-level near-dup via shared frame fingerprints — the
+    * multimodal dedup step: two payloads are near-dup candidates when
+    * any sampled frame hash collides (re-encoded/trimmed copies share
+    * keyframes even when the container bytes differ). Frames dedup
+    * per doc BEFORE the join, so the bucket join moves (hash, id)
+    * pairs only — the same inverted-index shape as `dd_winnow`, and at
+    * scale the same hot-fingerprint df cap applies (a frame hash
+    * shared by millions of payloads is black-frame boilerplate, not
+    * signal). */
+  private val frameDupes: Q = (s, d) => {
+    val fr = frameSample(s, d).select(col("doc_id"), col("frame_md5")).distinct()
+    fr.as("a").join(fr.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata" -> metadata,
     "mm_features" -> features,
     "mm_frame_sample" -> frameSample,
+    "mm_frame_dupes" -> frameDupes,
   )
 
   val oracle: Map[String, String] = Map(
@@ -174,6 +193,19 @@ object Multimodal {
     // char-based substring replays the byte slices because the query
     // restricts to single-byte-per-char payloads; range() is
     // exclusive-end with stride, exactly `0 until n by every`
+    "mm_frame_dupes" ->
+      s"""WITH fr AS (
+            SELECT DISTINCT doc_id,
+              md5(substring(text, frame_no * $FrameBytes + 1, $FrameBytes)) AS fp
+            FROM (SELECT doc_id, text,
+                    unnest(range(0, octet_length(encode(text)) // $FrameBytes,
+                                 $FrameEvery)) AS frame_no
+                  FROM documents
+                  WHERE octet_length(encode(text)) = length(text)))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS n_shared_frames
+          FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2""",
     "mm_frame_sample" ->
       s"""SELECT doc_id, frame_no,
             md5(substring(text, frame_no * $FrameBytes + 1, $FrameBytes)) AS frame_md5

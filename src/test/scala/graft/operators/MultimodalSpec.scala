@@ -43,4 +43,20 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     meta.foreach(r => assert(r.getAs[Int]("n_bytes") == docs(r.getAs[Long]("doc_id"))))
   }
+
+  test("frame_dupes: ordered pairs whose shared count matches the frame sets") {
+    import org.apache.spark.sql.functions._
+    val dupes = Multimodal.queries("mm_frame_dupes")(spark, sfDir).cache()
+    assert(dupes.where(col("doc_a") >= col("doc_b") ||
+      col("n_shared_frames") < 1).count() === 0)
+    // every reported count equals the actual distinct-frame intersection
+    val fr = Multimodal.queries("mm_frame_sample")(spark, sfDir)
+      .groupBy("doc_id").agg(collect_set(col("frame_md5")).as("fps"))
+    val bad = dupes
+      .join(fr.select(col("doc_id").as("doc_a"), col("fps").as("fa")), "doc_a")
+      .join(fr.select(col("doc_id").as("doc_b"), col("fps").as("fb")), "doc_b")
+      .where(size(array_intersect(col("fa"), col("fb"))) =!= col("n_shared_frames"))
+    assert(bad.count() === 0)
+    dupes.unpersist()
+  }
 }
