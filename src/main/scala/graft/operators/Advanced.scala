@@ -88,6 +88,32 @@ object Advanced {
         (abs(col("approx") - col("exact_parts")) <= col("exact_parts") * 0.05)
           .as("approx_within_5pct"))
 
+  /** Mergeable distinct-count sketches (Spark's DataSketches HLL
+    * surface): one HLL sketch per source is built independently, the
+    * binary sketches UNION into a global estimate — the pattern that
+    * makes COUNT DISTINCT maintainable at 100 TB (per-partition/per-day
+    * sketches persist as bytes; any rollup is a union, never a rescan).
+    * Estimates are sketch-dependent, so — like `adv_approx_distinct` —
+    * the declared output is exact context plus earned tolerance
+    * booleans: the merged estimate and the direct single-pass estimate
+    * must each land within 5% of the exact count. */
+  private val hllMerge: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merged = docs.groupBy("source")
+      .agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_est"),
+        count(lit(1)).as("n_sources"))
+    val direct = docs.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(doc_id))").as("direct_est"),
+      countDistinct(col("doc_id")).as("n_exact"))
+    merged.crossJoin(direct).select(
+      col("n_sources"), col("n_exact"),
+      (abs(col("merged_est") - col("n_exact")) <= col("n_exact") * 0.05)
+        .as("merged_within_5pct"),
+      (abs(col("direct_est") - col("n_exact")) <= col("n_exact") * 0.05)
+        .as("direct_within_5pct"))
+  }
+
   /** Typed top-k Aggregator (bounded min-heap, size k per group) — the
     * UDAF surface (reference's reducer ≈ UDAF, `tasktracker.py:228-271`).
     * Unlike window row_number over a full sort, state is O(k) per group
@@ -255,6 +281,7 @@ object Advanced {
     "adv_grouping_sets" -> groupingSets,
     "adv_approx_distinct" -> approxDistinct,
     "adv_topk_agg" -> topkAggregator,
+    "adv_hll_merge" -> hllMerge,
   )
 
   val oracle: Map[String, String] = Map(
@@ -287,6 +314,11 @@ object Advanced {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
            TRUE AS approx_within_5pct
          FROM lineitem GROUP BY l_returnflag""",
+    "adv_hll_merge" ->
+      """SELECT count(DISTINCT source) AS n_sources,
+           count(DISTINCT doc_id) AS n_exact,
+           TRUE AS merged_within_5pct, TRUE AS direct_within_5pct
+         FROM documents""",
     "adv_percentiles" ->
       """SELECT l_returnflag,
            q[1] / 100 AS p25, q[2] / 100 AS p50, q[3] / 100 AS p75,

@@ -539,6 +539,27 @@ object Relational {
     out
   }
 
+  /** RANGE window frame (value-based, vs q12's ROWS frame): trailing
+    * 7-day revenue per priority. The frame is defined on the DAY
+    * dimension, so gaps matter — a RANGE frame spans missing days, a
+    * ROWS frame would silently span whatever rows exist.
+    *
+    * Scale shape: the window runs over the POST-AGG daily rollup
+    * (days × priorities — calendar-bounded, independent of row
+    * volume), never over raw orders; the raw scan collapses through
+    * one map-side-partial groupBy first. */
+  private val q36: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(expr("datediff(day, DATE'1970-01-01')"))
+      .rangeBetween(-6, 0)
+    daily.select(col("o_orderpriority"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      sum(col("rev")).over(w).cast("double").as("rev_7d"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_lateral_topn" -> q31,
     "q21_pivot" -> q21,
@@ -576,6 +597,7 @@ object Relational {
     "q33_string_agg" -> q33,
     "q34_order_stats" -> q34,
     "q35_recursive_depth" -> q35,
+    "q36_range_frame" -> q36,
   )
 
   val oracle: Map[String, String] = Map(
@@ -609,6 +631,16 @@ object Relational {
                     ORDER BY o_totalprice DESC, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
          WHERE rk = 1""",
+    "q36_range_frame" ->
+      """WITH daily AS (
+           SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(rev) OVER (PARTITION BY o_orderpriority
+             ORDER BY day - DATE '1970-01-01'
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+         FROM daily""",
     "q35_recursive_depth" ->
       """WITH RECURSIVE walk(key, anc, depth) AS (
            SELECT c_custkey, c_custkey, 0 FROM customer

@@ -131,6 +131,30 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q36: RANGE frame equals the day-window self-join recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.queries("q36_range_frame")(spark, sfDir)
+    val daily = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    // decimal sums are order-free → the self-join recomputation must be
+    // bit-equal after the same double cast
+    val expected = daily.as("a").join(daily.as("b"),
+        col("a.o_orderpriority") === col("b.o_orderpriority") &&
+        col("b.day").between(date_sub(col("a.day"), 6), col("a.day")))
+      .groupBy(col("a.o_orderpriority").as("o_orderpriority"),
+        date_format(col("a.day"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("b.rev")).cast("double").as("rev_7d"))
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("adv_hll_merge: sketch union earns its tolerance against the exact count") {
+    val r = Advanced.queries("adv_hll_merge")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_sources") === 20L)
+    assert(r.getAs[Boolean]("merged_within_5pct") && r.getAs[Boolean]("direct_within_5pct"))
+  }
+
   test("fn_fuzzy: length-band blocking plans as a hash join, not a nested loop") {
     val df = Functions.queries("fn_fuzzy")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
