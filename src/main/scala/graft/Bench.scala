@@ -4,30 +4,47 @@ import org.apache.spark.sql.SparkSession
 /** Bench main (driver contract): times every declared query on
   * SPARK_GRAFT_SF_DIR, prints one JSON line.
   *
-  * Queries run in sorted-name order after a warm-up pass of the first
-  * query (JVM/codegen/parquet-footer costs land in the warm-up, not in
-  * whichever query a hash map yields first). Each query is timed
-  * end-to-end (plan + execute + count) SPARK_GRAFT_REPS times
-  * (default 3) and reports the MEDIAN: single-shot runs of the heavy
-  * similarity/dedup queries swing ±2.5× on identical code (GC, codegen
-  * cache, page cache), medians don't.
+  * Queries run in sorted-name order, partitioned into CHUNKS of
+  * SPARK_GRAFT_RESTART_EVERY queries (default 16; 0 = one session for
+  * the whole sweep, the pre-round-7 protocol). Each chunk gets a FRESH
+  * SparkSession and the previous one is stopped. Why: three consecutive
+  * rounds of driver benches produced >2x "regressions" on unchanged
+  * code, with reps RISING within a query and ~0 GC delta. The round-6
+  * detail held the tell — `gc_sec` ≈ 0 for nearly every query: with a
+  * 128 GiB heap, GC almost never fires, and Spark's ContextCleaner is
+  * GC-DRIVEN (it cleans shuffles/broadcasts/accumulators only when
+  * their weak references are enqueued). No GC → no cleanup → 130
+  * queries × 3 reps accumulate broadcast blocks, shuffle files, and
+  * listener/status state in one JVM, and everything sorted later pays
+  * a growing tax that per-rep block hygiene cannot reach (it only drops
+  * EXPLICIT caches/checkpoints). Stopping the SparkContext deletes the
+  * shuffle dirs, drops the block manager, and resets listener state —
+  * while the JVM stays hot (JIT + the static codegen class cache
+  * survive), so the restart cost lands OUTSIDE the timed regions and
+  * the timed reps keep full warm-up. Isolated A/B
+  * (`SPARK_GRAFT_ONLY=q05_nation` vs the in-sweep number) confirmed the
+  * sweep tax: 2.47 s in-sweep vs ~1.0 s isolated on identical code.
   *
-  * BLOCK HYGIENE between reps: queries that materialize state
-  * (`localCheckpoint` in pl_pack_sequences, `cache` anywhere) leave
-  * storage blocks resident in the shared JVM; over 95 queries × 3 reps
-  * those blocks squeeze the execution/storage pool and every query that
-  * runs LATER in sorted order pays in GC time — the round-4 bench showed
-  * exactly that signature (every >2× regression sorted after
-  * `pl_pack_sequences`, every improvement before it). Each rep rebuilds
-  * its DataFrame from scratch, so no old block is ever reused → dropping
-  * them all between reps is free and makes reps independent.
+  * Each chunk's first query runs once untimed as warm-up (parquet
+  * footer reads + first codegen land there, matching the old
+  * protocol's single warm-up); each query is then timed end-to-end
+  * (plan + execute + count) SPARK_GRAFT_REPS times (default 3) and
+  * reports the MEDIAN — a single cold rep (fresh-session broadcast
+  * pools, page cache) is absorbed by the median.
+  *
+  * BLOCK HYGIENE between reps (within a chunk): queries that
+  * materialize state (`localCheckpoint`, `cache`) leave storage blocks
+  * resident; each rep rebuilds its DataFrame from scratch, so no old
+  * block is ever reused → dropping them all between reps is free and
+  * makes reps independent. blocking=true so async removal can't bleed
+  * into the next timed rep.
   *
   * DIAGNOSABILITY: the output carries per-query rep times and GC-time
-  * deltas, not just medians, so a future regression is attributable from
-  * BENCH_r*.json alone (one cold rep vs all reps; GC-bound vs plan
-  * change). The grand total ("value") is printed LAST in the JSON line
-  * so a tail-truncated capture still sees it; the full object is also
-  * written to bench_detail.json for post-hoc reads. */
+  * deltas, not just medians, so a future regression is attributable
+  * from BENCH_r*.json alone (one cold rep vs all reps; GC-bound vs
+  * plan change). The grand total ("value") is printed LAST in the JSON
+  * line so a tail-truncated capture still sees it; the full object is
+  * also written to bench_detail.json for post-hoc reads. */
 object Bench {
   private def gcSecs: Double = {
     import scala.jdk.CollectionConverters._
@@ -39,21 +56,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = GraftSession.builder(cpus, cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // drop every resident storage block: cached plans + (local)checkpoint
-    // blocks are never shared across reps (each rep re-plans from the
-    // loader), so this only stops them accumulating across 95 queries
-    // blocking=true: async removal runs on block-manager threads and can
-    // execute DURING the next timed rep (the round-5 q22_unpivot rep
-    // spread 0.68/2.98/4.09 s had exactly that signature); synchronous
-    // removal costs milliseconds OUTSIDE the timed region and makes reps
-    // independent
-    def dropBlocks(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
+    val restartEvery =
+      sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "16").toInt
     // SPARK_GRAFT_ONLY=<substring> restricts the run for single-query
     // diagnosis; unset (the driver's case) runs everything.
     // SPARK_GRAFT_KEEP_BLOCKS=1 skips per-rep block hygiene — the A/B
@@ -62,27 +66,54 @@ object Bench {
     val keepBlocks = sys.env.get("SPARK_GRAFT_KEEP_BLOCKS").contains("1")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
-    // warm-up: touch every table once (footer reads, codegen of one query)
-    try { ordered.head._2(spark, sfDir).count() } catch { case _: Throwable => }
-    dropBlocks()
-    // a failed rep is excluded from the median; a query with zero
-    // successful reps reports the -1 sentinel (a broken query must read
-    // as broken, never as a fast success)
-    val results = ordered.map { case (name, fn) =>
-      val gc0 = gcSecs
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        // stop the clock BEFORE hygiene: blocking block removal is
-        // inter-rep maintenance, not query cost — timing it inside the
-        // window inflated every checkpoint-heavy query by its own
-        // cleanup (gr_pagerank's rising reps had exactly this shape)
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        if (!keepBlocks) dropBlocks()
-        if (ok) Some(elapsed) else None
+    val chunks =
+      if (restartEvery <= 0) Seq(ordered)
+      else ordered.grouped(restartEvery).toSeq
+
+    val results = chunks.flatMap { chunk =>
+      val spark = GraftSession.builder(cpus, cpus).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // drop every resident storage block: cached plans +
+      // (local)checkpoint blocks are never shared across reps (each rep
+      // re-plans from the loader), so this only stops them accumulating
+      // within a chunk. blocking=true: async removal runs on
+      // block-manager threads and can execute DURING the next timed rep
+      // (the round-5 q22_unpivot rep spread 0.68/2.98/4.09 s had
+      // exactly that signature); synchronous removal costs milliseconds
+      // OUTSIDE the timed region and makes reps independent.
+      def dropBlocks(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
       }
-      (name, times.sorted, gcSecs - gc0)
+      // warm-up: first query of the chunk once (footer reads, first
+      // codegen, fresh-session thread pools — all outside the clock)
+      try { chunk.head._2(spark, sfDir).count() } catch { case _: Throwable => }
+      dropBlocks()
+      // a failed rep is excluded from the median; a query with zero
+      // successful reps reports the -1 sentinel (a broken query must
+      // read as broken, never as a fast success)
+      val chunkResults = chunk.map { case (name, fn) =>
+        val gc0 = gcSecs
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          // stop the clock BEFORE hygiene: blocking block removal is
+          // inter-rep maintenance, not query cost
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          if (!keepBlocks) dropBlocks()
+          if (ok) Some(elapsed) else None
+        }
+        (name, times.sorted, gcSecs - gc0)
+      }
+      // stop the context: deletes shuffle dirs, drops the block
+      // manager, resets listener state; the JVM (JIT, codegen cache)
+      // stays hot for the next chunk
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      chunkResults
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val medians = results.map { case (k, ts, _) =>
@@ -99,12 +130,12 @@ object Bench {
     // key order matters: a tail-only capture must still see the total and
     // the medians, so diagnostics come first and "value" is last
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_reps":$reps,""" +
+      s""""restart_every":$restartEvery,""" +
       s""""gc_sec":$gcJson,"reps":$repJson,"queries":$qs,"value":$total}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       line.getBytes("UTF-8"))
     catch { case _: Throwable => }
     println(line)
-    spark.stop()
   }
 }
