@@ -138,18 +138,39 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
   }
 
+  /** Hot-fingerprint document-frequency cap for [[frameDupes]] — same
+    * discipline as `dd_winnow`'s `WinnowDfCap` (`Dedup.scala`): a frame
+    * hash shared by more than this many payloads is boilerplate (black
+    * frames, silence, intro cards), not dedup signal, and without the
+    * cap that ONE bucket is quadratic (10⁶ docs sharing a black frame
+    * = 10¹² pairs from a single hash). */
+  private val FrameDfCap = 256
+
   /** Video-level near-dup via shared frame fingerprints — the
     * multimodal dedup step: two payloads are near-dup candidates when
     * any sampled frame hash collides (re-encoded/trimmed copies share
     * keyframes even when the container bytes differ). Frames dedup
     * per doc BEFORE the join, so the bucket join moves (hash, id)
-    * pairs only — the same inverted-index shape as `dd_winnow`, and at
-    * scale the same hot-fingerprint df cap applies (a frame hash
-    * shared by millions of payloads is black-frame boilerplate, not
-    * signal). */
+    * pairs only — the same inverted-index shape as `dd_winnow`,
+    * including its hot-fingerprint guard: hashes with document
+    * frequency > [[FrameDfCap]] are DROPPED before the self-join, and
+    * the DECLARED semantics (mirrored in the oracle) are therefore
+    * "pairs counted over shared frame hashes with df ≤ cap" — the
+    * cap is part of the contract, not a data-dependent coincidence.
+    * `MultimodalSpec` plants one boilerplate frame across 120 docs and
+    * asserts the pair count stays linear, not quadratic. */
   private val frameDupes: Q = (s, d) => {
     val fr = frameSample(s, d).select(col("doc_id"), col("frame_md5")).distinct()
-    fr.as("a").join(fr.as("b"),
+    frameDupePairs(fr, FrameDfCap)
+  }
+
+  /** The capped pair join on any (doc_id, frame_md5) frame table —
+    * factored out so the planted-hot-frame spec drives it directly. */
+  private[graft] def frameDupePairs(fr: DataFrame, dfCap: Int): DataFrame = {
+    val freq = fr.groupBy("frame_md5").agg(count(lit(1)).as("fp_df"))
+    val rare = fr.join(freq.where(col("fp_df") <= dfCap), "frame_md5")
+      .select("doc_id", "frame_md5")
+    rare.as("a").join(rare.as("b"),
         col("a.frame_md5") === col("b.frame_md5") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -192,7 +213,9 @@ object Multimodal {
     },
     // char-based substring replays the byte slices because the query
     // restricts to single-byte-per-char payloads; range() is
-    // exclusive-end with stride, exactly `0 until n by every`
+    // exclusive-end with stride, exactly `0 until n by every`. The
+    // rare CTE mirrors the FrameDfCap hot-fingerprint guard exactly —
+    // the df cap is part of the declared semantics.
     "mm_frame_dupes" ->
       s"""WITH fr AS (
             SELECT DISTINCT doc_id,
@@ -201,10 +224,14 @@ object Multimodal {
                     unnest(range(0, octet_length(encode(text)) // $FrameBytes,
                                  $FrameEvery)) AS frame_no
                   FROM documents
-                  WHERE octet_length(encode(text)) = length(text)))
+                  WHERE octet_length(encode(text)) = length(text))),
+          rare AS (
+            SELECT fr.doc_id, fr.fp FROM fr
+            JOIN (SELECT fp FROM fr GROUP BY fp
+                  HAVING count(*) <= $FrameDfCap) ok USING (fp))
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             count(*) AS n_shared_frames
-          FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2""",
     "mm_frame_sample" ->
       s"""SELECT doc_id, frame_no,

@@ -49,8 +49,14 @@ class MultimodalSpec extends SparkSpec {
     val dupes = Multimodal.queries("mm_frame_dupes")(spark, sfDir).cache()
     assert(dupes.where(col("doc_a") >= col("doc_b") ||
       col("n_shared_frames") < 1).count() === 0)
-    // every reported count equals the actual distinct-frame intersection
-    val fr = Multimodal.queries("mm_frame_sample")(spark, sfDir)
+    // every reported count equals the distinct-frame intersection over
+    // the DECLARED frame universe (hashes with df <= the hot cap —
+    // mirror the query's contract, as the oracle does)
+    val raw = Multimodal.queries("mm_frame_sample")(spark, sfDir)
+      .select("doc_id", "frame_md5").distinct()
+    val okHash = raw.groupBy("frame_md5")
+      .agg(count(lit(1)).as("fp_df")).where(col("fp_df") <= 256)
+    val fr = raw.join(okHash.select("frame_md5"), "frame_md5")
       .groupBy("doc_id").agg(collect_set(col("frame_md5")).as("fps"))
     val bad = dupes
       .join(fr.select(col("doc_id").as("doc_a"), col("fps").as("fa")), "doc_a")
@@ -58,5 +64,19 @@ class MultimodalSpec extends SparkSpec {
       .where(size(array_intersect(col("fa"), col("fb"))) =!= col("n_shared_frames"))
     assert(bad.count() === 0)
     dupes.unpersist()
+  }
+
+  test("frame_dupes: a planted boilerplate frame in 120 docs must not explode pairs") {
+    import spark.implicits._
+    // 120 docs all share one "black frame" hash; docs 0 and 1 also share
+    // one genuinely rare frame. Without the df cap the hot hash alone
+    // yields 120*119/2 = 7140 pairs; with it, only the rare pair counts.
+    val hot = (0 until 120).map(i => (i.toLong, "blackframe-boilerplate"))
+    val rare = Seq((0L, "rare-keyframe"), (1L, "rare-keyframe"))
+    val fr = (hot ++ rare).toDF("doc_id", "frame_md5")
+    val pairs = Multimodal.frameDupePairs(fr, dfCap = 64).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 0L && p.getLong(1) == 1L && p.getLong(2) == 1L)
   }
 }
