@@ -303,8 +303,6 @@ object Dedup {
     * clusters are near-cliques — 2-3 rounds in practice). */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sc = pairs.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     // pre-partition edges on the join key BEFORE checkpointing:
     // localCheckpoint pins the physical partitioning into the LogicalRDD,
     // so every round's edges⋈labels join reuses it and only the (smaller)
@@ -320,13 +318,13 @@ object Dedup {
     // residency mechanism that poisoned the round-4 bench). The edges
     // checkpoint and the FINAL labels round stay resident by design: the
     // loop reads edges every round and the returned plan reads the last
-    // checkpoint. Tracking is by persistent-RDD id delta around each
-    // checkpoint call — the Dataset API gives no handle to the
-    // checkpoint's backing RDD.
-    val preLabels = persistedIds
+    // checkpoint. Tracking is by the checkpointed frame itself
+    // ([[graft.Checkpoints]]) — never a diff of the session-global
+    // persistent-RDD registry, which races with concurrent queries on the
+    // shared session.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-    var prevRound: Set[Int] = persistedIds -- preLabels
+    var prevRound = labels
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -339,19 +337,16 @@ object Dedup {
           least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
             .as("label"))
       // pointer jump: follow one hop through the label's own label
-      val preCp = persistedIds
       val jumped = stepped
         .join(stepped.select(col("id").as("p_id"), col("label").as("p_label")),
           stepped("label") === col("p_id"), "left")
         .select(col("id"), col("old_label"),
           least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val thisRound = persistedIds -- preCp
       converged = jumped.where(col("label") < col("old_label")).isEmpty
       labels = jumped.select("id", "label")
-      prevRound.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
-      prevRound = thisRound
+      graft.Checkpoints.drop(prevRound)
+      prevRound = jumped
       iter += 1
     }
     labels.toDF("doc_id", "component_id")

@@ -210,25 +210,35 @@ object Events {
     hourGrid(s, d).select("event_type", "bucket", "n")
 
   /** Forward-fill imputation over the dense grid: silent hours carry
-    * the most recent observed hourly value-sum forward (hours before
+    * the most recent OBSERVED hour's value-sum forward (hours before
     * the type's first observation fill with 0) — the standard
     * time-series resampling step after gap-filling. The carried value
     * is the exact decimal-cast sum, so imputed rows are bit-identical
     * cross-engine.
+    *
+    * "Silent" is `n = 0` — the grid's own signal — NOT `sum_raw IS
+    * NULL`: an observed hour whose values were all NULL keeps its real
+    * NULL sum and is_imputed = false (the two coincide only on corpora
+    * where `value` is never null). The struct wrapper makes
+    * `ignoreNulls` skip SILENT hours (null struct) while still carrying
+    * an observed hour's genuinely-null sum (non-null struct, null
+    * field).
     *
     * 100 TB shape: the window runs over the POST-AGG grid (|hours ×
     * types| rows), partitioned by type — never over raw events; the
     * data-sized work remains the one partial agg inside [[hourGrid]]. */
   private val ffill: Q = (s, d) =>
     hourGrid(s, d)
-      .withColumn("filled_sum",
-        coalesce(
-          last(col("sum_raw"), ignoreNulls = true).over(
-            Window.partitionBy("event_type").orderBy("bucket")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-          lit(0.0)))
+      .withColumn("carried",
+        last(when(col("n") > 0, struct(col("sum_raw").as("v"))),
+            ignoreNulls = true).over(
+          Window.partitionBy("event_type").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("event_type"), col("bucket"), col("n"),
-        col("filled_sum"), col("sum_raw").isNull.as("is_imputed"))
+        when(col("n") > 0, col("sum_raw"))
+          .when(col("carried").isNull, lit(0.0))
+          .otherwise(col("carried.v")).as("filled_sum"),
+        (col("n") === 0).as("is_imputed"))
 
   /** Hourly anomaly flags in EXACT integer arithmetic: a bucket is
     * anomalous when its count deviates from its type's mean by more
@@ -238,20 +248,23 @@ object Events {
     * ever divides or touches a float. Stats are over the DENSE grid
     * (silent hours are real zeros, not missing data).
     *
-    * Magnitude bound: |n·C − S| ≤ n_max·C, so the square needs
-    * n_max·C < 3·10⁹ to stay in int64 — at larger scale widen to
-    * DECIMAL(38,0)/HUGEINT or pre-scale counts.
-    *
-    * 100 TB shape: per-type stats are a 1-row-per-type rollup of the
-    * post-agg grid, broadcast back onto it — nothing bigger than the
-    * grid ever moves. */
+    * The squared test runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB,
+    * whose decimal bind rules cap product width at 38 so int128 is its
+    * wide-exact idiom): |n·C − S| ≤ n_max·C, so exactness needs only
+    * n_max·C < 10¹⁹ — versus 3·10⁹ in raw int64, where Spark's
+    * non-ANSI wrap-around silently flips flags while DuckDB raises.
+    * Past 10¹⁹ (quadrillions of events per bucket at billions of
+    * buckets) Spark nulls the overflowing square (row filtered) and
+    * DuckDB errors — a loud stop, never a silent wrong answer. */
   private val anomaly: Q = (s, d) => {
     val g = hourGrid(s, d).select("event_type", "bucket", "n")
     val stats = g.groupBy("event_type").agg(
       count(lit(1)).as("c"), sum(col("n")).as("s"),
       sum(col("n") * col("n")).as("ss"))
     g.join(broadcast(stats), "event_type")
-      .where(expr("(n * c - s) * (n * c - s) > 4 * (c * ss - s * s)"))
+      .where(expr(
+        """(CAST(n AS DECIMAL(19,0)) * c - s) * (CAST(n AS DECIMAL(19,0)) * c - s)
+           > 4 * (CAST(c AS DECIMAL(19,0)) * ss - CAST(s AS DECIMAL(19,0)) * s)"""))
       .select(col("event_type"), col("bucket"), col("n"),
         col("c").as("n_buckets"), col("s").as("total_n"))
   }
@@ -321,15 +334,23 @@ object Events {
          SELECT user_id, string_agg(event_type, ',' ORDER BY rk) AS first3,
            n_events
          FROM r WHERE rk <= 3 GROUP BY user_id, n_events""",
+    // the struct wrapper mirrors the Spark side: IGNORE NULLS skips
+    // SILENT hours (null struct), not an observed hour's null sum
     "ev_ffill" ->
-      s"""$duckGrid
+      s"""$duckGrid,
+         w AS (
+           SELECT event_type, bucket, n, sum_raw,
+             last_value(CASE WHEN n > 0 THEN {'v': sum_raw} END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS carried
+           FROM g)
          SELECT event_type, bucket, n,
-           COALESCE(last_value(sum_raw IGNORE NULLS) OVER (
-             PARTITION BY event_type ORDER BY bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
-             AS filled_sum,
-           sum_raw IS NULL AS is_imputed
-         FROM g""",
+           CASE WHEN n > 0 THEN sum_raw
+                WHEN carried IS NULL THEN 0.0
+                ELSE carried.v END AS filled_sum,
+           n = 0 AS is_imputed
+         FROM w""",
     "ev_anomaly" ->
       s"""$duckGrid,
          stats AS (
@@ -339,7 +360,8 @@ object Events {
          SELECT g.event_type, g.bucket, g.n,
            c AS n_buckets, s AS total_n
          FROM g JOIN stats USING (event_type)
-         WHERE (n * c - s) * (n * c - s) > 4 * (c * ss - s * s)""",
+         WHERE (CAST(n AS HUGEINT) * c - s) * (CAST(n AS HUGEINT) * c - s)
+           > 4 * (CAST(c AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)""",
     "ev_gapfill" ->
       """WITH ev AS (
            SELECT date_trunc('hour', ts) AS bucket, event_type FROM events),

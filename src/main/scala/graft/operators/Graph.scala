@@ -36,8 +36,6 @@ object Graph {
     * checkpoint, so the loop body is exactly one join + one partial
     * agg. */
   private[graft] def pageRank(lineitem: DataFrame, iters: Int = Iters): DataFrame = {
-    val sc = lineitem.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val e = lineitem
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
@@ -46,12 +44,14 @@ object Graph {
     // static per-round build side: (src, dst, deg-of-src), partitioned on
     // the join key and pinned
     val edges = und.join(deg, "src").repartition(col("src")).localCheckpoint(true)
-    val preRanks = persistedIds
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
       .localCheckpoint(true)
-    var prevRound: Set[Int] = persistedIds -- preRanks
+    // residency tracking is by the checkpointed frame itself
+    // ([[graft.Checkpoints]]) — never a diff of the session-global
+    // persistent-RDD registry, which races with concurrent queries on
+    // the shared session
+    var prevRound = ranks
     (1 to iters).foreach { _ =>
-      val preCp = persistedIds
       // SHUFFLE_HASH on the rank side: a sort-merge join would re-SORT
       // the full edge list every round (the pinned partitioning spares
       // the exchange, not the sort); hash-building the |nodes|-sized
@@ -61,11 +61,9 @@ object Graph {
         .groupBy(col("dst").as("id"))
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
         .localCheckpoint(true)
-      val thisRound = persistedIds -- preCp
       ranks = next
-      prevRound.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
-      prevRound = thisRound
+      graft.Checkpoints.drop(prevRound)
+      prevRound = next
     }
     ranks
       .select(

@@ -611,10 +611,15 @@ object Pipeline {
     * n_min/n_lang (n_min = size of the smallest language) via the same
     * deterministic uniform hash as [[qualitySample]], so every language
     * lands at ≈ the minority language's size — the rebalancing step
-    * before training on a multilingual corpus. The accept test is pure
-    * integer arithmetic (`h·n_lang < n_min·2³²`), so both engines agree
-    * exactly; at larger counts widen to 128-bit or compare against the
-    * precomputed per-lang threshold `n_min·2³²/n_lang` instead.
+    * before training on a multilingual corpus. The accept test compares
+    * the 32-bit hash against a PRECOMPUTED per-lang threshold
+    * `thr = (n_min·2³² − 1) div n_lang` (exactly equivalent to
+    * `h·n_lang < n_min·2³²` for integer h): the per-row comparison
+    * keeps every operand inside int64 at ANY corpus size, whereas the
+    * product form wraps in Spark (non-ANSI, silently) for
+    * n_lang ≳ 2.1·10⁹ while DuckDB raises — a behavior divergence. The
+    * threshold itself is computed once per language in 128-bit-wide
+    * arithmetic (DECIMAL(38,0) / HUGEINT) over the tiny census rollup.
     *
     * 100 TB shape: the per-lang census is a tiny partial-agg'd rollup
     * that BROADCASTS back onto one narrow corpus pass — no corpus
@@ -624,9 +629,10 @@ object Pipeline {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
     val minN = counts.agg(min(col("n_lang")).as("n_min"))
-    docs.join(broadcast(counts), "lang")
-      .crossJoin(broadcast(minN))
-      .where(expr(s"($sourceCapExpr) * n_lang < n_min * 4294967296"))
+    val gate = counts.crossJoin(minN).withColumn("thr",
+      expr("(CAST(n_min AS DECIMAL(38,0)) * 4294967296 - 1) DIV n_lang"))
+    docs.join(broadcast(gate), "lang")
+      .where(expr(s"($sourceCapExpr) <= thr"))
       .groupBy(col("lang"), col("n_lang"), col("n_min"))
       .agg(count(lit(1)).as("n_kept"))
   }
@@ -1040,13 +1046,18 @@ object Pipeline {
            CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
                 ELSE c_acctbal END AS c_acctbal
          FROM customer WHERE c_custkey % 11 <> 5""",
+    // thr mirrors the Spark side's 128-bit-wide per-lang threshold
     "pl_balance_sample" ->
       s"""WITH counts AS (
             SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
-          m AS (SELECT min(n_lang) AS n_min FROM counts)
+          m AS (SELECT min(n_lang) AS n_min FROM counts),
+          gate AS (
+            SELECT lang, n_lang, n_min,
+              (CAST(n_min AS HUGEINT) * 4294967296 - 1) // n_lang AS thr
+            FROM counts CROSS JOIN m)
           SELECT lang, n_lang, n_min, count(*) AS n_kept
-          FROM documents JOIN counts USING (lang) CROSS JOIN m
-          WHERE ($sourceCapExpr) * n_lang < n_min * 4294967296
+          FROM documents JOIN gate USING (lang)
+          WHERE ($sourceCapExpr) <= thr
           GROUP BY lang, n_lang, n_min""",
     "pl_profile" ->
       """WITH a AS (
