@@ -266,6 +266,7 @@ object Similarity {
     "sim_cosine_pairs" -> cosinePairs,
     "sim_topk_lsh" -> topkLsh,
     "sim_topk_ivf" -> topkIvf,
+    "sim_topk_ivf_trained" -> topkIvfTrained,
     "sim_topk_sq8" -> topkSq8,
     "sim_label_centroids" -> labelCentroids,
     "sim_kmeans_sq8" -> kmeansSq8,
@@ -292,20 +293,26 @@ object Similarity {
   private val KmeansIters = 2
   private lazy val kmeansSq8: Q = (s, d) => kmeansSq8Run(s, d, KmeansIters)
 
-  private[graft] def kmeansSq8Run(s: SparkSession, d: String, iters: Int): DataFrame = {
-    val codes = sq8Codes(s, d)
-    val distExpr =
-      "dot_prod_long(q, q) - 2 * dot_prod_long(q, cq) + dot_prod_long(cq, cq)"
-    def assign(cents: DataFrame): DataFrame =
-      codes.crossJoin(broadcast(cents))
-        .withColumn("dist", expr(distExpr))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
-        .where(col("rk") === 1)
+  private val KmeansDistExpr =
+    "dot_prod_long(q, q) - 2 * dot_prod_long(q, cq) + dot_prod_long(cq, cq)"
+
+  /** Rank every (vector, centroid) pair by exact integer squared L2 —
+    * rk = 1 is the Lloyd's assignment, rk ≤ p is an IVF probe set. */
+  private def rankCentroids(codes: DataFrame, cents: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(KmeansDistExpr))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+
+  /** `iters` unrolled Lloyd's rounds over the SQ8 codes → (cid, cq)
+    * integer centroids. Shared by [[kmeansSq8]] (which summarizes the
+    * final assignment) and [[topkIvfTrained]] (which SERVES from the
+    * trained lists). */
+  private[graft] def trainedCents(codes: DataFrame, iters: Int): DataFrame = {
     var cents = codes.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     (1 to iters).foreach { _ =>
-      cents = assign(cents)
+      cents = rankCentroids(codes, cents).where(col("rk") === 1)
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "component")))
         .groupBy("cid", "pos")
         .agg(expr("CAST(sum(component) AS BIGINT) DIV count(1)").as("cval"))
@@ -313,10 +320,55 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
           .as("cq"))
     }
-    assign(cents)
+    cents
+  }
+
+  private[graft] def kmeansSq8Run(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val codes = sq8Codes(s, d)
+    rankCentroids(codes, trainedCents(codes, iters)).where(col("rk") === 1)
       .groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("dist")).cast("long").as("inertia"))
+  }
+
+  // ---- IVF with TRAINED lists --------------------------------------------
+  private val IvfTrainedProbes = 2
+
+  /** IVF serving from REAL k-means lists — the end-to-end ANN story the
+    * pseudo-centroid [[topkIvf]] stubs: lists are the [[KmeansK]]
+    * integer centroids after [[KmeansIters]] Lloyd's rounds
+    * ([[trainedCents]] — exactly `sim_kmeans_sq8`'s training), corpus
+    * vectors live in their nearest list, queries probe their
+    * [[IvfTrainedProbes]] best lists, and scoring is the exact int64
+    * SQ8 cosine kernel. Everything is integer-deterministic, so the
+    * oracle replays training AND serving bit-for-bit (the same
+    * unrolled-round CTEs as `sim_kmeans_sq8`).
+    *
+    * 100 TB shape: training touches the corpus `iters + 1` times with
+    * only (cluster, dim) rollups shuffling; the trained centroid table
+    * (k·dim longs) broadcasts into both assignment and probe; serving
+    * joins the corpus map-side against the broadcast probe set — the
+    * corpus itself NEVER shuffles, same as [[topkIvf]]. Recall vs
+    * brute force is pinned ≥ the pseudo-centroid path's in
+    * [[SimilaritySpec]]. */
+  private lazy val topkIvfTrained: Q = (s, d) => {
+    val codes = sq8Codes(s, d)
+    val cents = trainedCents(codes, KmeansIters)
+    val corpus = rankCentroids(codes, cents).where(col("rk") === 1)
+      .select(col("vec_id"), col("q"), col("cid"))
+    val qs = rankCentroids(codes.where(col("vec_id") < 10), cents)
+      .where(col("rk") <= IvfTrainedProbes)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cid"))
+    corpus.join(broadcast(qs), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_q", expr(
+        """CAST(dot_prod_long(q, qq) AS DOUBLE) /
+           (sqrt(CAST(dot_prod_long(q, q) AS DOUBLE)) *
+            sqrt(CAST(dot_prod_long(qq, qq) AS DOUBLE)))"""))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_q"),
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_q").desc, col("vec_id"))).as("rnk"))
+      .where(col("rnk") <= 5)
   }
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -460,6 +512,42 @@ object Similarity {
               ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
             FROM sc) WHERE rnk <= 5""",
+    // training replayed via the SAME unrolled-round CTEs as
+    // sim_kmeans_sq8, then serving: nearest trained list per corpus
+    // vector, best-2 probes per query, exact int64 SQ8 cosine
+    "sim_topk_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+          sc AS (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                 FROM e),
+          qz AS (SELECT vec_id,
+                   list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+                 FROM sc WHERE scale > 0),
+          c0 AS (SELECT vec_id AS cid, q AS cq FROM qz WHERE vec_id < $KmeansK),
+          ${kmeansRoundSql("c0", "a1", "c1")},
+          ${kmeansRoundSql("c1", "a2", "c2")},
+          rkx AS (
+            SELECT z.vec_id, z.q, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                ORDER BY ${dsqSql("z.q", "c.cq")}, c.cid) AS rk
+            FROM qz z CROSS JOIN c2 c),
+          corpus AS (SELECT vec_id, q, cid FROM rkx WHERE rk = 1),
+          qs AS (SELECT vec_id AS query_id, q AS qq, cid FROM rkx
+                 WHERE rk <= $IvfTrainedProbes AND vec_id < 10),
+          sims AS (SELECT query_id, c.vec_id AS neighbor_id,
+                     CAST(list_reduce(list_transform(list_zip(c.q, qs.qq),
+                            x -> x[1] * x[2]), (p, r) -> p + r) AS DOUBLE) /
+                     (sqrt(CAST(list_reduce(list_transform(c.q, x -> x * x),
+                            (p, r) -> p + r) AS DOUBLE)) *
+                      sqrt(CAST(list_reduce(list_transform(qs.qq, x -> x * x),
+                            (p, r) -> p + r) AS DOUBLE))) AS cos_q
+                   FROM corpus c JOIN qs
+                     ON c.cid = qs.cid AND c.vec_id <> qs.query_id)
+          SELECT query_id, neighbor_id, cos_q, rnk FROM (
+            SELECT query_id, neighbor_id, cos_q,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_q DESC, neighbor_id) AS rnk
+            FROM sims) WHERE rnk <= 5""",
     // int64-exact quantized cosine: q, dot, and norms are integers in
     // both engines; the one float divide at the end is a single IEEE op
     "sim_topk_sq8" ->

@@ -74,6 +74,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall below floor")
   }
 
+  test("trained IVF: valid structure, recall at least the pseudo-centroid path's") {
+    val brute = Similarity.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(q: String): Double = {
+      val got = Similarity.queries(q)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val rows = Similarity.queries("sim_topk_ivf_trained")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(3) <= 5))
+    // every (query, neighbor) pair is unique — one list per corpus
+    // vector means no candidate can be generated twice
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    val trained = recallOf("sim_topk_ivf_trained")
+    val pseudo = recallOf("sim_topk_ivf")
+    // deterministic on fixed data: trained lists must serve at least as
+    // well as the untrained ±1 pseudo-centroids (the whole point of
+    // wiring kmeans into the serving path)
+    assert(trained >= pseudo, s"trained recall $trained < pseudo $pseudo")
+  }
+
   test("SQ8 top-k: int8 quantization preserves neighbor ranking (high overlap vs exact)") {
     val brute = Similarity.queries("sim_topk_cosine")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
