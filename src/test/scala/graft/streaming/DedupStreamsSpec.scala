@@ -94,4 +94,36 @@ class DedupStreamsSpec extends SparkSpec {
         s"stream-only=${streamIds -- batchIds} batch-only=${batchIds -- streamIds}")
     } finally q.stop()
   }
+
+  test("nearDedup throughput guard: sustained MemoryStream rate above floor") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val q = DedupStreams.nearDedup(in.toDS)
+      .writeStream.format("memory").queryName("sd_rate").outputMode("append").start()
+    try {
+      val base = ts("10:00").getTime
+      // 50% near-dup rate: two ids share each body, ts advances 100 ms/doc
+      def docs(lo: Int, hi: Int) = (lo until hi).map { i =>
+        StreamDoc(i, new Timestamp(base + i * 100L),
+          s"streaming corpus document body number ${i / 2} variant tokens")
+      }
+      // warm-up micro-batch: state-store + codegen init outside the clock
+      in.addData(docs(0, 2000): _*)
+      q.processAllAvailable()
+      val n = 48000
+      val t0 = System.nanoTime()
+      (2000 until (2000 + n) by 12000).foreach { lo =>
+        in.addData(docs(lo, lo + 12000): _*)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = n / secs
+      info(f"nearDedup sustained rate: $rate%.0f rows/s ($n rows in $secs%.2f s)")
+      // floor is ~5x below the measured local[4] rate (see BASELINE.md) —
+      // loose enough for machine noise, tight enough that a state-bloat
+      // regression (an order of magnitude, historically) trips it
+      assert(rate > 4000, f"throughput regression: $rate%.0f rows/s")
+    } finally q.stop()
+  }
 }
