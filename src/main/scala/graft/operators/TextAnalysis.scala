@@ -234,9 +234,69 @@ object TextAnalysis {
     "ta_tfidf" -> tfidf,
     "ta_inverted_index" -> invertedIndex,
     "ta_bpe_tokens" -> bpeTokens,
+    "ta_bpe_learn" -> bpeLearn,
     "ta_typicality" -> typicality,
     "ta_zipf" -> zipf,
   )
+
+  /** Distributed BPE merge LEARNING — [[bpeTokens]] applies a fixed
+    * pre-tokenizer; this learns the merge table itself, the iterative
+    * shape (per-round rollup → broadcast model update → re-segment)
+    * shared with `sim_kmeans_sq8` / `gr_pagerank`. [[BpeMerges]] rounds;
+    * each round counts adjacent symbol pairs over the WORD CENSUS
+    * (distinct words × corpus frequency — the standard BPE-learning
+    * compaction: re-segmenting a word re-segments all its occurrences),
+    * picks the most frequent pair (ties: lexicographic on left then
+    * right symbol), and merges it into the census's symbol sequences.
+    *
+    * DECLARED merge semantics (mirrored in the oracle): symbols live in
+    * a space-delimited string (" h e y "), and a merge is ONE
+    * left-to-right non-overlapping `replace` of " x y " with " xy " —
+    * identical scan semantics in Spark and DuckDB, so the learned table
+    * is bit-identical cross-engine. This differs from canonical BPE
+    * only inside runs of a repeated symbol ("aaaa": the one-pass form
+    * merges alternating occurrences; canonical greedy re-scans), a
+    * corner that does not affect which pair wins on natural text and is
+    * declared away for cross-engine exactness.
+    *
+    * The per-round driver materialization is exactly ONE row (the
+    * winning pair — the broadcast-model-update discipline, like
+    * collecting k centroids per Lloyd's round); folding it in as a
+    * literal keeps each round's plan one narrow `replace` over the
+    * census, not a nested self-referencing subtree.
+    *
+    * 100 TB shape: the only corpus-sized job is the initial tokenize →
+    * word-census groupBy (partial-agg'd, shuffle ∝ |vocab|); every
+    * round after that runs on the census (|vocab| rows), and the pair
+    * rollup is bounded by |symbols|², not the corpus. */
+  private val BpeMerges = 4
+  private lazy val bpeLearn: Q = (s, d) => {
+    import s.implicits._
+    var seqs = Tables.documents(s, d)
+      .select(explode(expr(tokExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("seq", expr("' ' || regexp_replace(w, '(.)', '$1 ')"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to BpeMerges).foreach { m =>
+      val best = seqs
+        .select(col("wc"), expr("split(trim(seq), ' ')").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("wc"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+             i -> struct(element_at(a, i) AS x, element_at(a, i + 1) AS y))"""))
+          .as("pr"))
+        .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y"))
+        .limit(1).collect()(0)
+      val (x, y, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((m, x, y, n))
+      // symbols are whitespace-token substrings (never contain spaces),
+      // so the delimited search string is unambiguous
+      seqs = seqs.withColumn("seq", expr(s"replace(seq, ' $x $y ', ' $x$y ')"))
+    }
+    merges.result().toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
 
   /** Repetition signal (Gopher-style quality filter): fraction of a
     * doc's bigram occurrences taken by its single most frequent bigram.
@@ -403,6 +463,39 @@ object TextAnalysis {
             len(regexp_extract_all(text, '$p', 0)) / len($duckTok)
               AS fragmentation
           FROM documents"""
+    },
+    // the BpeMerges learning rounds unrolled as CTEs: pair rollup over
+    // the word census, 1-row best pick, one-pass delimited replace —
+    // the same declared merge semantics as the Spark side
+    "ta_bpe_learn" -> {
+      def round(prev: String, m: Int) =
+        s"""p$m AS (
+              SELECT pr.x AS x, pr.y AS y, sum(wc) AS n
+              FROM (SELECT wc, str_split(trim(seq), ' ') AS a FROM $prev),
+                   unnest([{'x': a[i], 'y': a[i+1]}
+                           FOR i IN range(1, len(a))]) AS t(pr)
+              GROUP BY 1, 2),
+            b$m AS (SELECT x, y, n FROM p$m ORDER BY n DESC, x, y LIMIT 1),
+            s$m AS (
+              SELECT w, wc,
+                replace(seq, ' ' || x || ' ' || y || ' ',
+                        ' ' || x || y || ' ') AS seq
+              FROM $prev CROSS JOIN b$m)"""
+      s"""WITH words AS (
+            SELECT w, count(*) AS wc
+            FROM (SELECT unnest($duckTok) AS w FROM documents) GROUP BY w),
+          s0 AS (SELECT w, wc,
+                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+                 FROM words),
+          ${round("s0", 1)},
+          ${round("s1", 2)},
+          ${round("s2", 3)},
+          ${round("s3", 4)}
+          SELECT 1 AS merge_rank, x AS left_sym, y AS right_sym,
+            CAST(n AS BIGINT) AS pair_count FROM b1
+          UNION ALL SELECT 2, x, y, CAST(n AS BIGINT) FROM b2
+          UNION ALL SELECT 3, x, y, CAST(n AS BIGINT) FROM b3
+          UNION ALL SELECT 4, x, y, CAST(n AS BIGINT) FROM b4"""
     },
     "ta_inverted_index" ->
       s"""SELECT w AS term, COUNT(*) AS df,

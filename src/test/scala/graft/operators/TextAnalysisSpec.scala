@@ -90,4 +90,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t.agg(sum("n_hapax")).head.getLong(0) === df1)
     t.unpersist()
   }
+
+  test("bpe_learn: merge table equals a local replay of the declared semantics") {
+    import org.apache.spark.sql.functions._
+    // local reimplementation: word census -> 4 rounds of (pair rollup,
+    // best pick, one-pass delimited replace). Java String.replace is the
+    // same left-to-right non-overlapping scan as SQL replace, so this is
+    // a genuine third implementation of the declared contract.
+    val census = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("explode(filter(split(text, ' '), t -> t <> '')) AS w")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var seqs = census.map { case (w, c) =>
+      (c, " " + w.map(ch => s"$ch ").mkString) }
+    val expected = (1 to 4).map { m =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (wc, seq) =>
+        seq.trim.split(' ').sliding(2).foreach {
+          case Array(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + wc
+          case _ =>
+        }
+      }
+      val ((x, y), n) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      seqs = seqs.map { case (wc, seq) =>
+        (wc, seq.replace(s" $x $y ", s" $x$y ")) }
+      (m, x, y, n)
+    }
+    val got = TextAnalysis.queries("ta_bpe_learn")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
