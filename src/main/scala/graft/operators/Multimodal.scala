@@ -91,19 +91,62 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling STUB: split payload into fixed-size "frames", keep
-    * every k-th — the video-frame-sample plumbing (offsets + slices are
-    * real; a codec would seek keyframes instead). */
-  private[graft] def sampleFrames(rows: Dataset[MediaRow], frameBytes: Int = 64,
-      every: Int = 4): DataFrame = {
+  /** REPLACEMENT CONTRACT for a real media decoder (ffmpeg via JNI, a
+    * JavaCV grabber, a NN feature extractor). This trait pins the
+    * Spark-side lifecycle heavy native decoders need — the part a
+    * production swap must keep, while [[frames]] is the only method
+    * whose body changes:
+    *
+    *   - the instance is constructed on the DRIVER and shipped in the
+    *     task closure, so its FIELDS must be serializable CONFIG only
+    *     (codec name, target fps, model path) — never live handles;
+    *   - [[open]] runs ONCE PER PARTITION on the executor, before the
+    *     first row: codec contexts, JNI allocations, model weights load
+    *     here, amortized over the whole partition (the `mapInPandas`
+    *     batch-init analog). A task gets its OWN deserialized copy, so
+    *     per-task mutable handle fields are race-free;
+    *   - [[frames]] runs per row, returning (frame_no, frame_bytes) —
+    *     lazily if the decoder streams, the iterator is consumed within
+    *     the task;
+    *   - [[close]] runs at task COMPLETION (registered on TaskContext,
+    *     so it also fires on task failure/kill) — native handles must
+    *     release here or executors leak them across the job.
+    */
+  trait FrameDecoder extends Serializable {
+    def open(): Unit = ()
+    def frames(payload: Array[Byte]): Iterator[(Int, Array[Byte])]
+    def close(): Unit = ()
+  }
+
+  /** STUB decoder: fixed-size byte slices at a fixed stride (the codec
+    * keyframe seek stubbed as arithmetic). Offsets, slicing, and the
+    * per-partition lifecycle are real. */
+  final class StrideDecoder(frameBytes: Int, every: Int) extends FrameDecoder {
+    def frames(p: Array[Byte]): Iterator[(Int, Array[Byte])] =
+      (0 until p.length / frameBytes by every).iterator
+        .map(f => (f, p.slice(f * frameBytes, (f + 1) * frameBytes)))
+  }
+
+  /** Frame sampling through the [[FrameDecoder]] contract: one decoder
+    * copy per task, opened before the first row, closed at task
+    * completion. */
+  private[graft] def sampleFramesWith(rows: Dataset[MediaRow],
+      dec: FrameDecoder): DataFrame = {
     import rows.sparkSession.implicits._
-    rows.flatMap { m =>
-      val n = m.payload.length / frameBytes
-      (0 until n by every).map { f =>
-        (m.doc_id, f, m.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+    rows.mapPartitions { it =>
+      dec.open() // heavy init: once per partition, never per row
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      it.flatMap { m =>
+        dec.frames(m.payload).map { case (f, b) => (m.doc_id, f, b) }
       }
     }.toDF("doc_id", "frame_no", "frame")
   }
+
+  /** Frame sampling with the stub stride decoder (declared-query path). */
+  private[graft] def sampleFrames(rows: Dataset[MediaRow], frameBytes: Int = 64,
+      every: Int = 4): DataFrame =
+    sampleFramesWith(rows, new StrideDecoder(frameBytes, every))
 
   /** Features as a declared query — hash-verified: the stub decoder is
     * md5-derived, so the oracle recomputes the exact lane values;

@@ -66,6 +66,34 @@ class MultimodalSpec extends SparkSpec {
     dupes.unpersist()
   }
 
+  test("decoder contract: open once per partition, close on completion, stub-identical output") {
+    import org.apache.spark.sql.functions._
+    MultimodalSpec.opens.set(0); MultimodalSpec.closes.set(0); MultimodalSpec.rowsSeen.set(0)
+    val media = Multimodal.media(spark, sfDir).repartition(3)
+    val counting = new Multimodal.FrameDecoder {
+      private val inner = new Multimodal.StrideDecoder(64, 4)
+      override def open(): Unit = MultimodalSpec.opens.incrementAndGet()
+      override def close(): Unit = MultimodalSpec.closes.incrementAndGet()
+      def frames(p: Array[Byte]) = {
+        MultimodalSpec.rowsSeen.incrementAndGet(); inner.frames(p)
+      }
+    }
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("frame_md5", md5(col("frame"))).drop("frame")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sorted.toSeq
+    // ONE action on the counting plan, so opens counts its 3 tasks once
+    val viaContract = rowsOf(Multimodal.sampleFramesWith(media, counting))
+    val viaStub = rowsOf(Multimodal.sampleFrames(media, 64, 4))
+    assert(viaContract.nonEmpty && viaContract == viaStub)
+    // local[*] runs tasks in-process, so the counters see every task:
+    // heavy init ran once per partition (3), not once per row, and every
+    // open was matched by a completion-listener close
+    assert(MultimodalSpec.opens.get() == 3, s"opens=${MultimodalSpec.opens.get()}")
+    assert(MultimodalSpec.closes.get() == MultimodalSpec.opens.get())
+    assert(MultimodalSpec.rowsSeen.get() > MultimodalSpec.opens.get())
+  }
+
   test("frame_dupes: a planted boilerplate frame in 120 docs must not explode pairs") {
     import spark.implicits._
     // 120 docs all share one "black frame" hash; docs 0 and 1 also share
@@ -79,4 +107,12 @@ class MultimodalSpec extends SparkSpec {
     val p = pairs.head
     assert(p.getLong(0) == 0L && p.getLong(1) == 1L && p.getLong(2) == 1L)
   }
+}
+
+/** Static counters: the decoder closure runs in local[*] executor
+  * threads of the SAME JVM, so statics observe every task. */
+object MultimodalSpec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val rowsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
 }
