@@ -135,6 +135,31 @@ object Similarity {
       .where(col("cos_sim") >= 0.45)
   }
 
+  /** Embedding-level deduped corpus — the SemDeDup-style pipeline
+    * (public design: Abbas et al. 2023, "SemDeDup": semantic dedup via
+    * embedding-space near-dup clusters) composed end-to-end from parts
+    * that are each already oracle-checked: [[cosinePairs]] near-dup
+    * pairs (LSH buckets + exact cosine ≥ 0.45) → connected components
+    * (min-label propagation + pointer jumping, `Dedup`'s operator) →
+    * keep each cluster's min-id representative, anti-join the rest out.
+    * The embedding analog of `dd_dedup_corpus`: that one drops textual
+    * near-dups, this one drops SEMANTIC near-dups text hashing can't
+    * see (translations, paraphrases, re-encodes).
+    *
+    * 100 TB shape: inherits its parts' — id-only candidate joins and
+    * banded buckets from [[cosinePairs]], O(log diameter) rounds and
+    * O(1)-round resident state from `connectedComponents`, and the
+    * final anti-join moves only the (small) drop list against the
+    * corpus scan. */
+  private lazy val semDedupCorpus: Q = (s, d) => {
+    val pairs = cosinePairs(s, d).select(col("vec_a"), col("vec_b"))
+    val drop = Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("vec_id"))
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      .join(drop, Seq("vec_id"), "left_anti")
+  }
+
   // ---- IVF scale path ---------------------------------------------------
   private val IvfLists = 16  // inverted lists (pseudo-centroids)
   private val IvfProbes = 4  // lists searched per query
@@ -264,6 +289,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_topk_cosine" -> topkBrute,
     "sim_cosine_pairs" -> cosinePairs,
+    "sim_dedup_corpus" -> semDedupCorpus,
     "sim_topk_lsh" -> topkLsh,
     "sim_topk_ivf" -> topkIvf,
     "sim_topk_ivf_trained" -> topkIvfTrained,
@@ -481,6 +507,32 @@ object Similarity {
           FROM cand JOIN e ea ON ea.vec_id = vec_a
                     JOIN e eb ON eb.vec_id = vec_b
           WHERE ${cosSql("ea.v", "eb.v")} >= 0.45""",
+    // the sim_cosine_pairs ground truth + recursive transitive closure
+    // (dd_dedup_corpus's pattern): survivors = everything except
+    // non-representative members of cosine near-dup clusters
+    "sim_dedup_corpus" ->
+      s"""WITH RECURSIVE $bucketsCte,
+          cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                   FROM b x JOIN b y
+                     ON x.table_id = y.table_id AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id),
+          pairs AS (
+            SELECT vec_a, vec_b
+            FROM cand JOIN e ea ON ea.vec_id = vec_a
+                      JOIN e eb ON eb.vec_id = vec_b
+            WHERE ${cosSql("ea.v", "eb.v")} >= 0.45),
+          edges AS (
+            SELECT vec_a AS s, vec_b AS t FROM pairs
+            UNION ALL SELECT vec_b, vec_a FROM pairs),
+          reach AS (
+            SELECT s, t FROM edges
+            UNION
+            SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s),
+          drop_list AS (
+            SELECT s AS vec_id FROM reach GROUP BY s
+            HAVING LEAST(s, MIN(t)) <> s)
+          SELECT vec_id, label FROM embeddings
+          WHERE vec_id NOT IN (SELECT vec_id FROM drop_list)""",
     "sim_topk_lsh" ->
       s"""WITH $bucketsCte,
           cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id

@@ -235,9 +235,40 @@ object TextAnalysis {
     "ta_inverted_index" -> invertedIndex,
     "ta_bpe_tokens" -> bpeTokens,
     "ta_bpe_learn" -> bpeLearn,
+    "ta_bpe_apply" -> bpeApply,
     "ta_typicality" -> typicality,
     "ta_zipf" -> zipf,
   )
+
+  /** ENCODE with the learned merges — the tokenizer story's second
+    * half: [[bpeLearn]]'s 4 merges applied in rank order to every
+    * document's words, reporting the per-doc symbol count under the
+    * learned vocabulary next to the whitespace token count. A training
+    * pipeline budgets sequence lengths against exactly this number.
+    *
+    * The learned pairs are collected (4 rows — the same bounded model
+    * materialization as [[bpeLearn]]) and folded in as literal
+    * `replace` chains, so the whole encode is ONE narrow codegen'd
+    * projection over the corpus: no join, no shuffle, scan-bound at
+    * any scale. The oracle re-derives the same 4 merges via the learn
+    * CTEs and applies them through a CROSS JOIN of the four 1-row
+    * tables — learning is deterministic, so literal-vs-CTE is the
+    * same model. */
+  private lazy val bpeApply: Q = (s, d) => {
+    val merges = bpeLearn(s, d).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val seq0 = "' ' || regexp_replace(w, '(.)', '$1 ')"
+    val merged = merges.foldLeft(seq0) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x $y ', ' $x$y ')"
+    }
+    Tables.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        s"size($tokExpr) AS n_ws_tokens",
+        s"""aggregate(transform($tokExpr, w -> size(split(trim($merged), ' '))),
+            0L, (acc, x) -> acc + CAST(x AS BIGINT)) AS n_symbols""")
+  }
 
   /** Distributed BPE merge LEARNING — [[bpeTokens]] applies a fixed
     * pre-tokenizer; this learns the merge table itself, the iterative
@@ -496,6 +527,45 @@ object TextAnalysis {
           UNION ALL SELECT 2, x, y, CAST(n AS BIGINT) FROM b2
           UNION ALL SELECT 3, x, y, CAST(n AS BIGINT) FROM b3
           UNION ALL SELECT 4, x, y, CAST(n AS BIGINT) FROM b4"""
+    },
+    // the learn CTEs re-derive the 4 merges (learning is deterministic,
+    // so the Spark side's collected literals are the same model), then
+    // one scan applies the ranked replace chain per word
+    "ta_bpe_apply" -> {
+      def round(prev: String, m: Int) =
+        s"""p$m AS (
+              SELECT pr.x AS x, pr.y AS y, sum(wc) AS n
+              FROM (SELECT wc, str_split(trim(seq), ' ') AS a FROM $prev),
+                   unnest([{'x': a[i], 'y': a[i+1]}
+                           FOR i IN range(1, len(a))]) AS t(pr)
+              GROUP BY 1, 2),
+            b$m AS (SELECT x AS x$m, y AS y$m FROM p$m
+                    ORDER BY n DESC, x, y LIMIT 1),
+            s$m AS (
+              SELECT w, wc,
+                replace(seq, ' ' || x$m || ' ' || y$m || ' ',
+                        ' ' || x$m || y$m || ' ') AS seq
+              FROM $prev CROSS JOIN b$m)"""
+      val seq0 = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
+      val merged = (1 to 4).foldLeft(seq0) { (acc, m) =>
+        s"replace($acc, ' ' || x$m || ' ' || y$m || ' ', ' ' || x$m || y$m || ' ')"
+      }
+      s"""WITH words AS (
+            SELECT w, count(*) AS wc
+            FROM (SELECT unnest($duckTok) AS w FROM documents) GROUP BY w),
+          s0 AS (SELECT w, wc,
+                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+                 FROM words),
+          ${round("s0", 1)},
+          ${round("s1", 2)},
+          ${round("s2", 3)},
+          ${round("s3", 4)}
+          SELECT doc_id, len(toks) AS n_ws_tokens,
+            CAST(COALESCE(list_sum(list_transform(toks,
+              w -> len(str_split(trim($merged), ' ')))), 0) AS BIGINT)
+              AS n_symbols
+          FROM (SELECT doc_id, $duckTok AS toks FROM documents)
+          CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4"""
     },
     "ta_inverted_index" ->
       s"""SELECT w AS term, COUNT(*) AS df,

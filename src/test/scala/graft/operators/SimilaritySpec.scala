@@ -74,6 +74,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall $recall below floor")
   }
 
+  test("sem-dedup corpus: survivors = union-find representatives of cosine clusters") {
+    val pairs = Similarity.queries("sim_cosine_pairs")(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // independent third implementation: plain union-find over the pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb // min-id root
+    }
+    // canonical min-id root per node, then survivors = roots + untouched
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expectedKept = allIds -- members.filter(m => find(m) != m)
+    val got = Similarity.queries("sim_dedup_corpus")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expectedKept,
+      s"only-got=${got -- expectedKept} only-expected=${expectedKept -- got}")
+    assert(got.size < allIds.size, "fixture must contain at least one near-dup cluster")
+  }
+
   test("trained IVF: valid structure, recall at least the pseudo-centroid path's") {
     val brute = Similarity.queries("sim_topk_cosine")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -121,4 +121,31 @@ class TextAnalysisSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("bpe_apply: per-doc symbol counts equal a local encode with the learned merges") {
+    val merges = TextAnalysis.queries("ta_bpe_learn")(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    def encodeLen(w: String): Int = {
+      var seq = " " + w.map(ch => s"$ch ").mkString
+      merges.foreach { case (x, y) => seq = seq.replace(s" $x $y ", s" $x$y ") }
+      seq.trim.split(' ').length
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(' ').filter(_.nonEmpty)).toMap
+    val got = TextAnalysis.queries("ta_bpe_apply")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val toks = docs(r.getLong(0))
+      assert(r.getInt(1) == toks.length)
+      assert(r.getLong(2) == toks.map(encodeLen).map(_.toLong).sum,
+        s"doc ${r.getLong(0)} symbol count drift")
+    }
+    // the learned merges must actually compress: fewer symbols than chars
+    val chars = docs.values.map(_.map(_.length.toLong).sum).sum
+    val symbols = got.map(_.getLong(2)).sum
+    assert(symbols < chars)
+  }
 }
