@@ -42,6 +42,9 @@ object Plans {
     "ev_user_path",         // secondary sort: one user_id shuffle end-to-end
     "q35_recursive_depth",  // native WITH RECURSIVE (iterative union)
     "pl_shuffle_order",     // epoch shuffle: rank without a global sort
+    "sim_topk_ivf_trained", // kmeans-trained lists, broadcast probe join
+    "ta_bpe_apply",         // learned-merge encode: one narrow projection
+    "mm_frame_dupes",       // df-capped frame-hash inverted index join
   )
 
   def main(args: Array[String]): Unit = {

@@ -323,12 +323,30 @@ object Similarity {
     "dot_prod_long(q, q) - 2 * dot_prod_long(q, cq) + dot_prod_long(cq, cq)"
 
   /** Rank every (vector, centroid) pair by exact integer squared L2 —
-    * rk = 1 is the Lloyd's assignment, rk ≤ p is an IVF probe set. */
+    * rk ≤ p is an IVF probe set. Explodes |input|×k through a window
+    * sort, so use it only on SMALL inputs (the query side); corpus-wide
+    * assignment goes through [[assignNearest]]. */
   private def rankCentroids(codes: DataFrame, cents: DataFrame): DataFrame =
     codes.crossJoin(broadcast(cents))
       .withColumn("dist", expr(KmeansDistExpr))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+
+  /** Lloyd's assignment as a map-side-combinable AGGREGATE: min over
+    * the lexicographic (dist, cid) struct is exactly the
+    * (dist asc, cid asc) argmin the window form ranks, but the partial
+    * agg collapses the k candidate rows per vector BEFORE the exchange
+    * — the shuffle carries one row per vector, unsorted, instead of
+    * sort-windowing k× the corpus per round. Output:
+    * (vec_id, q, cid, dist). */
+  private def assignNearest(codes: DataFrame, cents: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(KmeansDistExpr))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        first(col("q")).as("q")) // q is constant within a vec_id group
+      .select(col("vec_id"), col("q"), col("m.cid").as("cid"),
+        col("m.dist").as("dist"))
 
   /** `iters` unrolled Lloyd's rounds over the SQ8 codes → (cid, cq)
     * integer centroids. Shared by [[kmeansSq8]] (which summarizes the
@@ -338,7 +356,7 @@ object Similarity {
     var cents = codes.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     (1 to iters).foreach { _ =>
-      cents = rankCentroids(codes, cents).where(col("rk") === 1)
+      cents = assignNearest(codes, cents)
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "component")))
         .groupBy("cid", "pos")
         .agg(expr("CAST(sum(component) AS BIGINT) DIV count(1)").as("cval"))
@@ -351,7 +369,7 @@ object Similarity {
 
   private[graft] def kmeansSq8Run(s: SparkSession, d: String, iters: Int): DataFrame = {
     val codes = sq8Codes(s, d)
-    rankCentroids(codes, trainedCents(codes, iters)).where(col("rk") === 1)
+    assignNearest(codes, trainedCents(codes, iters))
       .groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("dist")).cast("long").as("inertia"))
@@ -380,7 +398,7 @@ object Similarity {
   private lazy val topkIvfTrained: Q = (s, d) => {
     val codes = sq8Codes(s, d)
     val cents = trainedCents(codes, KmeansIters)
-    val corpus = rankCentroids(codes, cents).where(col("rk") === 1)
+    val corpus = assignNearest(codes, cents)
       .select(col("vec_id"), col("q"), col("cid"))
     val qs = rankCentroids(codes.where(col("vec_id") < 10), cents)
       .where(col("rk") <= IvfTrainedProbes)
