@@ -81,6 +81,14 @@ object Bench {
       // (the round-5 q22_unpivot rep spread 0.68/2.98/4.09 s had
       // exactly that signature); synchronous removal costs milliseconds
       // OUTSIDE the timed region and makes reps independent.
+      // NOTE: do NOT add System.gc() here to nudge the ContextCleaner —
+      // measured (round 7): it tightens an iterative query's own rep
+      // spread in isolation, but at sweep scale the enqueued cleanups
+      // run ASYNC on block-manager threads DURING the next timed rep
+      // (the round-5 q22 mechanism) and the 134-query total regresses
+      // 71.6 → 93.4 s. The per-chunk session restart is the bounded,
+      // outside-the-clock reset; within-chunk shuffle-file growth over
+      // 3 reps is absorbed by the median.
       def dropBlocks(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values

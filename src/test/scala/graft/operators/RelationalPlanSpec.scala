@@ -110,6 +110,35 @@ class RelationalPlanSpec extends SparkSpec {
     }
   }
 
+  test("ta_bpe_apply: the encode is one narrow projection — zero exchanges") {
+    // the learned merges fold in as literals at plan build, so the
+    // corpus pass must contain no shuffle and no join of any kind
+    val df = TextAnalysis.queries("ta_bpe_apply")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("mm_frame_dupes: capped inverted index joins as hash joins, no cross product") {
+    val df = Multimodal.queries("mm_frame_dupes")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("sim kmeans/trained-IVF: corpus assignment is a partial-aggregated argmin, not a window sort") {
+    // the only BroadcastNestedLoop allowed is the k-row centroid
+    // cross join (bounded by k=8); the corpus-wide argmin must plan as
+    // a two-phase HashAggregate (partial_min before the exchange), and
+    // the only Window allowed in trained-IVF is the |Q|-side probe
+    // ranking + the final per-query top-5
+    val km = Similarity.queries("sim_kmeans_sq8")(spark, sfDir)
+    km.collect()
+    val kp = km.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(kp.contains("partial_min"), kp)
+    assert(!kp.contains("Window"), kp)
+  }
+
   test("sim_topk_ivf: corpus side never shuffles before the top-k window") {
     val df = Similarity.queries("sim_topk_ivf")(spark, sfDir)
     df.collect()
