@@ -822,7 +822,37 @@ object Pipeline {
         min(col("canon")).as("canon_url"))
   }
 
+  /** Join-key skew census — the diagnostic that DECIDES the salting
+    * strategy (`Skew.saltedJoin` / AQE skew-join) before a 100 TB join
+    * is planned: per candidate key column, row count, exact distinct
+    * count, and the hottest key's share in integer milli-units
+    * (deterministic tie-break: highest count, then lowest key).
+    * l_returnflag is included as the known-pathological contrast (3
+    * values ⇒ share ≈ 1/3) against the near-unique l_orderkey.
+    *
+    * 100 TB shape: one partial-agg'd groupBy per column (map-side
+    * combine collapses to |distinct| rows before the exchange) + a
+    * 1-row rollup; legs union like `pl_profile`, each pruning its scan
+    * to a single parquet column — and the min(struct) argmax is the
+    * same combinable-aggregate discipline as the k-means assignment. */
+  private def skewLeg(s: SparkSession, d: String, c: String): DataFrame =
+    Tables.lineitem(s, d).select(col(c).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"),
+        min(struct((-col("cnt")).as("neg"), col("k"))).as("m"))
+      .select(lit(c).as("column_name"),
+        col("n_rows").cast("long").as("n_rows"), col("n_distinct"),
+        col("m.k").as("top_key"), (-col("m.neg")).cast("long").as("top_count"),
+        expr("CAST(1000 * (-m.neg) DIV n_rows AS BIGINT)").as("top_share_milli"))
+
+  private val skewCensus: Q = (s, d) =>
+    skewLeg(s, d, "l_orderkey")
+      .union(skewLeg(s, d, "l_partkey"))
+      .union(skewLeg(s, d, "l_suppkey"))
+      .union(skewLeg(s, d, "l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "pl_skew_census" -> skewCensus,
     "pl_url_canon" -> urlCanon,
     "pl_shuffle_order" -> shuffleOrder,
     "pl_incremental_agg" -> incrementalAgg,
@@ -891,6 +921,24 @@ object Pipeline {
         GROUP BY doc_id, n_grams"""
 
   val oracle: Map[String, String] = Map(
+    // per-column leg: groupBy census, then a 1-row rollup whose argmax
+    // is the positional-lexicographic struct min — identical ordering
+    // semantics in both engines
+    "pl_skew_census" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS column_name,
+              CAST(sum(cnt) AS BIGINT) AS n_rows,
+              count(*) AS n_distinct,
+              (min({'neg': -cnt, 'k': k})).k AS top_key,
+              CAST(-(min({'neg': -cnt, 'k': k})).neg AS BIGINT) AS top_count,
+              CAST(1000 * (-(min({'neg': -cnt, 'k': k})).neg) // sum(cnt)
+                   AS BIGINT) AS top_share_milli
+            FROM (SELECT k, count(*) AS cnt
+                  FROM (SELECT CAST($c AS VARCHAR) AS k FROM lineitem)
+                  GROUP BY k)"""
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+        .map(leg).mkString("\nUNION ALL\n")
+    },
     "pl_contamination" -> contaminationSql,
     "pl_cross_dedup" ->
       """WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -28,4 +28,24 @@ class ConcurrencySpec extends SparkSpec {
       }
     }
   }
+
+  test("racing iterative operators never evict each other's checkpoints") {
+    // pageRank and connectedComponents both localCheckpoint per round
+    // (lineage TRUNCATED — an evicted block is unrecoverable, so a
+    // cross-eviction is a query FAILURE, not a slowdown). The round-7
+    // handle-based tracking (graft.Checkpoints) drops only the round's
+    // own frame; the old registry set-diff raced exactly here.
+    val names = Seq("gr_pagerank", "dd_components", "sim_kmeans_sq8")
+    val expected = names.map { n =>
+      n -> graft.SparkEntry.queries(n)(spark, sfDir).count()
+    }.toMap
+    (1 to 2).foreach { _ =>
+      val futs = names.map { n =>
+        Future(n -> graft.SparkEntry.queries(n)(spark, sfDir).count())
+      }
+      Await.result(Future.sequence(futs), 300.seconds).foreach { case (n, c) =>
+        assert(c === expected(n), s"$n failed or drifted under concurrency")
+      }
+    }
+  }
 }

@@ -352,4 +352,22 @@ class PipelineSpec extends SparkSpec {
     assert(p.where(col("n_distinct") > rows).count() === 0)
     p.unpersist()
   }
+
+  test("skew_census: flags the pathological key, clears the near-unique one, counts honestly") {
+    val byCol = Pipeline.queries("pl_skew_census")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // a 3-value flag column concentrates ≥20% on its top key — salting
+    // territory; a near-unique order key concentrates ≈0
+    assert(byCol("l_returnflag").getLong(5) >= 200)
+    assert(byCol("l_orderkey").getLong(5) <= 10)
+    // the reported hot key's count is a real count
+    val rf = byCol("l_returnflag")
+    val n = graft.sources.Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === rf.getString(3)).count()
+    assert(n === rf.getLong(4))
+    // census algebra: top_count ≤ n_rows, n_distinct ≤ n_rows
+    byCol.values.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1) && r.getLong(2) <= r.getLong(1))
+    }
+  }
 }
