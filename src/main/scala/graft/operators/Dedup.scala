@@ -366,13 +366,17 @@ object Dedup {
     * (the representative is the cluster's min doc_id, matching
     * [[exact]]'s min-id convention). Anti-join shape: one broadcast-able
     * "drop list" (|clusters| ≪ |corpus|) against the corpus scan. */
-  private val dedupedCorpus: Q = (s, d) => {
-    val drop = connectedComponents(minhashLsh(s, d).select("doc_a", "doc_b"))
+  /** Textual near-dup drop list: non-representative members of the
+    * MinHash-cluster closure. Shared by [[dedupedCorpus]] and the
+    * multi-signal `pl_dedup_signals`. */
+  private[graft] def textDropIds(s: SparkSession, d: String): DataFrame =
+    connectedComponents(minhashLsh(s, d).select("doc_a", "doc_b"))
       .where(col("doc_id") =!= col("component_id"))
       .select("doc_id")
+
+  private val dedupedCorpus: Q = (s, d) =>
     Tables.documents(s, d).select("doc_id")
-      .join(drop, Seq("doc_id"), "left_anti")
-  }
+      .join(textDropIds(s, d), Seq("doc_id"), "left_anti")
 
   val queries: Map[String, Q] = Map(
     "dd_exact" -> exact,
@@ -394,6 +398,38 @@ object Dedup {
            list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
                           FOR i IN range(1, len(ts) - 1)]) s
          FROM tok)"""
+
+  /** The textual drop-list closure as `p`-prefixed CTEs (no leading
+    * WITH; caller supplies `WITH RECURSIVE`): ground-truth Jaccard ≥0.8
+    * pairs → transitive closure → `${p}drop(doc_id)` = non-representative
+    * members. Same construction as the `dd_dedup_corpus` oracle, with
+    * names prefixed so it composes with other closures in one query —
+    * the hash gate keeps the two renderings from drifting (both must
+    * match the same Spark operator). */
+  private[graft] def duckTextDropCte(p: String): String =
+    s"""${p}tok AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
+         FROM documents),
+       ${p}sh AS (
+         SELECT doc_id,
+           list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                          FOR i IN range(1, len(ts) - 1)]) s
+         FROM ${p}tok),
+       ${p}pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ${p}sh a JOIN ${p}sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+       ${p}edges AS (
+         SELECT doc_a AS s, doc_b AS t FROM ${p}pairs
+         UNION ALL SELECT doc_b, doc_a FROM ${p}pairs),
+       ${p}reach AS (
+         SELECT s, t FROM ${p}edges
+         UNION
+         SELECT r.s, e.t FROM ${p}reach r JOIN ${p}edges e ON r.t = e.s),
+       ${p}drop AS (
+         SELECT s AS doc_id FROM ${p}reach GROUP BY s
+         HAVING LEAST(s, MIN(t)) <> s)"""
 
   private val duckJaccardPairs =
     s"""$duckShingles

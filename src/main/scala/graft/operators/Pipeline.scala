@@ -851,7 +851,33 @@ object Pipeline {
       .union(skewLeg(s, d, "l_suppkey"))
       .union(skewLeg(s, d, "l_returnflag"))
 
+  /** Multi-signal dedup decision table — the corpus curation step that
+    * UNIONS the dedup families: for every document, whether it is a
+    * textual near-dup (non-representative member of a MinHash-cluster,
+    * `Dedup.textDropIds`) and/or a semantic near-dup (cosine-cluster,
+    * `Similarity.semDropIds` — embeddings are id-aligned with
+    * documents), and the final keep decision. A real pipeline drops on
+    * EITHER signal; the full decision table (not just survivors) is
+    * declared so downstream audits can ask "why was this dropped".
+    *
+    * 100 TB shape: each signal is its own already-scaled pipeline; the
+    * combine is two broadcast-able drop lists (|clusters| ≪ |corpus|)
+    * left-joined onto one id scan. */
+  private val dedupSignals: Q = (s, d) => {
+    val textDrop = Dedup.textDropIds(s, d).withColumn("t", lit(true))
+    val semDrop = Similarity.semDropIds(s, d)
+      .toDF("doc_id").withColumn("m", lit(true))
+    Tables.documents(s, d).select("doc_id")
+      .join(broadcast(textDrop), Seq("doc_id"), "left")
+      .join(broadcast(semDrop), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("t"), lit(false)).as("text_dup"),
+        coalesce(col("m"), lit(false)).as("sem_dup"))
+      .withColumn("kept", !col("text_dup") && !col("sem_dup"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "pl_dedup_signals" -> dedupSignals,
     "pl_skew_census" -> skewCensus,
     "pl_url_canon" -> urlCanon,
     "pl_shuffle_order" -> shuffleOrder,
@@ -921,6 +947,17 @@ object Pipeline {
         GROUP BY doc_id, n_grams"""
 
   val oracle: Map[String, String] = Map(
+    // both drop-list closures (textual Jaccard + semantic cosine) as
+    // prefixed CTEs from their owning operators, joined onto one scan
+    "pl_dedup_signals" ->
+      s"""WITH RECURSIVE ${Dedup.duckTextDropCte("t")},
+          ${Similarity.duckSemDropCte("m")}
+          SELECT d.doc_id,
+            d.doc_id IN (SELECT doc_id FROM tdrop) AS text_dup,
+            d.doc_id IN (SELECT vec_id FROM mdrop) AS sem_dup,
+            d.doc_id NOT IN (SELECT doc_id FROM tdrop)
+              AND d.doc_id NOT IN (SELECT vec_id FROM mdrop) AS kept
+          FROM documents d""",
     // per-column leg: groupBy census, then a 1-row rollup whose argmax
     // is the positional-lexicographic struct min — identical ordering
     // semantics in both engines

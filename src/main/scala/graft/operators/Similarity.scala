@@ -151,14 +151,17 @@ object Similarity {
     * O(1)-round resident state from `connectedComponents`, and the
     * final anti-join moves only the (small) drop list against the
     * corpus scan. */
-  private lazy val semDedupCorpus: Q = (s, d) => {
-    val pairs = cosinePairs(s, d).select(col("vec_a"), col("vec_b"))
-    val drop = Dedup.connectedComponents(pairs)
+  /** Semantic near-dup drop list: non-representative members of the
+    * cosine-cluster closure. Shared by [[semDedupCorpus]] and the
+    * multi-signal `pl_dedup_signals`. */
+  private[graft] def semDropIds(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(cosinePairs(s, d).select(col("vec_a"), col("vec_b")))
       .where(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("vec_id"))
+
+  private lazy val semDedupCorpus: Q = (s, d) =>
     Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      .join(drop, Seq("vec_id"), "left_anti")
-  }
+      .join(semDropIds(s, d), Seq("vec_id"), "left_anti")
 
   // ---- IVF scale path ---------------------------------------------------
   private val IvfLists = 16  // inverted lists (pseudo-centroids)
@@ -438,6 +441,38 @@ object Similarity {
     (0 until Bits_K).map { j =>
       s"(CASE WHEN ${dotSql(planes(t)(j))} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The semantic drop-list closure as `p`-prefixed CTEs (no leading
+    * WITH; caller supplies `WITH RECURSIVE`): LSH-bucket candidates +
+    * exact cosine ≥ 0.45 pairs → transitive closure →
+    * `${p}drop(vec_id)` = non-representative members. The prefixed twin
+    * of the `sim_dedup_corpus` oracle body, for composition with other
+    * closures; the hash gate keeps the renderings aligned. */
+  private[graft] def duckSemDropCte(p: String): String =
+    s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        ${p}b AS (SELECT vec_id,
+                    unnest([${(0 until Tables_L).mkString(", ")}]) AS table_id,
+                    unnest([${(0 until Tables_L).map(bucketSql).mkString(", ")}]) AS bucket
+                  FROM ${p}e),
+        ${p}cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                     FROM ${p}b x JOIN ${p}b y
+                       ON x.table_id = y.table_id AND x.bucket = y.bucket
+                      AND x.vec_id < y.vec_id),
+        ${p}pairs AS (
+          SELECT vec_a, vec_b
+          FROM ${p}cand JOIN ${p}e ea ON ea.vec_id = vec_a
+                        JOIN ${p}e eb ON eb.vec_id = vec_b
+          WHERE ${cosSql("ea.v", "eb.v")} >= 0.45),
+        ${p}edges AS (
+          SELECT vec_a AS s, vec_b AS t FROM ${p}pairs
+          UNION ALL SELECT vec_b, vec_a FROM ${p}pairs),
+        ${p}reach AS (
+          SELECT s, t FROM ${p}edges
+          UNION
+          SELECT r.s, e2.t FROM ${p}reach r JOIN ${p}edges e2 ON r.t = e2.s),
+        ${p}drop AS (
+          SELECT s AS vec_id FROM ${p}reach GROUP BY s
+          HAVING LEAST(s, MIN(t)) <> s)"""
 
   /** CTE `b(vec_id, table_id, bucket)` — DuckDB zips parallel unnests. */
   private def bucketsCte: String =

@@ -370,4 +370,20 @@ class PipelineSpec extends SparkSpec {
       assert(r.getLong(4) <= r.getLong(1) && r.getLong(2) <= r.getLong(1))
     }
   }
+
+  test("dedup_signals: each signal column agrees with its owning corpus operator") {
+    val rows = Pipeline.queries("pl_dedup_signals")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    val textKept = rows.filter(!_._2).map(_._1).toSet
+    val semKept = rows.filter(!_._3).map(_._1).toSet
+    val ddCorpus = graft.SparkEntry.queries("dd_dedup_corpus")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val simCorpus = graft.SparkEntry.queries("sim_dedup_corpus")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(textKept == ddCorpus)
+    assert(semKept == simCorpus)
+    // the fixture exercises both signals, and kept is their conjunction
+    assert(rows.exists(_._2) && rows.exists(_._3))
+    rows.foreach { case (_, t, m, k) => assert(k == (!t && !m)) }
+  }
 }
