@@ -400,7 +400,11 @@ object Similarity {
     * [[SimilaritySpec]]. */
   private lazy val topkIvfTrained: Q = (s, d) => {
     val codes = sq8Codes(s, d)
-    val cents = trainedCents(codes, KmeansIters)
+    // the trained centroid table is k rows but its PLAN is the whole
+    // 2-round training; it feeds BOTH the corpus assignment and the
+    // query probe ranking, so checkpoint it eagerly or the training
+    // chain executes twice
+    val cents = trainedCents(codes, KmeansIters).localCheckpoint(true)
     val corpus = assignNearest(codes, cents)
       .select(col("vec_id"), col("q"), col("cid"))
     val qs = rankCentroids(codes.where(col("vec_id") < 10), cents)

@@ -303,10 +303,16 @@ object TextAnalysis {
   private val BpeMerges = 4
   private lazy val bpeLearn: Q = (s, d) => {
     import s.implicits._
-    var seqs = Tables.documents(s, d)
+    // the census is |vocab|-sized — checkpoint it ONCE so the corpus is
+    // scanned exactly once and every round's pair rollup (plus a
+    // caller's encode pass) replans from the in-memory census, not the
+    // corpus; dropped before returning (the output is literal rows)
+    val census = Tables.documents(s, d)
       .select(explode(expr(tokExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .withColumn("seq", expr("' ' || regexp_replace(w, '(.)', '$1 ')"))
+      .localCheckpoint(true)
+    var seqs: DataFrame = census
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     (1 to BpeMerges).foreach { m =>
       val best = seqs
@@ -326,6 +332,7 @@ object TextAnalysis {
       // so the delimited search string is unambiguous
       seqs = seqs.withColumn("seq", expr(s"replace(seq, ' $x $y ', ' $x$y ')"))
     }
+    graft.Checkpoints.drop(census) // learning is done; free the blocks
     merges.result().toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
