@@ -5,32 +5,43 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints one JSON line.
   *
   * Queries run in sorted-name order, partitioned into CHUNKS of
-  * SPARK_GRAFT_RESTART_EVERY queries (default 16; 0 = one session for
-  * the whole sweep, the pre-round-7 protocol). Each chunk gets a FRESH
-  * SparkSession and the previous one is stopped. Why: three consecutive
-  * rounds of driver benches produced >2x "regressions" on unchanged
-  * code, with reps RISING within a query and ~0 GC delta. The round-6
-  * detail held the tell — `gc_sec` ≈ 0 for nearly every query: with a
-  * 128 GiB heap, GC almost never fires, and Spark's ContextCleaner is
-  * GC-DRIVEN (it cleans shuffles/broadcasts/accumulators only when
-  * their weak references are enqueued). No GC → no cleanup → 130
-  * queries × 3 reps accumulate broadcast blocks, shuffle files, and
-  * listener/status state in one JVM, and everything sorted later pays
-  * a growing tax that per-rep block hygiene cannot reach (it only drops
-  * EXPLICIT caches/checkpoints). Stopping the SparkContext deletes the
-  * shuffle dirs, drops the block manager, and resets listener state —
-  * while the JVM stays hot (JIT + the static codegen class cache
-  * survive), so the restart cost lands OUTSIDE the timed regions and
-  * the timed reps keep full warm-up. Isolated A/B
-  * (`SPARK_GRAFT_ONLY=q05_nation` vs the in-sweep number) confirmed the
-  * sweep tax: 2.47 s in-sweep vs ~1.0 s isolated on identical code.
+  * SPARK_GRAFT_RESTART_EVERY queries (default 1 = per-query session
+  * isolation; 0 = one session for the whole sweep, the pre-round-7
+  * protocol). Each chunk gets a FRESH SparkSession and the previous
+  * one is stopped. Why: three consecutive rounds of driver benches
+  * produced >2x "regressions" on unchanged code, with reps RISING
+  * within a query and ~0 GC delta. The round-6 detail held the tell —
+  * `gc_sec` ≈ 0 for nearly every query: with a 128 GiB heap, GC almost
+  * never fires, and Spark's ContextCleaner is GC-DRIVEN (it cleans
+  * shuffles/broadcasts/accumulators only when their weak references
+  * are enqueued). No GC → no cleanup → 130+ queries × 3 reps
+  * accumulate broadcast blocks, shuffle files, and listener/status
+  * state in one JVM, and everything sorted later pays a growing tax
+  * that per-rep block hygiene cannot reach (it only drops EXPLICIT
+  * caches/checkpoints). Stopping the SparkContext deletes the shuffle
+  * dirs, drops the block manager, and resets listener state — while
+  * the JVM stays hot (JIT + the static codegen class cache survive),
+  * so the restart cost lands OUTSIDE the timed regions. Isolated A/B
+  * (`SPARK_GRAFT_ONLY=q05_nation` vs the in-sweep number) confirmed
+  * the sweep tax: 2.47 s in-sweep vs ~1.0 s isolated on identical code.
   *
-  * Each chunk's first query runs once untimed as warm-up (parquet
-  * footer reads + first codegen land there, matching the old
-  * protocol's single warm-up); each query is then timed end-to-end
-  * (plan + execute + count) SPARK_GRAFT_REPS times (default 3) and
-  * reports the MEDIAN — a single cold rep (fresh-session broadcast
-  * pools, page cache) is absorbed by the median.
+  * Default 1 (not a larger chunk) because chunk COMPOSITION is itself
+  * a confounder: measured at chunk=16, a heavy iterative query
+  * (gr_pagerank) landing in a chunk before fast scan queries taxed its
+  * chunk-mates up to 7x (mr_count_histogram 0.38→2.59 s purely from a
+  * 2-name shift in sorted order when queries were added). Per-query
+  * sessions make every number independent of what else is declared —
+  * the property a regression gate actually needs. Cost: ~136 sequential
+  * context restarts ≈ +2 min wall, all outside the timed regions.
+  *
+  * Multi-query chunks warm up on the chunk's first query (footer reads
+  * + first codegen outside the clock); single-query chunks skip the
+  * separate warm-up — it would be a 4th execution of the query itself,
+  * which for self-churning iterative queries inflates later reps'
+  * shuffle state more than the cold rep costs. Each query is timed
+  * end-to-end (plan + execute + count) SPARK_GRAFT_REPS times (default
+  * 3) and reports the MEDIAN — the one cold rep (fresh-session pools,
+  * first codegen) is absorbed by the median.
   *
   * BLOCK HYGIENE between reps (within a chunk): queries that
   * materialize state (`localCheckpoint`, `cache`) leave storage blocks
@@ -57,7 +68,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val restartEvery =
-      sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "16").toInt
+      sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "1").toInt
     // SPARK_GRAFT_ONLY=<substring> restricts the run for single-query
     // diagnosis; unset (the driver's case) runs everything.
     // SPARK_GRAFT_KEEP_BLOCKS=1 skips per-rep block hygiene — the A/B
@@ -95,9 +106,16 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
       }
       // warm-up: first query of the chunk once (footer reads, first
-      // codegen, fresh-session thread pools — all outside the clock)
-      try { chunk.head._2(spark, sfDir).count() } catch { case _: Throwable => }
-      dropBlocks()
+      // codegen, fresh-session thread pools — all outside the clock).
+      // SKIPPED for single-query chunks: there the warm-up would be a
+      // 4th execution of the query itself in one session, which for
+      // self-churning iterative queries (dd_components) inflates the
+      // later reps' shuffle-file state more than the cold rep costs —
+      // the median of 3 absorbs the one cold rep instead.
+      if (chunk.size > 1) {
+        try { chunk.head._2(spark, sfDir).count() } catch { case _: Throwable => }
+        dropBlocks()
+      }
       // a failed rep is excluded from the median; a query with zero
       // successful reps reports the -1 sentinel (a broken query must
       // read as broken, never as a fast success)
