@@ -236,6 +236,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> bpeTokens,
     "ta_bpe_learn" -> bpeLearn,
     "ta_bpe_apply" -> bpeApply,
+    "ta_bpe_vocab" -> bpeVocab,
     "ta_typicality" -> typicality,
     "ta_zipf" -> zipf,
   )
@@ -254,6 +255,26 @@ object TextAnalysis {
     * CTEs and applies them through a CROSS JOIN of the four 1-row
     * tables — learning is deterministic, so literal-vs-CTE is the
     * same model. */
+  /** The learned VOCABULARY — the artifact a tokenizer ships: every
+    * symbol surviving the merges with its corpus occurrence count
+    * (word-census counts re-weighted through the same literal replace
+    * chain as [[bpeApply]]). |symbols| ≈ |alphabet| + |merges| rows, so
+    * the output is dictionary-sized at any corpus size; the spec closes
+    * the mass loop (Σ n_occurrences = Σ `ta_bpe_apply.n_symbols`). */
+  private lazy val bpeVocab: Q = (s, d) => {
+    val merges = bpeLearn(s, d).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val seq0 = "' ' || regexp_replace(w, '(.)', '$1 ')"
+    val merged = merges.foldLeft(seq0) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x $y ', ' $x$y ')"
+    }
+    Tables.documents(s, d)
+      .select(explode(expr(tokExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(explode(expr(s"split(trim($merged), ' ')")).as("symbol"), col("wc"))
+      .groupBy("symbol").agg(sum(col("wc")).as("n_occurrences"))
+  }
+
   private lazy val bpeApply: Q = (s, d) => {
     val merges = bpeLearn(s, d).collect()
       .sortBy(_.getInt(0))
@@ -534,6 +555,37 @@ object TextAnalysis {
           UNION ALL SELECT 2, x, y, CAST(n AS BIGINT) FROM b2
           UNION ALL SELECT 3, x, y, CAST(n AS BIGINT) FROM b3
           UNION ALL SELECT 4, x, y, CAST(n AS BIGINT) FROM b4"""
+    },
+    // learn CTEs re-derive the merges, then the census re-segments and
+    // the symbol rollup weights by word count
+    "ta_bpe_vocab" -> {
+      def round(prev: String, m: Int) =
+        s"""p$m AS (
+              SELECT pr.x AS x, pr.y AS y, sum(wc) AS n
+              FROM (SELECT wc, str_split(trim(seq), ' ') AS a FROM $prev),
+                   unnest([{'x': a[i], 'y': a[i+1]}
+                           FOR i IN range(1, len(a))]) AS t(pr)
+              GROUP BY 1, 2),
+            b$m AS (SELECT x AS x$m, y AS y$m FROM p$m
+                    ORDER BY n DESC, x, y LIMIT 1),
+            s$m AS (
+              SELECT w, wc,
+                replace(seq, ' ' || x$m || ' ' || y$m || ' ',
+                        ' ' || x$m || y$m || ' ') AS seq
+              FROM $prev CROSS JOIN b$m)"""
+      s"""WITH words AS (
+            SELECT w, count(*) AS wc
+            FROM (SELECT unnest($duckTok) AS w FROM documents) GROUP BY w),
+          s0 AS (SELECT w, wc,
+                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+                 FROM words),
+          ${round("s0", 1)},
+          ${round("s1", 2)},
+          ${round("s2", 3)},
+          ${round("s3", 4)}
+          SELECT symbol, CAST(sum(wc) AS BIGINT) AS n_occurrences
+          FROM (SELECT wc, unnest(str_split(trim(seq), ' ')) AS symbol FROM s4)
+          GROUP BY symbol"""
     },
     // the learn CTEs re-derive the 4 merges (learning is deterministic,
     // so the Spark side's collected literals are the same model), then

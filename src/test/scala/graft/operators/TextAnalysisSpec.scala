@@ -148,4 +148,19 @@ class TextAnalysisSpec extends SparkSpec {
     val symbols = got.map(_.getLong(2)).sum
     assert(symbols < chars)
   }
+
+  test("bpe_vocab: dictionary-sized, contains the merged symbols, closes the mass loop") {
+    val vocab = TextAnalysis.queries("ta_bpe_vocab")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = TextAnalysis.queries("ta_bpe_learn")(spark, sfDir)
+      .collect().map(r => r.getString(1) + r.getString(2))
+    // every learned merge survives as a vocabulary symbol
+    merges.foreach(m => assert(vocab.contains(m), s"merged symbol $m missing"))
+    // total symbol mass equals the encode pass's total symbol count
+    val applyMass = TextAnalysis.queries("ta_bpe_apply")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_symbols")).head.getLong(0)
+    assert(vocab.values.sum == applyMass)
+    // dictionary-sized: alphabet + merges, nowhere near corpus-sized
+    assert(vocab.size < 100, s"vocab unexpectedly large: ${vocab.size}")
+  }
 }
