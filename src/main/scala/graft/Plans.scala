@@ -45,6 +45,8 @@ object Plans {
     "sim_topk_ivf_trained", // kmeans-trained lists, broadcast probe join
     "ta_bpe_apply",         // learned-merge encode: one narrow projection
     "mm_frame_dupes",       // df-capped frame-hash inverted index join
+    "pl_skew_census",       // per-column partial-agg legs, min(struct) argmax
+    "pl_dedup_signals",     // two broadcast drop lists onto one id scan
   )
 
   def main(args: Array[String]): Unit = {
