@@ -258,9 +258,11 @@ object Events {
     * DuckDB errors — a loud stop, never a silent wrong answer. */
   private val anomaly: Q = (s, d) => {
     val g = hourGrid(s, d).select("event_type", "bucket", "n")
+    // ss must be WIDE at the aggregation itself: a raw long n*n wraps
+    // silently (non-ANSI) before any downstream cast could save it
     val stats = g.groupBy("event_type").agg(
       count(lit(1)).as("c"), sum(col("n")).as("s"),
-      sum(col("n") * col("n")).as("ss"))
+      sum(expr("CAST(n AS DECIMAL(19,0)) * n")).as("ss"))
     g.join(broadcast(stats), "event_type")
       .where(expr(
         """(CAST(n AS DECIMAL(19,0)) * c - s) * (CAST(n AS DECIMAL(19,0)) * c - s)
@@ -355,7 +357,8 @@ object Events {
       s"""$duckGrid,
          stats AS (
            SELECT event_type, count(*) AS c,
-             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+             CAST(sum(n) AS BIGINT) AS s,
+             sum(CAST(n AS HUGEINT) * n) AS ss
            FROM g GROUP BY event_type)
          SELECT g.event_type, g.bucket, g.n,
            c AS n_buckets, s AS total_n

@@ -187,7 +187,7 @@ object Multimodal {
     * frames, silence, intro cards), not dedup signal, and without the
     * cap that ONE bucket is quadratic (10⁶ docs sharing a black frame
     * = 10¹² pairs from a single hash). */
-  private val FrameDfCap = 256
+  private[graft] val FrameDfCap = 256
 
   /** Video-level near-dup via shared frame fingerprints — the
     * multimodal dedup step: two payloads are near-dup candidates when

@@ -399,12 +399,18 @@ object Similarity {
     * brute force is pinned ≥ the pseudo-centroid path's in
     * [[SimilaritySpec]]. */
   private lazy val topkIvfTrained: Q = (s, d) => {
+    import s.implicits._
     val codes = sq8Codes(s, d)
     // the trained centroid table is k rows but its PLAN is the whole
-    // 2-round training; it feeds BOTH the corpus assignment and the
-    // query probe ranking, so checkpoint it eagerly or the training
-    // chain executes twice
-    val cents = trainedCents(codes, KmeansIters).localCheckpoint(true)
+    // 2-round training, and it feeds BOTH the corpus assignment and the
+    // query probe ranking — materialize the k rows on the driver (the
+    // bounded model-update discipline, like bpeLearn's merges) and
+    // rebuild a LocalRelation: training runs exactly once, and unlike a
+    // localCheckpoint there are no resident blocks to leak on a shared
+    // session after the query is consumed
+    val cents = trainedCents(codes, KmeansIters).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .toSeq.toDF("cid", "cq")
     val corpus = assignNearest(codes, cents)
       .select(col("vec_id"), col("q"), col("cid"))
     val qs = rankCentroids(codes.where(col("vec_id") < 10), cents)

@@ -241,20 +241,20 @@ object TextAnalysis {
     "ta_zipf" -> zipf,
   )
 
-  /** ENCODE with the learned merges — the tokenizer story's second
-    * half: [[bpeLearn]]'s 4 merges applied in rank order to every
-    * document's words, reporting the per-doc symbol count under the
-    * learned vocabulary next to the whitespace token count. A training
-    * pipeline budgets sequence lengths against exactly this number.
-    *
-    * The learned pairs are collected (4 rows — the same bounded model
-    * materialization as [[bpeLearn]]) and folded in as literal
-    * `replace` chains, so the whole encode is ONE narrow codegen'd
-    * projection over the corpus: no join, no shuffle, scan-bound at
-    * any scale. The oracle re-derives the same 4 merges via the learn
-    * CTEs and applies them through a CROSS JOIN of the four 1-row
-    * tables — learning is deterministic, so literal-vs-CTE is the
-    * same model. */
+  /** The learned merges applied to a word `w` as ONE literal SQL
+    * expression: the rank-ordered replace chain over the delimited
+    * symbol string. Runs [[bpeLearn]] (bounded 4-row driver
+    * materialization) at plan-build time; shared by [[bpeApply]] and
+    * [[bpeVocab]] so the declared merge semantics have exactly one
+    * Spark-side rendering. */
+  private def learnedMergeExpr(s: SparkSession, d: String): String = {
+    val merges = bpeLearn(s, d).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    merges.foldLeft("' ' || regexp_replace(w, '(.)', '$1 ')") {
+      case (acc, (x, y)) => s"replace($acc, ' $x $y ', ' $x$y ')"
+    }
+  }
+
   /** The learned VOCABULARY — the artifact a tokenizer ships: every
     * symbol surviving the merges with its corpus occurrence count
     * (word-census counts re-weighted through the same literal replace
@@ -262,12 +262,7 @@ object TextAnalysis {
     * the output is dictionary-sized at any corpus size; the spec closes
     * the mass loop (Σ n_occurrences = Σ `ta_bpe_apply.n_symbols`). */
   private lazy val bpeVocab: Q = (s, d) => {
-    val merges = bpeLearn(s, d).collect()
-      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
-    val seq0 = "' ' || regexp_replace(w, '(.)', '$1 ')"
-    val merged = merges.foldLeft(seq0) { case (acc, (x, y)) =>
-      s"replace($acc, ' $x $y ', ' $x$y ')"
-    }
+    val merged = learnedMergeExpr(s, d)
     Tables.documents(s, d)
       .select(explode(expr(tokExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
@@ -275,14 +270,22 @@ object TextAnalysis {
       .groupBy("symbol").agg(sum(col("wc")).as("n_occurrences"))
   }
 
+  /** ENCODE with the learned merges — the tokenizer story's second
+    * half: [[bpeLearn]]'s 4 merges applied in rank order to every
+    * document's words, reporting the per-doc symbol count under the
+    * learned vocabulary next to the whitespace token count. A training
+    * pipeline budgets sequence lengths against exactly this number.
+    *
+    * The learned pairs are collected (4 rows — the same bounded model
+    * materialization as [[bpeLearn]]) and folded in as the literal
+    * [[learnedMergeExpr]] chain, so the whole encode is ONE narrow
+    * codegen'd projection over the corpus: no join, no shuffle,
+    * scan-bound at any scale. The oracle re-derives the same 4 merges
+    * via the learn CTEs and applies them through a CROSS JOIN of the
+    * four 1-row tables — learning is deterministic, so literal-vs-CTE
+    * is the same model. */
   private lazy val bpeApply: Q = (s, d) => {
-    val merges = bpeLearn(s, d).collect()
-      .sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2)))
-    val seq0 = "' ' || regexp_replace(w, '(.)', '$1 ')"
-    val merged = merges.foldLeft(seq0) { case (acc, (x, y)) =>
-      s"replace($acc, ' $x $y ', ' $x$y ')"
-    }
+    val merged = learnedMergeExpr(s, d)
     Tables.documents(s, d)
       .selectExpr(
         "doc_id",
@@ -387,6 +390,38 @@ object TextAnalysis {
       "length(regexp_replace(text, '[^ ]', '')) / length(text) AS space_ratio")
 
   private def duckTok = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** The BPE learning rounds as CTEs (word census -> s0 -> 4 rounds):
+    * each round m exposes `b$m(x$m, y$m, n$m)` (the winning pair) and
+    * `s$m` (the re-segmented census). The ONE DuckDB rendering of the
+    * declared merge semantics, shared by the ta_bpe_learn / vocab /
+    * apply oracles so the contract cannot drift between them. */
+  private def duckBpeRounds: String = {
+    def round(prev: String, m: Int) =
+      s"""p$m AS (
+            SELECT pr.x AS x, pr.y AS y, sum(wc) AS n
+            FROM (SELECT wc, str_split(trim(seq), ' ') AS a FROM $prev),
+                 unnest([{'x': a[i], 'y': a[i+1]}
+                         FOR i IN range(1, len(a))]) AS t(pr)
+            GROUP BY 1, 2),
+          b$m AS (SELECT x AS x$m, y AS y$m, n AS n$m FROM p$m
+                  ORDER BY n DESC, x, y LIMIT 1),
+          s$m AS (
+            SELECT w, wc,
+              replace(seq, ' ' || x$m || ' ' || y$m || ' ',
+                      ' ' || x$m || y$m || ' ') AS seq
+            FROM $prev CROSS JOIN b$m)"""
+    s"""words AS (
+          SELECT w, count(*) AS wc
+          FROM (SELECT unnest($duckTok) AS w FROM documents) GROUP BY w),
+        s0 AS (SELECT w, wc,
+                 ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+               FROM words),
+        ${round("s0", 1)},
+        ${round("s1", 2)},
+        ${round("s2", 3)},
+        ${round("s3", 4)}"""
+  }
 
   val oracle: Map[String, String] = Map(
     "ta_token_stats" ->
@@ -523,102 +558,34 @@ object TextAnalysis {
               AS fragmentation
           FROM documents"""
     },
-    // the BpeMerges learning rounds unrolled as CTEs: pair rollup over
-    // the word census, 1-row best pick, one-pass delimited replace —
-    // the same declared merge semantics as the Spark side
-    "ta_bpe_learn" -> {
-      def round(prev: String, m: Int) =
-        s"""p$m AS (
-              SELECT pr.x AS x, pr.y AS y, sum(wc) AS n
-              FROM (SELECT wc, str_split(trim(seq), ' ') AS a FROM $prev),
-                   unnest([{'x': a[i], 'y': a[i+1]}
-                           FOR i IN range(1, len(a))]) AS t(pr)
-              GROUP BY 1, 2),
-            b$m AS (SELECT x, y, n FROM p$m ORDER BY n DESC, x, y LIMIT 1),
-            s$m AS (
-              SELECT w, wc,
-                replace(seq, ' ' || x || ' ' || y || ' ',
-                        ' ' || x || y || ' ') AS seq
-              FROM $prev CROSS JOIN b$m)"""
-      s"""WITH words AS (
-            SELECT w, count(*) AS wc
-            FROM (SELECT unnest($duckTok) AS w FROM documents) GROUP BY w),
-          s0 AS (SELECT w, wc,
-                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
-                 FROM words),
-          ${round("s0", 1)},
-          ${round("s1", 2)},
-          ${round("s2", 3)},
-          ${round("s3", 4)}
-          SELECT 1 AS merge_rank, x AS left_sym, y AS right_sym,
-            CAST(n AS BIGINT) AS pair_count FROM b1
-          UNION ALL SELECT 2, x, y, CAST(n AS BIGINT) FROM b2
-          UNION ALL SELECT 3, x, y, CAST(n AS BIGINT) FROM b3
-          UNION ALL SELECT 4, x, y, CAST(n AS BIGINT) FROM b4"""
-    },
-    // learn CTEs re-derive the merges, then the census re-segments and
-    // the symbol rollup weights by word count
-    "ta_bpe_vocab" -> {
-      def round(prev: String, m: Int) =
-        s"""p$m AS (
-              SELECT pr.x AS x, pr.y AS y, sum(wc) AS n
-              FROM (SELECT wc, str_split(trim(seq), ' ') AS a FROM $prev),
-                   unnest([{'x': a[i], 'y': a[i+1]}
-                           FOR i IN range(1, len(a))]) AS t(pr)
-              GROUP BY 1, 2),
-            b$m AS (SELECT x AS x$m, y AS y$m FROM p$m
-                    ORDER BY n DESC, x, y LIMIT 1),
-            s$m AS (
-              SELECT w, wc,
-                replace(seq, ' ' || x$m || ' ' || y$m || ' ',
-                        ' ' || x$m || y$m || ' ') AS seq
-              FROM $prev CROSS JOIN b$m)"""
-      s"""WITH words AS (
-            SELECT w, count(*) AS wc
-            FROM (SELECT unnest($duckTok) AS w FROM documents) GROUP BY w),
-          s0 AS (SELECT w, wc,
-                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
-                 FROM words),
-          ${round("s0", 1)},
-          ${round("s1", 2)},
-          ${round("s2", 3)},
-          ${round("s3", 4)}
+    // the BpeMerges learning rounds unrolled as CTEs (shared builder
+    // duckBpeRounds - ONE oracle rendering of the declared merge
+    // semantics for learn/vocab/apply)
+    "ta_bpe_learn" ->
+      s"""WITH $duckBpeRounds
+          SELECT 1 AS merge_rank, x1 AS left_sym, y1 AS right_sym,
+            CAST(n1 AS BIGINT) AS pair_count FROM b1
+          UNION ALL SELECT 2, x2, y2, CAST(n2 AS BIGINT) FROM b2
+          UNION ALL SELECT 3, x3, y3, CAST(n3 AS BIGINT) FROM b3
+          UNION ALL SELECT 4, x4, y4, CAST(n4 AS BIGINT) FROM b4""",
+    // s4 carries the fully-merged census; the symbol rollup weights by
+    // word count
+    "ta_bpe_vocab" ->
+      s"""WITH $duckBpeRounds
           SELECT symbol, CAST(sum(wc) AS BIGINT) AS n_occurrences
           FROM (SELECT wc, unnest(str_split(trim(seq), ' ')) AS symbol FROM s4)
-          GROUP BY symbol"""
-    },
-    // the learn CTEs re-derive the 4 merges (learning is deterministic,
+          GROUP BY symbol""",
+    // the b1..b4 pairs re-derive the merges (learning is deterministic,
     // so the Spark side's collected literals are the same model), then
     // one scan applies the ranked replace chain per word
     "ta_bpe_apply" -> {
-      def round(prev: String, m: Int) =
-        s"""p$m AS (
-              SELECT pr.x AS x, pr.y AS y, sum(wc) AS n
-              FROM (SELECT wc, str_split(trim(seq), ' ') AS a FROM $prev),
-                   unnest([{'x': a[i], 'y': a[i+1]}
-                           FOR i IN range(1, len(a))]) AS t(pr)
-              GROUP BY 1, 2),
-            b$m AS (SELECT x AS x$m, y AS y$m FROM p$m
-                    ORDER BY n DESC, x, y LIMIT 1),
-            s$m AS (
-              SELECT w, wc,
-                replace(seq, ' ' || x$m || ' ' || y$m || ' ',
-                        ' ' || x$m || y$m || ' ') AS seq
-              FROM $prev CROSS JOIN b$m)"""
-      val seq0 = """' ' || regexp_replace(w, '(.)', '\1 ', 'g')"""
-      val merged = (1 to 4).foldLeft(seq0) { (acc, m) =>
+      val merged = (1 to 4).foldLeft(
+        // plain triple-quote: no escape processing, so \1 here is the
+        // single-backslash RE2 group reference DuckDB needs
+        """' ' || regexp_replace(w, '(.)', '\1 ', 'g')""") { (acc, m) =>
         s"replace($acc, ' ' || x$m || ' ' || y$m || ' ', ' ' || x$m || y$m || ' ')"
       }
-      s"""WITH words AS (
-            SELECT w, count(*) AS wc
-            FROM (SELECT unnest($duckTok) AS w FROM documents) GROUP BY w),
-          s0 AS (SELECT w, wc,
-                   ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
-                 FROM words),
-          ${round("s0", 1)},
-          ${round("s1", 2)},
-          ${round("s2", 3)},
-          ${round("s3", 4)}
+      s"""WITH $duckBpeRounds
           SELECT doc_id, len(toks) AS n_ws_tokens,
             CAST(COALESCE(list_sum(list_transform(toks,
               w -> len(str_split(trim($merged), ' ')))), 0) AS BIGINT)

@@ -55,7 +55,7 @@ class MultimodalSpec extends SparkSpec {
     val raw = Multimodal.queries("mm_frame_sample")(spark, sfDir)
       .select("doc_id", "frame_md5").distinct()
     val okHash = raw.groupBy("frame_md5")
-      .agg(count(lit(1)).as("fp_df")).where(col("fp_df") <= 256)
+      .agg(count(lit(1)).as("fp_df")).where(col("fp_df") <= Multimodal.FrameDfCap)
     val fr = raw.join(okHash.select("frame_md5"), "frame_md5")
       .groupBy("doc_id").agg(collect_set(col("frame_md5")).as("fps"))
     val bad = dupes

@@ -128,15 +128,25 @@ class RelationalPlanSpec extends SparkSpec {
   test("sim kmeans/trained-IVF: corpus assignment is a partial-aggregated argmin, not a window sort") {
     // the only BroadcastNestedLoop allowed is the k-row centroid
     // cross join (bounded by k=8); the corpus-wide argmin must plan as
-    // a two-phase HashAggregate (partial_min before the exchange), and
-    // the only Window allowed in trained-IVF is the |Q|-side probe
-    // ranking + the final per-query top-5
+    // a two-phase HashAggregate (partial_min before the exchange)
     val km = Similarity.queries("sim_kmeans_sq8")(spark, sfDir)
     km.collect()
     val kp = km.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(kp.contains("partial_min"), kp)
     assert(!kp.contains("Window"), kp)
+    // trained IVF: the only Window nodes are the |Q|-side probe ranking
+    // and the final per-query top-5 — never a corpus-wide window (the
+    // shape assignNearest exists to avoid); centroids arrive as a
+    // driver-materialized LocalRelation, so no training subtree either
+    val tr = Similarity.queries("sim_topk_ivf_trained")(spark, sfDir)
+    tr.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // Window operator nodes in the FINAL plan section only
+    val tp = tr.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(tp.contains("partial_min"), tp)
+    val windowNodes = tp.split('\n').count(_.matches("\\s*[+:|\\- ]*Window .*"))
+    assert(windowNodes <= 2, s"expected <=2 Window operator nodes, plan:\n$tp")
   }
 
   test("sim_topk_ivf: corpus side never shuffles before the top-k window") {
