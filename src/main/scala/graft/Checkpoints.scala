@@ -28,7 +28,20 @@ object Checkpoints {
 
   /** Drop a finished round's checkpoint blocks. Blocking, so the removal
     * completes before the next round's work rather than running on
-    * block-manager threads during it. */
+    * block-manager threads during it.
+    *
+    * STRICT: every caller passes a frame it just eagerly
+    * `localCheckpoint`ed, so a non-[[LogicalRDD]] plan here means the
+    * handle was derived (a select over the checkpoint) or a Spark
+    * upgrade changed the checkpoint plan shape — either way the
+    * O(rounds × |state|) residency leak this class exists to prevent
+    * would silently return. Fail loudly instead of no-op'ing. */
   def drop(df: DataFrame): Unit =
-    backingRdd(df).foreach(_.unpersist(blocking = true))
+    backingRdd(df) match {
+      case Some(rdd) => rdd.unpersist(blocking = true)
+      case None => throw new IllegalStateException(
+        "Checkpoints.drop: frame is not a bare LogicalRDD leaf — " +
+        "pass the localCheckpoint()ed frame itself, not a derivation; " +
+        s"got plan class ${df.queryExecution.analyzed.getClass.getName}")
+    }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Synchronous inter-rep session-state drain for the bench protocol.
+  *
+  * Why this exists: Spark's ContextCleaner is GC-driven, and on the
+  * 128 GiB bench heap GC essentially never fires — so even with
+  * per-QUERY session isolation (round 7), an iterative query's own 3
+  * reps accumulate shuffle files, map-output status broadcasts, and
+  * listener backlog inside their shared session. Measured in isolation
+  * (fresh session, single query): gr_pagerank reps 3.23 / 3.69 /
+  * 14.2 s — the third rep pays the first two reps' un-collected state.
+  * Per-rep block hygiene (clearCache + unpersist) cannot reach shuffle
+  * state: it only drops explicit caches/checkpoints.
+  *
+  * System.gc() between reps was measured and REJECTED (round 7,
+  * BASELINE.md): it merely enqueues weak references whose cleanups then
+  * run ASYNC on block-manager threads DURING the next timed rep. This
+  * drain instead performs exactly the cleanup the ContextCleaner would,
+  * but synchronously (blocking = true) and between reps, outside the
+  * timed region:
+  *
+  *  1. unregister every shuffle the MapOutputTrackerMaster still knows
+  *     (deletes shuffle files and the tracker's status broadcasts);
+  *  2. remove every broadcast block still resident in the block manager;
+  *  3. wait for the listener bus to empty, so no backlog flush lands in
+  *     the next timed rep (the round-7 rep-3 spikes on
+  *     adv_approx_distinct / ev_user_path had that signature).
+  *
+  * Safety: every rep rebuilds its DataFrame from the loader, so no live
+  * plan can reference a previous rep's shuffle or broadcast; the caller
+  * unpersists explicit caches/checkpoints first. This is bench-only
+  * tooling — production queries rely on the normal GC-driven cleaner.
+  *
+  * Mechanics: the members involved are private[spark], which is PUBLIC
+  * at the bytecode level, so plain Java reflection reaches them without
+  * any compile-time dependence on Spark-internal Scala visibility.
+  * The whole drain is best-effort: on any reflection mismatch (e.g. a
+  * Spark upgrade renames a member) it degrades to a no-op and flips
+  * `healthy` to false, which Bench surfaces as "drain_ok" in its JSON —
+  * a degraded drain must be visible, never silent.
+  */
+object StateDrain {
+  @volatile var healthy = true
+
+  private def call(obj: AnyRef, name: String, args: AnyRef*): AnyRef = {
+    val m = obj.getClass.getMethods
+      .find(m => m.getName == name && m.getParameterCount == args.length)
+      .getOrElse(throw new NoSuchMethodException(
+        s"${obj.getClass.getName}.$name/${args.length}"))
+    m.invoke(obj, args: _*)
+  }
+
+  def apply(spark: SparkSession): Unit = try {
+    val sc  = spark.sparkContext
+    val env = org.apache.spark.SparkEnv.get
+    val cleaner = call(sc, "cleaner").asInstanceOf[Option[AnyRef]]
+      .getOrElse(throw new IllegalStateException("ContextCleaner disabled"))
+
+    // 1. shuffles — enumerate live ids from the tracker, clean each.
+    //    doCleanupShuffle = unregisterShuffle (tracker state + status
+    //    broadcast) + removeShuffle(blocking) (the on-disk files).
+    val tracker = call(env, "mapOutputTracker")
+    val shuffleIds = call(tracker, "shuffleStatuses")
+      .asInstanceOf[scala.collection.concurrent.Map[AnyRef, AnyRef]]
+      .keySet.toSeq
+    shuffleIds.foreach { id =>
+      call(cleaner, "doCleanupShuffle", id, java.lang.Boolean.TRUE)
+    }
+
+    // 2. broadcasts — enumerate resident broadcast blocks, clean each id
+    //    (shuffle-status broadcasts were already handled in step 1, so
+    //    what remains is query-created: build-side tables, conf blobs).
+    val bm     = call(env, "blockManager")
+    val master = call(bm, "master")
+    val isBroadcast: org.apache.spark.storage.BlockId => Boolean =
+      _.isBroadcast
+    val broadcastIds = call(master, "getMatchingBlockIds",
+        isBroadcast, java.lang.Boolean.TRUE)
+      .asInstanceOf[Seq[org.apache.spark.storage.BlockId]]
+      .collect { case b: org.apache.spark.storage.BroadcastBlockId =>
+        b.broadcastId }
+      .distinct
+    broadcastIds.foreach { id =>
+      call(cleaner, "doCleanupBroadcast",
+        java.lang.Long.valueOf(id), java.lang.Boolean.TRUE)
+    }
+
+    // 3. listener bus — drain the event queues so no deferred status
+    //    bookkeeping executes inside the next timed rep.
+    val bus = call(sc, "listenerBus")
+    try call(bus, "waitUntilEmpty", java.lang.Long.valueOf(10000L))
+    catch { case _: Throwable => () } // timeout: proceed, rep absorbs it
+  } catch { case _: Throwable => healthy = false }
+}

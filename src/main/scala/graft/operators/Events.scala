@@ -254,8 +254,12 @@ object Events {
     * n_max·C < 10¹⁹ — versus 3·10⁹ in raw int64, where Spark's
     * non-ANSI wrap-around silently flips flags while DuckDB raises.
     * Past 10¹⁹ (quadrillions of events per bucket at billions of
-    * buckets) Spark nulls the overflowing square (row filtered) and
-    * DuckDB errors — a loud stop, never a silent wrong answer. */
+    * buckets) DuckDB errors, but non-ANSI Spark NULLs the overflowed
+    * DECIMAL sum — which would null the predicate and silently drop
+    * every bucket of that event_type (false negatives, the worst
+    * failure mode for an anomaly detector). The explicit guard below
+    * turns that into a loud `raise_error`, so both engines hard-stop
+    * past the exactness envelope instead of one of them going quiet. */
   private val anomaly: Q = (s, d) => {
     val g = hourGrid(s, d).select("event_type", "bucket", "n")
     // ss must be WIDE at the aggregation itself: a raw long n*n wraps
@@ -263,6 +267,12 @@ object Events {
     val stats = g.groupBy("event_type").agg(
       count(lit(1)).as("c"), sum(col("n")).as("s"),
       sum(expr("CAST(n AS DECIMAL(19,0)) * n")).as("ss"))
+      // the dense grid never yields a NULL n and groups are non-empty,
+      // so ss IS NULL ⟺ the DECIMAL(38,0) sum overflowed
+      .withColumn("ss", expr(
+        """CASE WHEN ss IS NULL THEN CAST(raise_error(
+             'ev_anomaly: ss overflowed DECIMAL(38,0); widen the test') AS DECIMAL(38,0))
+           ELSE ss END"""))
     g.join(broadcast(stats), "event_type")
       .where(expr(
         """(CAST(n AS DECIMAL(19,0)) * c - s) * (CAST(n AS DECIMAL(19,0)) * c - s)

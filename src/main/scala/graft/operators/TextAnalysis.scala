@@ -241,6 +241,17 @@ object TextAnalysis {
     "ta_zipf" -> zipf,
   )
 
+  /** Renders a data-derived string as a Spark SQL string LITERAL.
+    * Learned merge symbols are arbitrary non-space substrings of corpus
+    * text — a winning symbol containing `'` (apostrophes are common:
+    * the "'s" pair) or `\` would otherwise break the parse or be
+    * silently mangled by escape processing. Spark literals process
+    * backslash escapes by default (`escapedStringLiterals=false`), so
+    * both characters need escaping. The DuckDB oracle is immune by
+    * construction (symbols flow through CTE values, never literals). */
+  private def sqlLit(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** The learned merges applied to a word `w` as ONE literal SQL
     * expression: the rank-ordered replace chain over the delimited
     * symbol string. Runs [[bpeLearn]] (bounded 4-row driver
@@ -251,7 +262,8 @@ object TextAnalysis {
     val merges = bpeLearn(s, d).collect()
       .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
     merges.foldLeft("' ' || regexp_replace(w, '(.)', '$1 ')") {
-      case (acc, (x, y)) => s"replace($acc, ' $x $y ', ' $x$y ')"
+      case (acc, (x, y)) =>
+        s"replace($acc, ${sqlLit(s" $x $y ")}, ${sqlLit(s" $x$y ")})"
     }
   }
 
@@ -353,8 +365,10 @@ object TextAnalysis {
       val (x, y, n) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((m, x, y, n))
       // symbols are whitespace-token substrings (never contain spaces),
-      // so the delimited search string is unambiguous
-      seqs = seqs.withColumn("seq", expr(s"replace(seq, ' $x $y ', ' $x$y ')"))
+      // so the delimited search string is unambiguous; sqlLit guards
+      // symbols containing ' or \ (e.g. an "'s" merge on English text)
+      seqs = seqs.withColumn("seq",
+        expr(s"replace(seq, ${sqlLit(s" $x $y ")}, ${sqlLit(s" $x$y ")})"))
     }
     graft.Checkpoints.drop(census) // learning is done; free the blocks
     merges.result().toDF("merge_rank", "left_sym", "right_sym", "pair_count")

@@ -154,13 +154,68 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val merges = TextAnalysis.queries("ta_bpe_learn")(spark, sfDir)
       .collect().map(r => r.getString(1) + r.getString(2))
-    // every learned merge survives as a vocabulary symbol
-    merges.foreach(m => assert(vocab.contains(m), s"merged symbol $m missing"))
+    // every learned merge survives as a vocabulary symbol UNLESS a later
+    // merge consumed every occurrence (e.g. 'h e'->'he' then 'he y'->'hey'
+    // leaves zero free-standing 'he') — in that case the symbol must be a
+    // component of that later merge, not silently gone
+    merges.zipWithIndex.foreach { case (m, i) =>
+      val consumedLater = merges.drop(i + 1).exists(l => l != m && l.contains(m))
+      assert(vocab.contains(m) || consumedLater,
+        s"merged symbol $m neither in vocab nor consumed by a later merge")
+    }
     // total symbol mass equals the encode pass's total symbol count
     val applyMass = TextAnalysis.queries("ta_bpe_apply")(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n_symbols")).head.getLong(0)
     assert(vocab.values.sum == applyMass)
     // dictionary-sized: alphabet + merges, nowhere near corpus-sized
     assert(vocab.size < 100, s"vocab unexpectedly large: ${vocab.size}")
+  }
+
+  test("bpe: merge symbols containing quotes/backslashes survive SQL rendering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus engineered so the learned merges CONTAIN ' and \ — the
+    // characters that break naive SQL-literal interpolation (apostrophes
+    // are common in natural text: the "'s" pair). Expected rounds:
+    //   wc: a'b=5, c\d=4, plain=1
+    //   r1: (a,')=5 ties (',b)=5 -> lexicographic x: "'" wins -> 'b
+    //   r2: (a,'b)=5 -> a'b     r3: (\,d)=4 ties (c,\) -> \d
+    //   r4: (c,\d)=4 -> c\d
+    val df = Seq(
+      (1L, "a'b a'b a'b a'b a'b"),
+      (2L, "c\\d c\\d c\\d c\\d"),
+      (3L, "plain"),
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("?")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-esc")
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val merges = TextAnalysis.queries("ta_bpe_learn")(spark, tmp.toString)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    // the trap must actually arm: quote and backslash symbols were learned
+    assert(merges.exists { case (x, y) => (x + y).contains("'") })
+    assert(merges.exists { case (x, y) => (x + y).contains("\\") })
+
+    // encode through the learned chain (would throw a parse error or
+    // silently mangle the search strings without literal escaping)
+    val got = TextAnalysis.queries("ta_bpe_apply")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def encodeLen(w: String): Long = {
+      var seq = " " + w.map(ch => s"$ch ").mkString
+      merges.foreach { case (x, y) => seq = seq.replace(s" $x $y ", s" $x$y ") }
+      seq.trim.split(' ').length.toLong
+    }
+    val docs = df.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').filter(_.nonEmpty))
+    docs.foreach { case (id, toks) =>
+      assert(got(id) == toks.map(encodeLen).sum, s"doc $id encode drift")
+    }
+    // vocab mass still closes over the quoted/backslashed symbols
+    val vocab = TextAnalysis.queries("ta_bpe_vocab")(spark, tmp.toString)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab.contains("a'b") && vocab.contains("c\\d"), s"vocab $vocab")
+    assert(vocab.values.sum == got.values.sum)
   }
 }
