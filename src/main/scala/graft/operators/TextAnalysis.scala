@@ -236,6 +236,7 @@ object TextAnalysis {
     "ta_bpe_tokens" -> bpeTokens,
     "ta_bpe_learn" -> bpeLearn,
     "ta_bpe_apply" -> bpeApply,
+    "ta_bpe_apply_scaled" -> bpeApplyScaled,
     "ta_bpe_vocab" -> bpeVocab,
     "ta_typicality" -> typicality,
     "ta_zipf" -> zipf,
@@ -306,6 +307,103 @@ object TextAnalysis {
             0L, (acc, x) -> acc + CAST(x AS BIGINT)) AS n_symbols""")
   }
 
+  /** Scalable encode against an ARBITRARY-size merge table — the form
+    * that survives a production 32k-merge vocabulary, where
+    * [[learnedMergeExpr]]'s literal chain would build an
+    * O(|merges|)-deep expression tree before the first task runs.
+    *
+    * Shape: encode the distinct-word CENSUS (|vocab| rows, never the
+    * corpus), joining the merge table (BROADCAST — a 32k-row dictionary
+    * is KBs) instead of folding it into the plan. Each round, every
+    * word finds the LOWEST-rank merge applicable to its current symbol
+    * sequence (adjacent-pair explode → broadcast join → min(struct)
+    * argmin, the partial-agg discipline) and applies that ONE merge via
+    * the same declared one-pass delimited `replace` — with the pattern
+    * built from COLUMNS (`' ' || left_sym || ' ' || ...`), so symbol
+    * values never pass through the SQL parser at all. Rounds needed =
+    * max merges APPLICABLE to any single word ≤ max word length — a
+    * 20-char word exhausts in ≤19 rounds no matter whether the table
+    * has 4 or 32k rows. Plan depth per round is O(1) (each round
+    * re-plans from the previous round's checkpoint; previous blocks
+    * dropped by handle).
+    *
+    * EXACT sequential semantics needs one guard: a per-word RANK CURSOR
+    * (`cur`), because each merge in the declared chain is a SINGLE
+    * one-pass replace — overlapping occurrences sharing a delimiter
+    * space survive it (" x y x y " → " xy x y "), so without the cursor
+    * the loop would re-apply rank r to the survivor where the
+    * sequential chain has already moved past r. With it, the two forms
+    * are provably equal on any VALID learned table (a later merge can
+    * only create adjacencies involving its own new symbol, which
+    * earlier-rank patterns cannot reference), which the differential
+    * spec exercises at 64 learned merges.
+    *
+    * 100 TB: one corpus scan for the census groupBy (shuffle ∝
+    * |vocab|), ≤ max-word-length census-sized rounds with a broadcast
+    * join each, then one corpus scan joining tokens against the encoded
+    * dictionary. The corpus is never re-shuffled. */
+  private[operators] def encodeCensusScaled(
+      s: SparkSession, mergeTable: DataFrame, words: DataFrame): DataFrame = {
+    val mt = broadcast(mergeTable
+      .select(col("merge_rank"), col("left_sym"), col("right_sym")))
+    var ckpt = words.select(col("w"))
+      .withColumn("seq", expr("' ' || regexp_replace(w, '(.)', '$1 ')"))
+      .withColumn("cur", lit(0))
+      .localCheckpoint(true)
+    var remaining = 1L
+    while (remaining > 0) {
+      val lowest = ckpt
+        .select(col("w"), col("cur"), expr("split(trim(seq), ' ')").as("a"))
+        .where(size(col("a")) >= 2)
+        .select(col("w"), col("cur"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+             i -> struct(element_at(a, i) AS x, element_at(a, i + 1) AS y))"""))
+          .as("pr"))
+        .join(mt, col("pr.x") === col("left_sym") &&
+                  col("pr.y") === col("right_sym") &&
+                  col("merge_rank") > col("cur"))
+        .groupBy("w")
+        .agg(min(struct(col("merge_rank"), col("left_sym"),
+          col("right_sym"))).as("m"))
+      val next = ckpt.join(lowest, Seq("w"), "left")
+        .select(col("w"),
+          expr("""CASE WHEN m IS NULL THEN seq ELSE
+                    replace(seq, ' ' || m.left_sym || ' ' || m.right_sym || ' ',
+                            ' ' || m.left_sym || m.right_sym || ' ') END""").as("seq"),
+          expr("CASE WHEN m IS NULL THEN cur ELSE m.merge_rank END").as("cur"),
+          col("m").isNotNull.as("applied"))
+        .localCheckpoint(true)
+      // count from the checkpoint: no recomputation, blocks already hot
+      remaining = next.where(col("applied")).count()
+      graft.Checkpoints.drop(ckpt)
+      ckpt = next
+    }
+    ckpt.select(col("w"),
+      expr("size(split(trim(seq), ' '))").cast("long").as("n_syms"))
+  }
+
+  /** [[bpeApply]]'s declared output computed through the scalable
+    * encode: same learned 4-merge model, same per-doc symbol counts,
+    * same oracle SQL — but the merge model flows as a broadcast TABLE,
+    * not plan literals. The corpus-side finish is one scan: explode
+    * tokens, join the |vocab|-sized encoded dictionary (broadcast-able
+    * at realistic vocab sizes; a shuffle join on `w` otherwise), sum
+    * per doc — plus a left join back to documents so zero-token docs
+    * keep their (0, 0) row exactly as [[bpeApply]] emits it. */
+  private lazy val bpeApplyScaled: Q = (s, d) => {
+    val dict = encodeCensusScaled(s, bpeLearn(s, d),
+      Tables.documents(s, d).select(explode(expr(tokExpr)).as("w")).distinct())
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(tokExpr)).as("w"))
+      .join(broadcast(dict), "w")
+      .groupBy("doc_id").agg(sum(col("n_syms")).as("sym_sum"))
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"size($tokExpr) AS n_ws_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ws_tokens"),
+        coalesce(col("sym_sum"), lit(0L)).as("n_symbols"))
+  }
+
   /** Distributed BPE merge LEARNING — [[bpeTokens]] applies a fixed
     * pre-tokenizer; this learns the merge table itself, the iterative
     * shape (per-round rollup → broadcast model update → re-segment)
@@ -337,20 +435,37 @@ object TextAnalysis {
     * round after that runs on the census (|vocab| rows), and the pair
     * rollup is bounded by |symbols|², not the corpus. */
   private val BpeMerges = 4
-  private lazy val bpeLearn: Q = (s, d) => {
+  private lazy val bpeLearn: Q = (s, d) => bpeLearnN(s, d, BpeMerges)
+
+  /** The learn loop generalized to an arbitrary merge budget (the
+    * declared `ta_bpe_learn` runs it at [[BpeMerges]]; the differential
+    * spec for the scalable encode runs it at 64+). Two additions over
+    * the fixed-budget form: the loop EARLY-STOPS when no adjacent pair
+    * remains anywhere in the census (a small corpus runs out of pairs
+    * before a production budget), and the census is RE-checkpointed
+    * every [[LearnCheckpointEvery]] rounds — each round stacks one
+    * `replace` projection onto the plan, and without periodic lineage
+    * cuts the expression tree at round N is N deep, which is exactly
+    * the plan-build blowup that motivates the scalable encode. */
+  private val LearnCheckpointEvery = 8
+  private[operators] def bpeLearnN(
+      s: SparkSession, d: String, nMerges: Int): DataFrame = {
     import s.implicits._
-    // the census is |vocab|-sized — checkpoint it ONCE so the corpus is
+    // the census is |vocab|-sized — checkpoint it so the corpus is
     // scanned exactly once and every round's pair rollup (plus a
     // caller's encode pass) replans from the in-memory census, not the
     // corpus; dropped before returning (the output is literal rows)
-    val census = Tables.documents(s, d)
+    var ckpt = Tables.documents(s, d)
       .select(explode(expr(tokExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .withColumn("seq", expr("' ' || regexp_replace(w, '(.)', '$1 ')"))
       .localCheckpoint(true)
-    var seqs: DataFrame = census
+    var seqs: DataFrame = ckpt
+    var sinceCut = 0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    (1 to BpeMerges).foreach { m =>
+    var m = 1
+    var exhausted = false
+    while (m <= nMerges && !exhausted) {
       val best = seqs
         .select(col("wc"), expr("split(trim(seq), ' ')").as("a"))
         .where(size(col("a")) >= 2)
@@ -361,16 +476,27 @@ object TextAnalysis {
         .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
         .agg(sum(col("wc")).as("n"))
         .orderBy(col("n").desc, col("x"), col("y"))
-        .limit(1).collect()(0)
-      val (x, y, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((m, x, y, n))
-      // symbols are whitespace-token substrings (never contain spaces),
-      // so the delimited search string is unambiguous; sqlLit guards
-      // symbols containing ' or \ (e.g. an "'s" merge on English text)
-      seqs = seqs.withColumn("seq",
-        expr(s"replace(seq, ${sqlLit(s" $x $y ")}, ${sqlLit(s" $x$y ")})"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (x, y, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((m, x, y, n))
+        // symbols are whitespace-token substrings (never contain
+        // spaces), so the delimited search string is unambiguous;
+        // sqlLit guards symbols containing ' or \ (e.g. an "'s" merge)
+        seqs = seqs.withColumn("seq",
+          expr(s"replace(seq, ${sqlLit(s" $x $y ")}, ${sqlLit(s" $x$y ")})"))
+        sinceCut += 1
+        if (sinceCut >= LearnCheckpointEvery && m < nMerges) {
+          val next = seqs.localCheckpoint(true)
+          graft.Checkpoints.drop(ckpt)
+          ckpt = next; seqs = next; sinceCut = 0
+        }
+        m += 1
+      }
     }
-    graft.Checkpoints.drop(census) // learning is done; free the blocks
+    graft.Checkpoints.drop(ckpt) // learning is done; free the blocks
     merges.result().toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
@@ -435,6 +561,25 @@ object TextAnalysis {
         ${round("s1", 2)},
         ${round("s2", 3)},
         ${round("s3", 4)}"""
+  }
+
+  /** The apply-side oracle: re-derive the 4 merges via the learn CTEs
+    * and fold them in as a ranked replace chain over each word (the
+    * b1..b4 pairs are 1-row tables, so the CROSS JOINs are free). */
+  private lazy val duckBpeApplySql: String = {
+    val merged = (1 to 4).foldLeft(
+      // plain triple-quote: no escape processing, so \1 here is the
+      // single-backslash RE2 group reference DuckDB needs
+      """' ' || regexp_replace(w, '(.)', '\1 ', 'g')""") { (acc, m) =>
+      s"replace($acc, ' ' || x$m || ' ' || y$m || ' ', ' ' || x$m || y$m || ' ')"
+    }
+    s"""WITH $duckBpeRounds
+        SELECT doc_id, len(toks) AS n_ws_tokens,
+          CAST(COALESCE(list_sum(list_transform(toks,
+            w -> len(str_split(trim($merged), ' ')))), 0) AS BIGINT)
+            AS n_symbols
+        FROM (SELECT doc_id, $duckTok AS toks FROM documents)
+        CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -592,21 +737,12 @@ object TextAnalysis {
     // the b1..b4 pairs re-derive the merges (learning is deterministic,
     // so the Spark side's collected literals are the same model), then
     // one scan applies the ranked replace chain per word
-    "ta_bpe_apply" -> {
-      val merged = (1 to 4).foldLeft(
-        // plain triple-quote: no escape processing, so \1 here is the
-        // single-backslash RE2 group reference DuckDB needs
-        """' ' || regexp_replace(w, '(.)', '\1 ', 'g')""") { (acc, m) =>
-        s"replace($acc, ' ' || x$m || ' ' || y$m || ' ', ' ' || x$m || y$m || ' ')"
-      }
-      s"""WITH $duckBpeRounds
-          SELECT doc_id, len(toks) AS n_ws_tokens,
-            CAST(COALESCE(list_sum(list_transform(toks,
-              w -> len(str_split(trim($merged), ' ')))), 0) AS BIGINT)
-              AS n_symbols
-          FROM (SELECT doc_id, $duckTok AS toks FROM documents)
-          CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3 CROSS JOIN b4"""
-    },
+    "ta_bpe_apply" -> duckBpeApplySql,
+    // the scalable encode declares the SAME contract (same model, same
+    // per-doc counts), so it shares the apply oracle verbatim — at the
+    // 4-merge oracle scale, broadcast-table-vs-literal-chain is exactly
+    // the equality the 64-merge differential spec pins
+    "ta_bpe_apply_scaled" -> duckBpeApplySql,
     "ta_inverted_index" ->
       s"""SELECT w AS term, COUNT(*) AS df,
             array_to_string(list_sort(array_agg(doc_id)), ',') AS postings

@@ -217,5 +217,44 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(vocab.contains("a'b") && vocab.contains("c\\d"), s"vocab $vocab")
     assert(vocab.values.sum == got.values.sum)
+    // the scalable (broadcast-table) encode is immune by construction —
+    // symbol values never pass through the parser; must agree exactly
+    val scaled = TextAnalysis.queries("ta_bpe_apply_scaled")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scaled == got, s"scaled $scaled vs literal $got")
+  }
+
+  test("bpe scalable encode ≡ sequential chain at a 64-merge model") {
+    import org.apache.spark.sql.functions._
+    // learn a PRODUCTION-SHAPED merge budget on the corpus (the 31-word
+    // sf0.001 vocabulary supports ~160 merges before pair exhaustion)
+    val table = TextAnalysis.bpeLearnN(spark, sfDir, 64)
+    val merges = table.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.length == 64, s"corpus exhausted at ${merges.length} merges")
+    val words = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+      .distinct()
+    val got = TextAnalysis.encodeCensusScaled(spark, table, words)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // third implementation: the sequential chain replayed in the JVM —
+    // Java String.replace is the same one-pass non-overlapping scan as
+    // the declared SQL replace semantics
+    def encodeLen(w: String): Long = {
+      var seq = " " + w.map(ch => s"$ch ").mkString
+      merges.foreach { case (x, y) => seq = seq.replace(s" $x $y ", s" $x$y ") }
+      seq.trim.split(' ').length.toLong
+    }
+    val ws = words.collect().map(_.getString(0))
+    assert(ws.nonEmpty && got.size == ws.length)
+    ws.foreach { w =>
+      assert(got(w) == encodeLen(w),
+        s"word '$w': scaled ${got(w)} vs sequential ${encodeLen(w)}")
+    }
+    // the deep model must actually compress further than the 4-merge one
+    val n4 = TextAnalysis.queries("ta_bpe_apply")(spark, sfDir)
+      .agg(sum("n_symbols")).head.getLong(0)
+    val n64 = ws.map(encodeLen).sum
+    assert(n64 < n4, s"64-merge encode $n64 not tighter than 4-merge $n4")
   }
 }
