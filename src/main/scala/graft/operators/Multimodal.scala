@@ -127,6 +127,65 @@ object Multimodal {
         .map(f => (f, p.slice(f * frameBytes, (f + 1) * frameBytes)))
   }
 
+  /** REAL decoder through the same contract: the payload is a
+    * concatenation of PNG images (the simplest multi-frame container a
+    * pure-JVM codec can read) and each frame is decoded with
+    * `javax.imageio`'s PNG reader into packed ARGB pixel bytes. This is
+    * the proof that [[FrameDecoder]]'s lifecycle carries a real codec,
+    * not just the stride stub:
+    *
+    *   - the ONLY field is config (none, in fact) — the
+    *     [[javax.imageio.ImageReader]] is a genuine NATIVE-STYLE HANDLE
+    *     (stateful, non-serializable, must be `dispose()`d), created in
+    *     [[open]] once per partition and released in [[close]], exactly
+    *     the ffmpeg-context discipline the contract documents;
+    *   - [[frames]] locates frame boundaries by the PNG magic
+    *     (`89 50 4E 47 0D 0A 1A 0A` — unambiguous: the byte-stuffed
+    *     signature cannot occur inside a chunk's length/type header at
+    *     a frame start) and decodes each segment through the shared
+    *     reader; undecodable segments are SKIPPED, not failed — at
+    *     100 TB a corrupt frame must cost one frame, never the task.
+    *
+    * Not a declared query (the synthetic corpus's payloads are not
+    * PNGs); `MultimodalSpec` drives planted real PNG payloads through
+    * [[sampleFramesWith]] end-to-end. */
+  final class PngFrameDecoder extends FrameDecoder {
+    @transient private var reader: javax.imageio.ImageReader = _
+    override def open(): Unit = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      require(it.hasNext, "JVM has no PNG ImageReader")
+      reader = it.next()
+    }
+    override def close(): Unit = if (reader != null) { reader.dispose(); reader = null }
+
+    private val Magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    private def starts(p: Array[Byte]): Seq[Int] =
+      (0 to p.length - Magic.length).filter(i => Magic.indices.forall(j => p(i + j) == Magic(j)))
+
+    def frames(p: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+      val offs = starts(p)
+      offs.zipWithIndex.iterator.flatMap { case (off, idx) =>
+        val end = if (idx + 1 < offs.length) offs(idx + 1) else p.length
+        val img =
+          try {
+            val in = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(p.slice(off, end)))
+            reader.setInput(in, true, true)
+            val i = reader.read(0)
+            in.close()
+            Option(i)
+          } catch { case _: Exception => None } // corrupt frame: skip, don't fail
+        img.map { i =>
+          val (w, h) = (i.getWidth, i.getHeight)
+          val px = i.getRGB(0, 0, w, h, null, 0, w)
+          val out = java.nio.ByteBuffer.allocate(px.length * 4)
+          px.foreach(out.putInt)
+          (idx, out.array())
+        }
+      }
+    }
+  }
+
   /** Frame sampling through the [[FrameDecoder]] contract: one decoder
     * copy per task, opened before the first row, closed at task
     * completion. */

@@ -94,6 +94,51 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalSpec.rowsSeen.get() > MultimodalSpec.opens.get())
   }
 
+  test("PngFrameDecoder: real PNG payload bytes decode to >1 frame per doc through the contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // plant REAL codec payloads: each doc's payload is a concatenation
+    // of in-memory-encoded PNGs (3 for doc 1, 2 for doc 2), each a
+    // solid-color 4x3 image whose pixels we know exactly
+    def png(argb: Int, w: Int = 4, h: Int = 3): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, argb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    def pixels(argb: Int, n: Int = 12): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(n * 4)
+      (0 until n).foreach(_ => out.putInt(argb))
+      out.array()
+    }
+    val red = 0xFFCC0000; val green = 0xFF00CC00; val blue = 0xFF0000CC
+    val docs = Seq(
+      MediaRow(1L, png(red) ++ png(green) ++ png(blue), "s"),
+      MediaRow(2L, png(green) ++ png(red), "s"),
+    ).toDS().repartition(2)
+    val got = Multimodal.sampleFramesWith(docs, new Multimodal.PngFrameDecoder)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    // every payload yields MULTIPLE frames of REAL decoded pixels
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).length == 3 && byDoc(2L).length == 2)
+    val expected = Map(
+      (1L, 0) -> pixels(red), (1L, 1) -> pixels(green), (1L, 2) -> pixels(blue),
+      (2L, 0) -> pixels(green), (2L, 1) -> pixels(red))
+    got.foreach { case (id, f, bytes) =>
+      assert(java.util.Arrays.equals(bytes, expected((id, f))),
+        s"doc $id frame $f pixel drift")
+    }
+    // a corrupt frame costs one frame, never the task: truncate the last
+    // PNG mid-stream; the two intact frames still decode
+    val corrupt = Seq(MediaRow(3L,
+      png(red) ++ png(green) ++ png(blue).dropRight(40), "s")).toDS()
+    val survived = Multimodal.sampleFramesWith(corrupt, new Multimodal.PngFrameDecoder)
+      .collect().map(_.getInt(1)).sorted
+    assert(survived.sameElements(Array(0, 1)), survived.mkString(","))
+  }
+
   test("frame_dupes: a planted boilerplate frame in 120 docs must not explode pairs") {
     import spark.implicits._
     // 120 docs all share one "black frame" hash; docs 0 and 1 also share
