@@ -289,6 +289,40 @@ object Similarity {
       .selectExpr("label", "pos", "n_vecs",
         "CAST(micros AS DOUBLE) / (n_vecs * 1000000) AS centroid")
 
+  /** The ANN quality contract as a TRACKED NUMBER: recall@5 of every
+    * approximate path against the exact brute-force truth
+    * ([[topkBrute]]), one row per path, over the standard query set
+    * (vec_id < 10). Every path is literal-deterministic, so the whole
+    * report is oracle-replayable — recall stops being a spec-side
+    * inequality and becomes a hash-checked CORRECTNESS value the
+    * driver regresses round over round.
+    *
+    * Counts are exact integers; the one `recall_at_5` division is a
+    * single IEEE double op on identical integer operands in both
+    * engines. 100 TB shape: each path's own plan (corpus never
+    * shuffles; candidates join as ids) plus a broadcast of the 50-row
+    * truth set — the report costs the sum of its paths, nothing more. */
+  private lazy val recallReport: Q = (s, d) => {
+    val truth = topkBrute(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val paths: Seq[(String, Q)] = Seq(
+      "ivf" -> topkIvf, "ivf_trained" -> topkIvfTrained,
+      "lsh" -> topkLsh, "sq8" -> topkSq8)
+    val returned = paths.map { case (n, q) =>
+      q(s, d).select(lit(n).as("path"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionAll(_))
+    val nTruth = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    returned
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("path").agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .crossJoin(broadcast(nTruth))
+      .withColumn("recall_at_5",
+        col("n_hits").cast("double") / col("n_truth"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_cosine" -> topkBrute,
     "sim_cosine_pairs" -> cosinePairs,
@@ -297,6 +331,7 @@ object Similarity {
     "sim_topk_ivf" -> topkIvf,
     "sim_topk_ivf_trained" -> topkIvfTrained,
     "sim_topk_sq8" -> topkSq8,
+    "sim_recall_report" -> recallReport,
     "sim_label_centroids" -> labelCentroids,
     "sim_kmeans_sq8" -> kmeansSq8,
   )
@@ -528,6 +563,144 @@ object Similarity {
             GROUP BY cid, pos)
           GROUP BY cid)"""
 
+  // Path-oracle SQL extracted to vals so sim_recall_report can nest the
+  // same text verbatim — ONE oracle rendering per path, shared between
+  // its own CORRECTNESS entry and the recall report's subqueries.
+  private lazy val duckTopkCosineSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        p AS (SELECT query_id, e.vec_id AS neighbor_id,
+                ${cosSql("qv", "v")} AS cos_sim
+              FROM e JOIN q ON e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM p) WHERE rnk <= 5"""
+
+  private lazy val duckTopkLshSql: String =
+    s"""WITH $bucketsCte,
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+                 FROM b c JOIN b q
+                   ON c.table_id = q.table_id AND c.bucket = q.bucket
+                 WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        sc AS (SELECT query_id, cand.vec_id AS neighbor_id,
+                 ${cosSql("qe.v", "ce.v")} AS cos_sim
+               FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
+                         JOIN e qe ON qe.vec_id = cand.query_id)
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM sc) WHERE rnk <= 5"""
+
+  private lazy val duckTopkIvfSql: String =
+    s"""WITH $ivfCte,
+        corpus AS (SELECT vec_id, list_id FROM asn WHERE rk = 1),
+        qs AS (SELECT vec_id AS query_id, list_id FROM asn
+               WHERE rk <= $IvfProbes AND vec_id < 10),
+        sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                 ${cosSql("qe.v", "ce.v")} AS cos_sim
+               FROM corpus c JOIN qs ON c.list_id = qs.list_id
+                AND c.vec_id <> qs.query_id
+               JOIN e ce ON ce.vec_id = c.vec_id
+               JOIN e qe ON qe.vec_id = qs.query_id)
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM sc) WHERE rnk <= 5"""
+
+  /** Training replayed via the SAME unrolled-round CTEs as
+    * sim_kmeans_sq8, then serving: nearest trained list per corpus
+    * vector, best-2 probes per query, exact int64 SQ8 cosine. */
+  private lazy val duckTopkIvfTrainedSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        sc AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+               FROM e),
+        qz AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+               FROM sc WHERE scale > 0),
+        c0 AS (SELECT vec_id AS cid, q AS cq FROM qz WHERE vec_id < $KmeansK),
+        ${kmeansRoundSql("c0", "a1", "c1")},
+        ${kmeansRoundSql("c1", "a2", "c2")},
+        rkx AS (
+          SELECT z.vec_id, z.q, c.cid,
+            ROW_NUMBER() OVER (PARTITION BY z.vec_id
+              ORDER BY ${dsqSql("z.q", "c.cq")}, c.cid) AS rk
+          FROM qz z CROSS JOIN c2 c),
+        corpus AS (SELECT vec_id, q, cid FROM rkx WHERE rk = 1),
+        qs AS (SELECT vec_id AS query_id, q AS qq, cid FROM rkx
+               WHERE rk <= $IvfTrainedProbes AND vec_id < 10),
+        sims AS (SELECT query_id, c.vec_id AS neighbor_id,
+                   CAST(list_reduce(list_transform(list_zip(c.q, qs.qq),
+                          x -> x[1] * x[2]), (p, r) -> p + r) AS DOUBLE) /
+                   (sqrt(CAST(list_reduce(list_transform(c.q, x -> x * x),
+                          (p, r) -> p + r) AS DOUBLE)) *
+                    sqrt(CAST(list_reduce(list_transform(qs.qq, x -> x * x),
+                          (p, r) -> p + r) AS DOUBLE))) AS cos_q
+                 FROM corpus c JOIN qs
+                   ON c.cid = qs.cid AND c.vec_id <> qs.query_id)
+        SELECT query_id, neighbor_id, cos_q, rnk FROM (
+          SELECT query_id, neighbor_id, cos_q,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_q DESC, neighbor_id) AS rnk
+          FROM sims) WHERE rnk <= 5"""
+
+  /** Int64-exact quantized cosine: q, dot, and norms are integers in
+    * both engines; the one float divide at the end is a single IEEE op. */
+  private lazy val duckTopkSq8Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        sc AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+               FROM e),
+        qz AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+               FROM sc WHERE scale > 0),
+        sims AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_reduce(list_transform(list_zip(c.q, qs.q),
+                          x -> x[1] * x[2]), (p, r) -> p + r) AS DOUBLE) /
+                   (sqrt(CAST(list_reduce(list_transform(c.q, x -> x * x),
+                          (p, r) -> p + r) AS DOUBLE)) *
+                    sqrt(CAST(list_reduce(list_transform(qs.q, x -> x * x),
+                          (p, r) -> p + r) AS DOUBLE))) AS cos_q
+                 FROM qz c JOIN qz qs
+                   ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
+        SELECT query_id, neighbor_id, cos_q, rnk FROM (
+          SELECT query_id, neighbor_id, cos_q,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_q DESC, neighbor_id) AS rnk
+          FROM sims) WHERE rnk <= 5"""
+
+  /** DuckDB's WITH is legal inside a derived table, so each path oracle
+    * nests unchanged: `FROM (<full path SQL>) AS x`. */
+  private lazy val duckRecallReportSql: String = {
+    val pathSubs = Seq(
+      "ivf" -> duckTopkIvfSql,
+      "ivf_trained" -> duckTopkIvfTrainedSql,
+      "lsh" -> duckTopkLshSql,
+      "sq8" -> duckTopkSq8Sql)
+      .map { case (n, sql) =>
+        s"SELECT '$n' AS path, query_id, neighbor_id FROM ($sql)"
+      }.mkString("\n          UNION ALL ")
+    s"""WITH truth AS (
+          SELECT query_id, neighbor_id, 1 AS hit
+          FROM ($duckTopkCosineSql)),
+        paths AS (
+          $pathSubs)
+        SELECT path,
+          count(DISTINCT query_id) AS n_queries,
+          count(*) AS n_returned,
+          CAST(sum(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_hits,
+          (SELECT count(*) FROM truth) AS n_truth,
+          CAST(CAST(sum(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS DOUBLE) / (SELECT count(*) FROM truth) AS recall_at_5
+        FROM paths LEFT JOIN truth USING (query_id, neighbor_id)
+        GROUP BY path"""
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_kmeans_sq8" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -549,17 +722,8 @@ object Similarity {
           SELECT cid AS cluster_id, count(*) AS n_vecs,
             CAST(sum(dist) AS BIGINT) AS inertia
           FROM af GROUP BY cid""",
-    "sim_topk_cosine" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-          p AS (SELECT query_id, e.vec_id AS neighbor_id,
-                  ${cosSql("qv", "v")} AS cos_sim
-                FROM e JOIN q ON e.vec_id <> q.query_id)
-          SELECT query_id, neighbor_id, cos_sim, rnk FROM (
-            SELECT query_id, neighbor_id, cos_sim,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cos_sim DESC, neighbor_id) AS rnk
-            FROM p) WHERE rnk <= 5""",
+    "sim_topk_cosine" -> duckTopkCosineSql,
+    "sim_recall_report" -> duckRecallReportSql,
     "sim_cosine_pairs" ->
       s"""WITH $bucketsCte,
           cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -596,97 +760,10 @@ object Similarity {
             HAVING LEAST(s, MIN(t)) <> s)
           SELECT vec_id, label FROM embeddings
           WHERE vec_id NOT IN (SELECT vec_id FROM drop_list)""",
-    "sim_topk_lsh" ->
-      s"""WITH $bucketsCte,
-          cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-                   FROM b c JOIN b q
-                     ON c.table_id = q.table_id AND c.bucket = q.bucket
-                   WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-          sc AS (SELECT query_id, cand.vec_id AS neighbor_id,
-                   ${cosSql("qe.v", "ce.v")} AS cos_sim
-                 FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
-                           JOIN e qe ON qe.vec_id = cand.query_id)
-          SELECT query_id, neighbor_id, cos_sim, rnk FROM (
-            SELECT query_id, neighbor_id, cos_sim,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cos_sim DESC, neighbor_id) AS rnk
-            FROM sc) WHERE rnk <= 5""",
-    "sim_topk_ivf" ->
-      s"""WITH $ivfCte,
-          corpus AS (SELECT vec_id, list_id FROM asn WHERE rk = 1),
-          qs AS (SELECT vec_id AS query_id, list_id FROM asn
-                 WHERE rk <= $IvfProbes AND vec_id < 10),
-          sc AS (SELECT query_id, c.vec_id AS neighbor_id,
-                   ${cosSql("qe.v", "ce.v")} AS cos_sim
-                 FROM corpus c JOIN qs ON c.list_id = qs.list_id
-                  AND c.vec_id <> qs.query_id
-                 JOIN e ce ON ce.vec_id = c.vec_id
-                 JOIN e qe ON qe.vec_id = qs.query_id)
-          SELECT query_id, neighbor_id, cos_sim, rnk FROM (
-            SELECT query_id, neighbor_id, cos_sim,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cos_sim DESC, neighbor_id) AS rnk
-            FROM sc) WHERE rnk <= 5""",
-    // training replayed via the SAME unrolled-round CTEs as
-    // sim_kmeans_sq8, then serving: nearest trained list per corpus
-    // vector, best-2 probes per query, exact int64 SQ8 cosine
-    "sim_topk_ivf_trained" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-          sc AS (SELECT vec_id, v,
-                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-                 FROM e),
-          qz AS (SELECT vec_id,
-                   list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
-                 FROM sc WHERE scale > 0),
-          c0 AS (SELECT vec_id AS cid, q AS cq FROM qz WHERE vec_id < $KmeansK),
-          ${kmeansRoundSql("c0", "a1", "c1")},
-          ${kmeansRoundSql("c1", "a2", "c2")},
-          rkx AS (
-            SELECT z.vec_id, z.q, c.cid,
-              ROW_NUMBER() OVER (PARTITION BY z.vec_id
-                ORDER BY ${dsqSql("z.q", "c.cq")}, c.cid) AS rk
-            FROM qz z CROSS JOIN c2 c),
-          corpus AS (SELECT vec_id, q, cid FROM rkx WHERE rk = 1),
-          qs AS (SELECT vec_id AS query_id, q AS qq, cid FROM rkx
-                 WHERE rk <= $IvfTrainedProbes AND vec_id < 10),
-          sims AS (SELECT query_id, c.vec_id AS neighbor_id,
-                     CAST(list_reduce(list_transform(list_zip(c.q, qs.qq),
-                            x -> x[1] * x[2]), (p, r) -> p + r) AS DOUBLE) /
-                     (sqrt(CAST(list_reduce(list_transform(c.q, x -> x * x),
-                            (p, r) -> p + r) AS DOUBLE)) *
-                      sqrt(CAST(list_reduce(list_transform(qs.qq, x -> x * x),
-                            (p, r) -> p + r) AS DOUBLE))) AS cos_q
-                   FROM corpus c JOIN qs
-                     ON c.cid = qs.cid AND c.vec_id <> qs.query_id)
-          SELECT query_id, neighbor_id, cos_q, rnk FROM (
-            SELECT query_id, neighbor_id, cos_q,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cos_q DESC, neighbor_id) AS rnk
-            FROM sims) WHERE rnk <= 5""",
-    // int64-exact quantized cosine: q, dot, and norms are integers in
-    // both engines; the one float divide at the end is a single IEEE op
-    "sim_topk_sq8" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-          sc AS (SELECT vec_id, v,
-                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-                 FROM e),
-          qz AS (SELECT vec_id,
-                   list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
-                 FROM sc WHERE scale > 0),
-          sims AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     CAST(list_reduce(list_transform(list_zip(c.q, qs.q),
-                            x -> x[1] * x[2]), (p, r) -> p + r) AS DOUBLE) /
-                     (sqrt(CAST(list_reduce(list_transform(c.q, x -> x * x),
-                            (p, r) -> p + r) AS DOUBLE)) *
-                      sqrt(CAST(list_reduce(list_transform(qs.q, x -> x * x),
-                            (p, r) -> p + r) AS DOUBLE))) AS cos_q
-                   FROM qz c JOIN qz qs
-                     ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
-          SELECT query_id, neighbor_id, cos_q, rnk FROM (
-            SELECT query_id, neighbor_id, cos_q,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY cos_q DESC, neighbor_id) AS rnk
-            FROM sims) WHERE rnk <= 5""",
+    "sim_topk_lsh" -> duckTopkLshSql,
+    "sim_topk_ivf" -> duckTopkIvfSql,
+    "sim_topk_ivf_trained" -> duckTopkIvfTrainedSql,
+    "sim_topk_sq8" -> duckTopkSq8Sql,
     // parallel unnests zip; pos is 0-based to match posexplode
     "sim_label_centroids" ->
       """WITH x AS (
