@@ -66,6 +66,38 @@ object DedupStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("doc_id")
 
+  /** Continuous corpus ingest — the streaming form of `pl_cross_dedup`
+    * (decontaminate an incoming crawl against the EXISTING corpus, then
+    * self-dedup the stream): the production shape of incremental-batch
+    * dedup, where "the batch" never ends.
+    *
+    *   1. fingerprint each arriving doc (md5 of the content bytes —
+    *      the same 128-bit family as the batch path);
+    *   2. stream-static ANTI join against the base corpus's
+    *      fingerprints. Structured Streaming's support matrix has no
+    *      stream-static LEFT ANTI, so it is expressed as the supported
+    *      LEFT OUTER against a marker column + IS NULL filter —
+    *      identical semantics, and the static side is planned broadcast
+    *      per micro-batch exactly like the batch plan under AQE;
+    *   3. `dropDuplicatesWithinWatermark` on the fingerprint: the
+    *      first arrival within the horizon survives, every re-crawl is
+    *      dropped — CHECKPOINTED fingerprint state, so a killed and
+    *      restarted query keeps rejecting dups it saw before the kill.
+    *
+    * State is bounded by the watermark horizon (never the corpus — the
+    * corpus side is the static join input); at 100 TB the base-corpus
+    * fingerprint table is the only big input and it is read, not
+    * shuffled. `corpusFps` must carry one `fp` string column. */
+  def crossDedupIngest(docs: DataFrame, corpusFps: DataFrame,
+                       lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(corpusFps.select(col("fp"), lit(1).as("in_corpus")),
+        Seq("fp"), "left_outer")
+      .where(col("in_corpus").isNull).drop("in_corpus")
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Per-row 60-bit SimHash over distinct whitespace tokens — the
     * row-local form of the batch explode→vote→pack aggregation
     * (`Dedup.simhashes`), same md5-prefix hash family, bit-identical

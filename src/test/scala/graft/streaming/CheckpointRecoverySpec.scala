@@ -181,6 +181,71 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(flagged == List(1L, 3L), s"flagged=$flagged")
   }
 
+  test("cross-corpus dedup ingest survives kill/restart at batch parity with pl_cross_dedup") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft-ingest")
+    val src = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(src).mkdirs()
+    val schema = implicitly[org.apache.spark.sql.Encoder[StreamDoc]].schema
+    // the batch operator's split on the REAL corpus: existing = doc_id%5
+    // != 4 (fingerprints, the static side), incoming = doc_id%5 == 4
+    val corpusFps = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 5 =!= 4)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    val incoming = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 5 === 4)
+      .selectExpr("doc_id", "text").collect()
+      .sortBy(_.getLong(0)) // arrival order = id order → first winner = min id
+    def write(rows: Seq[StreamDoc]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = DedupStreams.crossDedupIngest(
+          spark.readStream.schema(schema).parquet(src), corpusFps)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def docs(rows: Seq[org.apache.spark.sql.Row], o: Int) =
+      rows.zipWithIndex.map { case (r, i) =>
+        StreamDoc(r.getLong(0), new Timestamp(base + (o + i) * 1000L), r.getString(1)) }
+    // phase 1: first half of the crawl
+    val (h1, h2) = incoming.toSeq.splitAt(incoming.length / 2)
+    write(docs(h1, 0))
+    run()
+    // phase 2 AFTER the kill: the second half, PLUS a re-crawl of a
+    // phase-1 survivor (same text, new id — only the CHECKPOINTED
+    // fingerprint state knows it was seen; if recovery lost state it
+    // would be re-emitted) and a doc whose text lives in the base
+    // corpus (the static anti side must keep holding it out)
+    val survivor = h1.head.getString(1)
+    val corpusText = graft.sources.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 5 =!= 4).selectExpr("text").head.getString(0)
+    write(docs(h2, h1.length) ++ Seq(
+      StreamDoc(900001L, new Timestamp(base + 900000L), survivor),
+      StreamDoc(900002L, new Timestamp(base + 901000L), corpusText)))
+    run()
+    val kept = spark.read.parquet(out)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(900001L) && !keptIds.contains(900002L),
+      "state or static anti-join failed across restart")
+    // batch parity with the declared operator: same surviving
+    // fingerprint set, same representative (min-id) per fingerprint
+    val batch = graft.operators.Pipeline.queries("pl_cross_dedup")(spark, sfDir)
+      .select("doc_id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(batch.nonEmpty)
+    val streamFps = kept.select("fp").collect().map(_.getString(0)).toSet
+    assert(streamFps == batch.map(_._2).toSet,
+      s"fp drift: stream-only=${streamFps -- batch.map(_._2).toSet}")
+    assert(keptIds == batch.map(_._1).toSet,
+      s"representative drift: stream-only=${keptIds -- batch.map(_._1).toSet} " +
+      s"batch-only=${batch.map(_._1).toSet -- keptIds}")
+  }
+
   test("windowed aggregation resumes from checkpoint after restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ckpt")
