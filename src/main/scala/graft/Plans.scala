@@ -47,6 +47,8 @@ object Plans {
     "mm_frame_dupes",       // df-capped frame-hash inverted index join
     "pl_skew_census",       // per-column partial-agg legs, min(struct) argmax
     "pl_dedup_signals",     // two broadcast drop lists onto one id scan
+    "ta_bpe_apply_scaled",  // broadcast merge table, census-sized rounds
+    "sim_recall_report",    // 4 paths + broadcast 50-row truth join
   )
 
   def main(args: Array[String]): Unit = {

@@ -385,23 +385,26 @@ object TextAnalysis {
   /** [[bpeApply]]'s declared output computed through the scalable
     * encode: same learned 4-merge model, same per-doc symbol counts,
     * same oracle SQL — but the merge model flows as a broadcast TABLE,
-    * not plan literals. The corpus-side finish is one scan: explode
-    * tokens, join the |vocab|-sized encoded dictionary (broadcast-able
-    * at realistic vocab sizes; a shuffle join on `w` otherwise), sum
-    * per doc — plus a left join back to documents so zero-token docs
-    * keep their (0, 0) row exactly as [[bpeApply]] emits it. */
+    * not plan literals. The corpus-side finish is ONE scan:
+    * `explode_outer` keeps zero-token docs as a null-token row (so
+    * they emit the same (0, 0) row as [[bpeApply]] without a second
+    * corpus scan + self join on doc_id — the plan audit showed that
+    * variant paying two corpus-wide sort-merge joins), tokens
+    * left-join the |vocab|-sized encoded dictionary (broadcast-able at
+    * realistic vocab sizes; a shuffle join on `w` otherwise), and one
+    * partial-agg'd groupBy sums per doc. Grouping carries
+    * `n_ws_tokens` alongside `doc_id` — functionally dependent, so it
+    * adds no groups, and the one shuffle moves (doc_id, counts) rows. */
   private lazy val bpeApplyScaled: Q = (s, d) => {
     val dict = encodeCensusScaled(s, bpeLearn(s, d),
       Tables.documents(s, d).select(explode(expr(tokExpr)).as("w")).distinct())
-    val perDoc = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(tokExpr)).as("w"))
-      .join(broadcast(dict), "w")
-      .groupBy("doc_id").agg(sum(col("n_syms")).as("sym_sum"))
     Tables.documents(s, d)
-      .selectExpr("doc_id", s"size($tokExpr) AS n_ws_tokens")
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_ws_tokens"),
-        coalesce(col("sym_sum"), lit(0L)).as("n_symbols"))
+      .select(col("doc_id"), expr(s"size($tokExpr)").as("n_ws_tokens"),
+        explode_outer(expr(tokExpr)).as("w"))
+      .join(broadcast(dict), Seq("w"), "left")
+      .groupBy("doc_id", "n_ws_tokens")
+      .agg(sum(coalesce(col("n_syms"), lit(0L))).as("n_symbols"))
+      .select("doc_id", "n_ws_tokens", "n_symbols")
   }
 
   /** Distributed BPE merge LEARNING — [[bpeTokens]] applies a fixed

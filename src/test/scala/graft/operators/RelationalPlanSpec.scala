@@ -252,4 +252,23 @@ class RelationalPlanSpec extends SparkSpec {
         s"${r.getAs[String]("o_orderpriority")}: $min / $third / $top")
     }
   }
+
+  test("ta_bpe_apply_scaled: one corpus pass — broadcast dict join, no corpus self-join") {
+    // the finish must be explode_outer -> broadcast dictionary join ->
+    // one partial-agg'd groupBy; a SortMergeJoin here means the
+    // two-scan doc_id self-join crept back (two corpus-wide shuffles)
+    val df = TextAnalysis.queries("ta_bpe_apply_scaled")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sim_recall_report: every join broadcast — paths + the 50-row truth side") {
+    val df = Similarity.queries("sim_recall_report")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
