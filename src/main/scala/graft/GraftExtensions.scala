@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.functions.{CosineSimilarity, DotProduct, DotProductLong,
-  IntersectionSize, RewriteIntersectionSize, WinnowFingerprints, WordShingles}
+  IntersectionSize, RewriteIntersectionSize, SimHash60, WinnowFingerprints,
+  WordShingles}
 
 /** Engine extensions, registered via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): native functions the
@@ -43,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       (children: Seq[Expression]) =>
         WinnowFingerprints(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => SimHash60(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("intersection_size"),
       new ExpressionInfo(classOf[IntersectionSize].getName, "intersection_size"),

@@ -157,18 +157,19 @@ object Dedup {
     * hash-family-agnostic, and md5 (unlike xxhash64) is computable
     * identically in DuckDB, which turns this query's check from
     * rows-only into hash-verified. */
-  private[graft] def simhashes(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr("word_shingles(text, 1)")).as("t"))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
-    val votes = (0 until SimBits).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
-    val bits = (0 until SimBits).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
-    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+  /** Per-doc 60-bit SimHash signatures via the native row-local
+    * [[graft.functions.SimHash60]] expression — a NARROW projection,
+    * zero exchanges, inside the codegen span. Until round 8 this was an
+    * explode → 60 vote-sums → bit-pack aggregation: partial-agg'd, but
+    * still a corpus-wide shuffle of (doc_id, 60 ints) rows for a value
+    * that is a pure function of one row's text. The aggregation form
+    * survives as the differential reference in `DedupSpec` (it must
+    * stay bit-equal — same md5-prefix votes), and the DuckDB oracle
+    * replays the votes independently, so three renderings still pin
+    * the contract. */
+  private[graft] def simhashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash60(text)").as("simhash"))
 
   /** Per-doc SimHash signatures (hash-verified against a DuckDB oracle
     * that replays the md5 bit votes). */

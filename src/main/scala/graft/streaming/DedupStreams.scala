@@ -98,35 +98,11 @@ object DedupStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Per-row 60-bit SimHash over distinct whitespace tokens — the
-    * row-local form of the batch explode→vote→pack aggregation
-    * (`Dedup.simhashes`), same md5-prefix hash family, bit-identical
-    * output (differentially spec-pinned). Streaming wants the row-local
-    * shape: no shuffle, state only in the dedup operator. */
-  private[graft] def simhash60(text: String): Long = {
-    val toks = text.split(' ').filter(_.nonEmpty).distinct
-    if (toks.isEmpty) return 0L
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val votes = new Array[Int](60)
-    toks.foreach { t =>
-      md.reset()
-      val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var be = 0L
-      var b = 0
-      while (b < 8) { be = (be << 8) | (d(b) & 0xffL); b += 1 }
-      val h = be >>> 4
-      var j = 0
-      while (j < 60) {
-        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
-        j += 1
-      }
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 60) {
-      if (votes(j) > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
+  /** Per-row 60-bit SimHash over distinct whitespace tokens. Since
+    * round 8 this DELEGATES to the shared
+    * [[graft.functions.SimHash60]] kernel — the same code the batch
+    * `dd_simhash` projection evaluates — so batch and stream cannot
+    * drift by construction (the spec still asserts it). */
+  private[graft] def simhash60(text: String): Long =
+    graft.functions.SimHash60.hashText(text)
 }

@@ -160,4 +160,33 @@ class DedupSpec extends SparkSpec {
         s"minhash estimate $e too far from true jaccard $jac")
     }
   }
+
+  test("dd_simhash: native expression ≡ the vote-aggregation reference, zero exchanges") {
+    import org.apache.spark.sql.functions._
+    // the pre-round-8 batch implementation, kept as the differential
+    // reference: explode distinct tokens -> md5-60-bit hash -> 60 per-bit
+    // vote sums -> bit pack (a genuinely independent rendering of the
+    // same declared hash semantics; the DuckDB oracle is a third)
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr("word_shingles(text, 1)")).as("t"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val votes = (0 until 60).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"v$j"))
+    val bits = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+    val reference = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = Dedup.queries("dd_simhash")(spark, sfDir)
+    val native = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native == reference)
+    // and the point of the expression: the signature pass is a narrow
+    // projection — no exchange, no aggregate, inside the codegen span
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"), p)
+    // "*(1)" is the whole-stage-codegen stage marker: the projection
+    // runs inside the generated loop, not as an interpreted fallback
+    assert(p.contains("*(1) Project"), p)
+  }
 }
