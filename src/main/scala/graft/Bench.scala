@@ -140,12 +140,15 @@ object Bench {
       // spread in isolation, but at sweep scale the enqueued cleanups
       // run ASYNC on block-manager threads DURING the next timed rep
       // (the round-5 q22 mechanism) and the 134-query total regresses
-      // 71.6 → 93.4 s. Round 8 replaces that dead end with StateDrain:
-      // the exact cleanups the ContextCleaner would do (shuffles,
-      // broadcasts, listener backlog) performed SYNCHRONOUSLY between
-      // reps, outside the clock — this is what makes an iterative
-      // query's reps independent (gr_pagerank 3.23/3.69/14.2 s without
-      // the drain, flat ~3.2 s with it; see BASELINE.md round 8).
+      // 71.6 → 93.4 s. Round 8 adds StateDrain here: the exact cleanups
+      // the ContextCleaner would do (shuffles, broadcasts, listener
+      // backlog) performed SYNCHRONOUSLY between reps, outside the
+      // clock. Measured caveat (BASELINE.md round 8): the drain did NOT
+      // flatten an iterative query's shared-session reps (gr_pagerank
+      // 3.97/7.05/14.87 with it — the residual churn lives in state
+      // only a context restart resets), which is why per-rep sessions
+      // are the default and this branch is the A/B control, kept
+      // drained so the comparison isolates the restart itself.
       def dropBlocks(): Unit = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
@@ -208,13 +211,21 @@ object Bench {
     // key order matters: a tail-only capture must still see the total and
     // the medians, so diagnostics come first and "value" is last
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_reps":$reps,""" +
+      // drain_ok is only meaningful when the shared-session branch ran
+      // StateDrain; in the default per-rep mode the drain never
+      // executes, and asserting its health would be unfalsifiable —
+      // emit null so A/B readers can tell "succeeded" from "never ran"
       s""""restart_every":$restartEvery,"rep_sessions":$repSessions,""" +
-      s""""drain_ok":${StateDrain.healthy},""" +
+      s""""drain_ok":${if (repSessions) "null" else StateDrain.healthy.toString},""" +
       s""""gc_sec":$gcJson,"reps":$repJson,"queries":$qs,"value":$total}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
-      line.getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    // only a FULL sweep may overwrite the round artifact — an isolated
+    // SPARK_GRAFT_ONLY diagnosis run must not clobber the 139-query
+    // detail file BASELINE.md cites (it happened; see round 8)
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        line.getBytes("UTF-8"))
+      catch { case _: Throwable => }
     println(line)
   }
 }

@@ -88,9 +88,16 @@ object StateDrain {
     }
 
     // 3. listener bus — drain the event queues so no deferred status
-    //    bookkeeping executes inside the next timed rep.
+    //    bookkeeping executes inside the next timed rep. ONLY a drain
+    //    timeout is tolerable here (the rep absorbs the tail); a
+    //    reflection mismatch must escape to the outer handler and flip
+    //    `healthy`, or a silently-skipped step 3 would reintroduce the
+    //    unattributable rep spikes this drain exists to rule out.
     val bus = call(sc, "listenerBus")
     try call(bus, "waitUntilEmpty", java.lang.Long.valueOf(10000L))
-    catch { case _: Throwable => () } // timeout: proceed, rep absorbs it
-  } catch { case _: Throwable => healthy = false }
+    catch {
+      case ite: java.lang.reflect.InvocationTargetException
+        if ite.getCause.isInstanceOf[java.util.concurrent.TimeoutException] => ()
+    }
+  } catch { case scala.util.control.NonFatal(_) => healthy = false }
 }

@@ -267,16 +267,22 @@ object Events {
     val stats = g.groupBy("event_type").agg(
       count(lit(1)).as("c"), sum(col("n")).as("s"),
       sum(expr("CAST(n AS DECIMAL(19,0)) * n")).as("ss"))
-      // the dense grid never yields a NULL n and groups are non-empty,
-      // so ss IS NULL ⟺ the DECIMAL(38,0) sum overflowed
-      .withColumn("ss", expr(
-        """CASE WHEN ss IS NULL THEN CAST(raise_error(
-             'ev_anomaly: ss overflowed DECIMAL(38,0); widen the test') AS DECIMAL(38,0))
-           ELSE ss END"""))
+    // guard the WHOLE test, not just ss: any of the DECIMAL(38,0) terms
+    // ((n·C−S)², C·SS, S²) can overflow to NULL in non-ANSI Spark, and
+    // a NULL predicate silently drops the row. The dense grid never
+    // yields NULL inputs, so lhs/rhs IS NULL ⟺ something overflowed —
+    // raise instead of quietly filtering the (by construction most
+    // anomalous) bucket
     g.join(broadcast(stats), "event_type")
+      .withColumn("lhs", expr(
+        """(CAST(n AS DECIMAL(19,0)) * c - s) * (CAST(n AS DECIMAL(19,0)) * c - s)"""))
+      .withColumn("rhs", expr(
+        """4 * (CAST(c AS DECIMAL(19,0)) * ss - CAST(s AS DECIMAL(19,0)) * s)"""))
       .where(expr(
-        """(CAST(n AS DECIMAL(19,0)) * c - s) * (CAST(n AS DECIMAL(19,0)) * c - s)
-           > 4 * (CAST(c AS DECIMAL(19,0)) * ss - CAST(s AS DECIMAL(19,0)) * s)"""))
+        """CASE WHEN lhs IS NULL OR rhs IS NULL
+             THEN CAST(raise_error(
+               'ev_anomaly: z-test term overflowed DECIMAL(38,0); widen the test') AS BOOLEAN)
+           ELSE lhs > rhs END"""))
       .select(col("event_type"), col("bucket"), col("n"),
         col("c").as("n_buckets"), col("s").as("total_n"))
   }

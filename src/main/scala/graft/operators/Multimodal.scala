@@ -166,15 +166,20 @@ object Multimodal {
       val offs = starts(p)
       offs.zipWithIndex.iterator.flatMap { case (off, idx) =>
         val end = if (idx + 1 < offs.length) offs(idx + 1) else p.length
-        val img =
+        // the input stream must close on the FAILURE path too: a
+        // corrupt-frame-heavy partition would otherwise accumulate one
+        // abandoned MemoryCacheImageInputStream per skipped frame until
+        // GC (which the big-heap executor may not run for a long time)
+        val img = {
+          var in: javax.imageio.stream.ImageInputStream = null
           try {
-            val in = javax.imageio.ImageIO.createImageInputStream(
+            in = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(p.slice(off, end)))
             reader.setInput(in, true, true)
-            val i = reader.read(0)
-            in.close()
-            Option(i)
+            Option(reader.read(0))
           } catch { case _: Exception => None } // corrupt frame: skip, don't fail
+          finally if (in != null) { try in.close() catch { case _: Exception => () } }
+        }
         img.map { i =>
           val (w, h) = (i.getWidth, i.getHeight)
           val px = i.getRGB(0, 0, w, h, null, 0, w)

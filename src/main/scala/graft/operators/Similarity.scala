@@ -303,22 +303,30 @@ object Similarity {
     * shuffles; candidates join as ids) plus a broadcast of the 50-row
     * truth set — the report costs the sum of its paths, nothing more. */
   private lazy val recallReport: Q = (s, d) => {
-    val truth = topkBrute(s, d)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    import s.implicits._
+    // the truth set is BOUNDED (|Q|·5 = 50 rows) — materialize it once
+    // on the driver (the trained-centroid LocalRelation discipline), so
+    // the exact brute-force scan runs exactly once per report instead
+    // of twice (the hit join and the n_truth count were two independent
+    // subtrees re-executing the same most-expensive path)
+    val truthRows = topkBrute(s, d)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val truth = truthRows.toDF("query_id", "neighbor_id")
+      .withColumn("hit", lit(1))
     val paths: Seq[(String, Q)] = Seq(
       "ivf" -> topkIvf, "ivf_trained" -> topkIvfTrained,
       "lsh" -> topkLsh, "sq8" -> topkSq8)
     val returned = paths.map { case (n, q) =>
       q(s, d).select(lit(n).as("path"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))
-    val nTruth = truth.groupBy().agg(count(lit(1)).as("n_truth"))
     returned
       .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
       .groupBy("path").agg(
         countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_returned"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
-      .crossJoin(broadcast(nTruth))
+      .withColumn("n_truth", lit(truthRows.length.toLong))
       .withColumn("recall_at_5",
         col("n_hits").cast("double") / col("n_truth"))
   }
