@@ -48,7 +48,8 @@ object Plans {
     "pl_skew_census",       // per-column partial-agg legs, min(struct) argmax
     "pl_dedup_signals",     // two broadcast drop lists onto one id scan
     "ta_bpe_apply_scaled",  // broadcast merge table, census-sized rounds
-    "sim_recall_report",    // 4 paths + broadcast 50-row truth join
+    "sim_recall_report",    // 4 paths + one broadcast LocalRelation truth
+    "dd_simhash",           // native simhash60: narrow codegen projection
   )
 
   def main(args: Array[String]): Unit = {

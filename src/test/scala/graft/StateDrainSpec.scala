@@ -1,0 +1,32 @@
+package graft
+
+/** StateDrain is reflection-based bench tooling — this spec pins the
+  * reflection contract against the ACTUAL Spark version on the
+  * classpath, so a Spark upgrade that renames a private[spark] member
+  * fails here loudly instead of silently degrading the bench's
+  * inter-rep hygiene (healthy=false would only surface in bench JSON). */
+class StateDrainSpec extends SparkSpec {
+
+  private def shuffleCount: Int = {
+    val env = org.apache.spark.SparkEnv.get
+    val tracker = env.getClass.getMethod("mapOutputTracker").invoke(env)
+    tracker.getClass.getMethods.find(_.getName == "shuffleStatuses").get
+      .invoke(tracker)
+      .asInstanceOf[scala.collection.concurrent.Map[AnyRef, AnyRef]].size
+  }
+
+  test("drain unregisters live shuffles synchronously and stays healthy") {
+    import org.apache.spark.sql.functions._
+    // materialize a real shuffle (grouped agg over a range)
+    spark.range(10000).toDF("v")
+      .groupBy(expr("v % 97")).agg(count(lit(1))).collect()
+    assert(shuffleCount > 0, "expected live shuffle state before the drain")
+    StateDrain(spark)
+    assert(StateDrain.healthy,
+      "drain degraded — a reflection target no longer resolves on this Spark")
+    assert(shuffleCount == 0, "drain left shuffle state registered")
+    // and the session still runs queries afterwards (nothing live was cut)
+    assert(spark.range(100).toDF("v")
+      .groupBy(expr("v % 7")).agg(count(lit(1))).count() == 7)
+  }
+}
