@@ -95,6 +95,41 @@ class DedupStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crossDedupIngest throughput guard: stream-static anti + state dedup above floor") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // static side: 20k corpus fingerprints (md5 hex strings)
+    val corpusFps = spark.range(20000)
+      .select(md5(concat(lit("corpus-doc-"), col("id"))).as("fp"))
+    val in = MemoryStream[StreamDoc]
+    val q = DedupStreams.crossDedupIngest(in.toDF, corpusFps)
+      .writeStream.format("memory").queryName("sd_ingest_rate")
+      .outputMode("append").start()
+    try {
+      val base = ts("10:00").getTime
+      // 50% in-stream dup rate; distinct from the static corpus texts
+      def docs(lo: Int, hi: Int) = (lo until hi).map { i =>
+        StreamDoc(i, new Timestamp(base + i * 100L),
+          s"incoming crawl document body number ${i / 2} fresh tokens")
+      }
+      in.addData(docs(0, 2000): _*) // warm-up batch outside the clock
+      q.processAllAvailable()
+      val n = 36000
+      val t0 = System.nanoTime()
+      (2000 until (2000 + n) by 12000).foreach { lo =>
+        in.addData(docs(lo, lo + 12000): _*)
+        q.processAllAvailable()
+      }
+      val rate = n / ((System.nanoTime() - t0) / 1e9)
+      info(f"crossDedupIngest sustained rate: $rate%.0f rows/s")
+      // the static side re-plans per micro-batch (broadcast), so the
+      // floor sits below nearDedup's; an order-of-magnitude state or
+      // join regression still trips it
+      assert(rate > 2500, f"throughput regression: $rate%.0f rows/s")
+    } finally q.stop()
+  }
+
   test("nearDedup throughput guard: sustained MemoryStream rate above floor") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
