@@ -74,8 +74,57 @@ object Graph {
 
   private val pagerankQ: Q = (s, d) => pageRank(Tables.lineitem(s, d))
 
+  /** Hot-node cap for the bipartite projection: a part supplied by m
+    * suppliers contributes m·(m−1)/2 supplier pairs, so one
+    * mega-degree node makes the projection quadratic (the same blow-up
+    * as a boilerplate fingerprint in `dd_winnow` / a black frame in
+    * `mm_frame_dupes`, and the cap carries the same justification: a
+    * node connected to everything says nothing about affinity).
+    * Mirrored verbatim in the oracle. */
+  private val CoPartCap = 256
+
+  /** Bipartite projection: the CO-SUPPLIER graph. Two suppliers are
+    * linked when they supply ≥2 common parts; edge weight = the number
+    * of shared parts. The projection every entity store eventually
+    * needs (authors→co-authorship, docs sharing sources → corpus
+    * affinity), and the one that dies quadratically at 100 TB unless
+    * fan-out is bounded: pairs are generated PER PART (the self-join
+    * keys on `partkey`, so it shuffles/buckets by part and each part
+    * contributes deg² pairs locally), and parts hotter than
+    * [[CoPartCap]] are excluded BEFORE pairing. TPC-H part-degree ≈ 4,
+    * so the cap only arms on pathological data — but it is what keeps
+    * the plan alive there. Ordered pairs (supp_a < supp_b), exact
+    * shared-part counts, ≥2 threshold — all integer, hash-exact. */
+  /** Projection core over an arbitrary (pk, sk) edge list — separated
+    * so the cap behavior is testable on planted graphs.
+    *
+    * Shape: NOT a self-join (that would recompute the edge census for
+    * both sides and sort-merge it); instead one groupBy collects each
+    * part's supplier list (bounded by [[CoPartCap]], so the row is
+    * bounded), ordered pairs fan out NARROWLY from the sorted list
+    * (deg²/2 per part, locally), and one partial-agg'd groupBy counts
+    * shared parts per pair. Two shuffles total — the census and the
+    * pair rollup — both ∝ their outputs, never quadratic in a hot key. */
+  private[graft] def coSuppliersCore(e: DataFrame): DataFrame =
+    e.groupBy("pk").agg(sort_array(collect_set(col("sk"))).as("sks"))
+      .where(size(col("sks")) <= CoPartCap)
+      .select(explode(expr(
+        """flatten(transform(sks, (x, i) ->
+             transform(slice(sks, i + 2, size(sks) - i - 1),
+               y -> struct(x AS sa, y AS sb))))""")).as("p"))
+      .groupBy(col("p.sa").as("supp_a"), col("p.sb").as("supp_b"))
+      .agg(count(lit(1)).as("n_shared_parts"))
+      .where(col("n_shared_parts") >= 2)
+
+  // no pre-distinct: collect_set dedupes (pk, sk) inside the census
+  // aggregation itself, map-side partial — one shuffle fewer
+  private val coSuppliers: Q = (s, d) =>
+    coSuppliersCore(Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")))
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> pagerankQ,
+    "gr_cosuppliers" -> coSuppliers,
   )
 
   /** DuckDB replay: the three rounds unrolled as plain CTEs (aggregates
@@ -106,5 +155,15 @@ object Graph {
             id // 2 AS entity_key, rank AS rank_micro
           FROM r3"""
     },
+    "gr_cosuppliers" ->
+      s"""WITH e AS (
+            SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+          capped AS (
+            SELECT pk FROM e GROUP BY pk HAVING count(*) <= $CoPartCap),
+          ec AS (SELECT e.pk, e.sk FROM e JOIN capped USING (pk))
+          SELECT a.sk AS supp_a, b.sk AS supp_b, count(*) AS n_shared_parts
+          FROM ec a JOIN ec b ON a.pk = b.pk AND a.sk < b.sk
+          GROUP BY a.sk, b.sk
+          HAVING count(*) >= 2""",
   )
 }

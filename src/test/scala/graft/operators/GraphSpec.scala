@@ -50,4 +50,22 @@ class GraphSpec extends SparkSpec {
     // rounds must have been dropped (the CC residency discipline)
     assert(added.size <= 2, s"resident checkpoints: ${added.size}")
   }
+
+  test("cosuppliers: a hot part past the cap contributes zero pairs; weights are exact") {
+    import spark.implicits._
+    // planted bipartite graph:
+    //   part 1: 300 suppliers (100..399) — OVER the 256 cap; alone it
+    //     would emit 300*299/2 = 44,850 pairs, all meaningless affinity
+    //   parts 2,3: both supplied by suppliers {1, 2}  -> (1,2) weight 2
+    //   parts 4,5,6: supplied by {3, 4}               -> (3,4) weight 3
+    //   part 7: supplied by {1, 3} only               -> weight-1 pair, filtered
+    val hot = (100 to 399).map(s => (1L, s.toLong))
+    val e = (hot ++ Seq((2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+        (4L, 3L), (4L, 4L), (5L, 3L), (5L, 4L), (6L, 3L), (6L, 4L),
+        (7L, 1L), (7L, 3L)))
+      .toDF("pk", "sk")
+    val got = Graph.coSuppliersCore(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L), (3L, 4L, 3L)), got.toString)
+  }
 }
