@@ -50,6 +50,7 @@ object Plans {
     "ta_bpe_apply_scaled",  // broadcast merge table, census-sized rounds
     "sim_recall_report",    // 4 paths + one broadcast LocalRelation truth
     "dd_simhash",           // native simhash60: narrow codegen projection
+    "gr_cosuppliers",       // capped bipartite projection, no self-join
   )
 
   def main(args: Array[String]): Unit = {
