@@ -10,7 +10,13 @@ object Verify {
     val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=<substring> restricts the dump for fast local
+    // single-query oracle checks (mirrors Bench); the driver sets no
+    // env and always dumps everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -100,13 +100,21 @@ object Graph {
     *
     * Shape: NOT a self-join (that would recompute the edge census for
     * both sides and sort-merge it); instead one groupBy collects each
-    * part's supplier list (bounded by [[CoPartCap]], so the row is
-    * bounded), ordered pairs fan out NARROWLY from the sorted list
-    * (deg²/2 per part, locally), and one partial-agg'd groupBy counts
-    * shared parts per pair. Two shuffles total — the census and the
-    * pair rollup — both ∝ their outputs, never quadratic in a hot key. */
+    * part's supplier list via [[graft.functions.CappedSetAgg]] — a
+    * collect_set whose AGGREGATION BUFFER is bounded at cap+1, not
+    * just its output (plain collect_set would materialize a
+    * mega-degree part's whole set on the reduce side before any size
+    * filter could drop it) — then ordered pairs fan out NARROWLY from
+    * the sorted list (deg²/2 per part, locally), and one partial-agg'd
+    * groupBy counts shared parts per pair. Two shuffles total — the
+    * census and the pair rollup — both ∝ their outputs, never
+    * quadratic in a hot key, with per-group state ≤ cap+1 everywhere. */
+  private val cappedSupplierSet =
+    udaf(new graft.functions.CappedSetAgg(CoPartCap),
+      org.apache.spark.sql.Encoders.scalaLong)
+
   private[graft] def coSuppliersCore(e: DataFrame): DataFrame =
-    e.groupBy("pk").agg(sort_array(collect_set(col("sk"))).as("sks"))
+    e.groupBy("pk").agg(cappedSupplierSet(col("sk")).as("sks"))
       .where(size(col("sks")) <= CoPartCap)
       .select(explode(expr(
         """flatten(transform(sks, (x, i) ->

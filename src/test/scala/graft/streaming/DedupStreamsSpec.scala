@@ -124,9 +124,11 @@ class DedupStreamsSpec extends SparkSpec {
       val rate = n / ((System.nanoTime() - t0) / 1e9)
       info(f"crossDedupIngest sustained rate: $rate%.0f rows/s")
       // the static side re-plans per micro-batch (broadcast), so the
-      // floor sits below nearDedup's; an order-of-magnitude state or
-      // join regression still trips it
-      assert(rate > 2500, f"throughput regression: $rate%.0f rows/s")
+      // floor sits below nearDedup's. Deliberately ~10x under the
+      // calm-box rate: this box swings with load (BASELINE.md), and a
+      // wall-clock floor must only trip on an order-of-magnitude
+      // state/join regression, never on a loaded CI window.
+      assert(rate > 1000, f"throughput regression: $rate%.0f rows/s")
     } finally q.stop()
   }
 
