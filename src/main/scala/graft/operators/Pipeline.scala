@@ -127,6 +127,37 @@ object Pipeline {
       .where(col("u") < col("quality") * col("quality"))
       .select("doc_id", "quality", "u")
 
+  /** Weighted sample WITHOUT replacement, exact size k — the
+    * importance-sampling primitive (sample docs ∝ length when packing
+    * a token budget, ∝ quality when upweighting clean sources). Plain
+    * Bernoulli draws ([[qualitySample]]) give a BINOMIAL sample size
+    * and with-replacement semantics under reweighting; the
+    * Efraimidis–Spirakis one-pass reservoir key fixes both: each doc
+    * draws u ∈ (0,1] and keys on u^(1/w) — here the order-equivalent
+    * ln(u)/w, larger = better — and the global top-k by key IS an
+    * exact-size WOR sample with inclusion ∝ weight. u comes from the
+    * same shared overflow-free multiplicative hash as every other
+    * deterministic draw in the suite (+1 so u is never 0), so
+    * membership replays exactly in the oracle; the output carries no
+    * float column (the key is selection-only), and doc_id breaks exact
+    * key ties identically in both engines.
+    *
+    * 100 TB shape: narrow codegen'd scan + TakeOrderedAndProject —
+    * per-partition bounded k-heaps, only k rows ever cross the wire,
+    * no full sort, no shuffle of non-winners (plan-asserted). */
+  private val SampleK = 100
+  // def, not val: interpolates sourceCapExpr, declared LATER in this
+  // object — a val here would capture null at object init (and the
+  // resulting SQL NULL key silently degrades the sort to doc_id order)
+  private def esKeyExpr =
+    s"ln((($sourceCapExpr) + 1) / 4294967296.0D) / n_chars"
+  private val weightedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .where(col("n_chars") > 0)
+      .orderBy(expr(esKeyExpr).desc, col("doc_id"))
+      .limit(SampleK)
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** One-row corpus health report — the summary a curation run reads
     * before deciding what to do next, composing the suite's signals:
     * exact-dup rate, span-duplication and contamination counts, token
@@ -894,6 +925,7 @@ object Pipeline {
     "pl_source_cap" -> sourceCap,
     "pl_span_dupes" -> spanDupes,
     "pl_quality_sample" -> qualitySample,
+    "pl_weighted_sample" -> weightedSample,
     "pl_corpus_report" -> corpusReport,
     "pl_chunk" -> chunk,
     "pl_snapshot_diff" -> snapshotDiff,
@@ -1180,6 +1212,15 @@ object Pipeline {
             FROM documents)
           SELECT doc_id, quality, u FROM t
           WHERE u < quality * quality""",
+    // same key expression, same tie-break; float keys are selection-only
+    // (never output), so the hash compare sees integers and strings
+    "pl_weighted_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars
+          FROM documents
+          WHERE n_chars > 0
+          ORDER BY ln((($sourceCapExpr) + 1) / 4294967296.0) / n_chars DESC,
+            doc_id
+          LIMIT $SampleK""",
     // the span/contamination legs embed those queries' own oracle SQL as
     // derived tables, so the report can never drift from its parts
     "pl_corpus_report" ->

@@ -386,4 +386,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows.exists(_._2) && rows.exists(_._3))
     rows.foreach { case (_, t, m, k) => assert(k == (!t && !m)) }
   }
+
+  test("weighted_sample: exact top-k by the ES key, weight-biased, sort-free plan") {
+    val df = Pipeline.queries("pl_weighted_sample")(spark, sfDir)
+    df.collect() // finalize THIS plan under AQE before reading it
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the 100 TB claim: per-partition bounded k-heaps, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    // differential: recompute the Efraimidis–Spirakis selection with
+    // plain Scala math over a local scan — same hash, same key, same
+    // tie-break — and the engine's set must equal it exactly
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val want = docs.map { case (id, w) =>
+      val h = ((id & 1073741823L) * 2654435761L) % 4294967296L
+      (math.log((h + 1).toDouble / 4294967296.0) / w, id)
+    }.sortBy { case (k, id) => (-k, id) }.take(100).map(_._2).toSet
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // inclusion ∝ weight: the sample must skew long (deterministic
+    // given the fixed hash; a uniform draw would center on the mean)
+    val meanAll = docs.map(_._2).sum.toDouble / docs.length
+    val meanSample = docs.filter(d => got(d._1)).map(_._2).sum / 100.0
+    assert(meanSample > meanAll,
+      s"sample mean $meanSample not above corpus mean $meanAll")
+  }
 }
