@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -130,9 +131,100 @@ object Graph {
     coSuppliersCore(Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")))
 
+  /** Neighbors kept per node in the kNN graph. The raw co-supplier
+    * affinity graph is near-COMPLETE on TPC-H-shaped data (every
+    * supplier pair shares parts — measured: 4,950 of 4,950 possible
+    * edges at sf0.01 even at threshold ≥8), so any absolute-weight
+    * threshold either keeps the clique or kills the graph. Top-k is
+    * the construction that stays sparse at EVERY scale: |edges| ≤ n·k
+    * by definition, and the mutual filter (keep a↔b only when each is
+    * in the other's top-k) prunes asymmetric hub attraction — the
+    * standard kNN-graph discipline from embedding pipelines, where
+    * this graph feeds clustering and near-dup mining. */
+  private val KnnK = 8
+
+  /** Mutual top-[[KnnK]] affinity graph over an arbitrary (pk, sk)
+    * bipartite edge list: nodes are sk values, affinity = number of
+    * shared pk values, and an undirected edge survives only when each
+    * endpoint ranks the other in its top-k by (weight DESC, id) — the
+    * fully deterministic tie-break that makes the graph hash-exact.
+    *
+    * 100 TB shape: the pair census reuses [[coSuppliersCore]]'s capped
+    * per-pk fan-out (bounded buffer, two output-proportional
+    * shuffles); top-k is one row_number window partitioned by the
+    * node id (shuffles the EDGE list, never the corpus, and each
+    * partition's sort is bounded by the node's degree); mutuality is
+    * one more groupBy on the unordered pair key — the pair survives
+    * iff both directions kept it. Everything downstream inherits
+    * degree ≤ k, which is what keeps wedge enumeration (n·k²) alive
+    * where the raw clique would be n³. */
+  private[graft] def mutualKnnCore(e: DataFrame): DataFrame = {
+    val pairs = e.groupBy("pk").agg(cappedSupplierSet(col("sk")).as("sks"))
+      .where(size(col("sks")) <= CoPartCap)
+      .select(explode(expr(
+        """flatten(transform(sks, (x, i) ->
+             transform(slice(sks, i + 2, size(sks) - i - 1),
+               y -> struct(x AS sa, y AS sb))))""")).as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .agg(count(lit(1)).as("w"))
+    // weights are symmetric: rank both directions from one ordered census
+    val und = pairs.union(pairs.select(col("sb"), col("sa"), col("w")))
+    val knn = und
+      .withColumn("r", row_number().over(
+        Window.partitionBy("sa").orderBy(col("w").desc, col("sb"))))
+      .where(col("r") <= KnnK)
+      .select("sa", "sb", "w")
+    // mutuality WITHOUT a self-join: a directed edge appears at most
+    // once, so the unordered pair appears exactly twice in knn iff
+    // both endpoints kept each other — one partial-agg'd groupBy where
+    // the join form would re-execute the whole census+window subtree
+    // for the build side (w is symmetric, so max() just picks it up)
+    knn.groupBy(least(col("sa"), col("sb")).as("supp_a"),
+        greatest(col("sa"), col("sb")).as("supp_b"))
+      .agg(count(lit(1)).as("n_dir"), max(col("w")).as("w"))
+      .where(col("n_dir") === 2)
+      .select(col("supp_a"), col("supp_b"), col("w").as("n_shared_parts"))
+  }
+
+  private val knnGraph: Q = (s, d) =>
+    mutualKnnCore(Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")))
+
+  /** Triangle census over the mutual-kNN graph: per-node triangle
+    * participation counts — the local-clustering signal that flags
+    * tightly-bound communities (in a corpus affinity graph: template
+    * families, mirror clusters) before an expensive community pass.
+    *
+    * Because [[mutualKnnCore]] bounds degree at k, the id-ordered
+    * wedge join is all the orientation needed: edges carry a < b, a
+    * wedge is (a,b)⋈(b,c) — so a < b < c and every triangle is
+    * enumerated exactly once — and the closing (a,c) probe is a
+    * semi-join. Work is Σ deg² ≤ n·k² wedges, each a few dozen bytes
+    * of ids: linear in nodes at any scale. On the raw affinity clique
+    * this query would be n³ — the kNN construction IS the scale plan. */
+  private val triangles: Q = (s, d) => {
+    // the mutual edge list is referenced three times (both wedge legs +
+    // the closing probe); it is ≤ n·k/2 rows of ids, so materialize it
+    // ONCE — without this the census + window subtree re-executes per
+    // reference (same residency-visible discipline as pageRank's edges)
+    val m = knnGraph(s, d)
+      .select(col("supp_a").as("a"), col("supp_b").as("b"))
+      .localCheckpoint(true)
+    val wedges = m.as("x")
+      .join(m.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tri = wedges.join(m.as("z"),
+      wedges("a") === col("z.a") && wedges("c") === col("z.b"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
+      .groupBy("suppkey")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> pagerankQ,
     "gr_cosuppliers" -> coSuppliers,
+    "gr_knn_graph" -> knnGraph,
+    "gr_triangles" -> triangles,
   )
 
   /** DuckDB replay: the three rounds unrolled as plain CTEs (aggregates
@@ -173,5 +265,45 @@ object Graph {
           FROM ec a JOIN ec b ON a.pk = b.pk AND a.sk < b.sk
           GROUP BY a.sk, b.sk
           HAVING count(*) >= 2""",
+    "gr_knn_graph" ->
+      s"""$knnOracleCtes
+          SELECT sa AS supp_a, sb AS supp_b, w AS n_shared_parts FROM mut""",
+    "gr_triangles" ->
+      s"""$knnOracleCtes,
+          tri AS (
+            SELECT x.sa AS a, x.sb AS b, y.sb AS c
+            FROM mut x
+            JOIN mut y ON y.sa = x.sb
+            WHERE EXISTS (
+              SELECT 1 FROM mut z WHERE z.sa = x.sa AND z.sb = y.sb)),
+          nodes AS (
+            SELECT a AS suppkey FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          SELECT suppkey, count(*) AS n_triangles FROM nodes GROUP BY suppkey""",
   )
+
+  /** Shared replay of [[mutualKnnCore]]: capped pair census, symmetric
+    * fan-out, per-node top-k by (w DESC, id), mutual filter, a < b. */
+  private def knnOracleCtes: String =
+    s"""WITH e AS (
+          SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        capped AS (
+          SELECT pk FROM e GROUP BY pk HAVING count(*) <= $CoPartCap),
+        ec AS (SELECT e.pk, e.sk FROM e JOIN capped USING (pk)),
+        pairs AS (
+          SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
+          FROM ec a JOIN ec b ON a.pk = b.pk AND a.sk < b.sk
+          GROUP BY a.sk, b.sk),
+        und AS (
+          SELECT sa, sb, w FROM pairs
+          UNION ALL SELECT sb AS sa, sa AS sb, w FROM pairs),
+        rk AS (
+          SELECT sa, sb, w,
+            row_number() OVER (PARTITION BY sa ORDER BY w DESC, sb) AS r
+          FROM und),
+        knn AS (SELECT sa, sb, w FROM rk WHERE r <= $KnnK),
+        mut AS (
+          SELECT least(sa, sb) AS sa, greatest(sa, sb) AS sb, max(w) AS w
+          FROM knn GROUP BY 1, 2 HAVING count(*) = 2)"""
 }

@@ -51,6 +51,51 @@ class GraphSpec extends SparkSpec {
     assert(added.size <= 2, s"resident checkpoints: ${added.size}")
   }
 
+  test("mutual knn: asymmetric hub edges are pruned; triangles exact on a planted graph") {
+    import spark.implicits._
+    // hub 100 with 10 neighbors at strictly decreasing affinity
+    // (weight 11-i to neighbor i): the hub's top-8 is {1..8}, but every
+    // neighbor's top-8 contains the hub — so edges (9,100) and (10,100)
+    // are exactly the ones the MUTUAL filter must drop. One extra part
+    // shared by {1,2} closes the single triangle {1,2,100}.
+    var part = 0L
+    val hubEdges = (1 to 10).flatMap { i =>
+      (1 to (11 - i)).flatMap { _ =>
+        part += 1
+        Seq((part, 100L), (part, i.toLong))
+      }
+    }
+    part += 1
+    val e = (hubEdges ++ Seq((part, 1L), (part, 2L))).toDF("pk", "sk")
+    val mut = Graph.mutualKnnCore(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (1 to 8).map(i => (i.toLong, 100L, (11 - i).toLong)).toSet +
+      ((1L, 2L, 1L))
+    assert(mut == expected, mut.toString)
+
+    // triangle census through the declared query shape: plant the same
+    // graph via a temp view is overkill — drive the core directly
+    val m = Graph.mutualKnnCore(e)
+      .select(org.apache.spark.sql.functions.col("supp_a").as("a"),
+        org.apache.spark.sql.functions.col("supp_b").as("b"))
+    val wedges = m.as("x")
+      .join(m.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tri = wedges.join(m.as("z"),
+      wedges("a") === col("z.a") && wedges("c") === col("z.b"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((1L, 2L, 100L)), tri.toString)
+  }
+
+  test("gr_triangles: census is deterministic and every count is positive") {
+    val t1 = Graph.queries("gr_triangles")(spark, sfDir).cache()
+    assert(t1.count() > 0)
+    assert(t1.where(col("n_triangles") <= 0).count() === 0)
+    val t2 = Graph.queries("gr_triangles")(spark, sfDir)
+    assert(t1.exceptAll(t2).count() === 0 && t2.exceptAll(t1).count() === 0)
+    t1.unpersist()
+  }
+
   test("cosuppliers: a hot part past the cap contributes zero pairs; weights are exact") {
     import spark.implicits._
     // planted bipartite graph:

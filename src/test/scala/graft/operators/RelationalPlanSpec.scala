@@ -164,6 +164,24 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("gr_knn_graph/gr_triangles: one top-k window builds the graph; wedge joins stay hash-shaped") {
+    // graph construction: exactly one row_number window (the per-node
+    // top-k rank) — mutuality must plan as a groupBy, never a second
+    // census+window subtree for a self-join build side
+    val g = Graph.queries("gr_knn_graph")(spark, sfDir)
+    g.collect()
+    val gp = g.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windowNodes = gp.split('\n').count(_.matches("\\s*[+:|\\- ]*Window .*"))
+    assert(windowNodes == 1, s"expected exactly 1 Window operator node, plan:\n$gp")
+    // triangle census: the checkpointed edge list makes wedge + close
+    // pure id hash joins — no cartesian, no window, no re-census
+    val df = Graph.queries("gr_triangles")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Window "), p)
+  }
+
   test("dd_components: propagation joins are hash joins on ids") {
     val df = Dedup.queries("dd_components")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
