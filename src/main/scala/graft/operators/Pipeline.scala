@@ -853,6 +853,62 @@ object Pipeline {
         min(col("canon")).as("canon_url"))
   }
 
+  // PII patterns — plain Scala strings fed through the Column API
+  // (regexp_replace/regexp_count take the pattern verbatim), so the
+  // backslashes never pass through the SQL parser's escape processing
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4Re  = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** PII scrub — the redaction pass a training corpus runs before any
+    * other stage is allowed to see the text: emails, phone numbers,
+    * and IPv4 addresses replaced by typed placeholders, plus per-doc
+    * match counts for the compliance report.
+    *
+    * The synthetic corpus carries no PII (asserted: zero docs contain
+    * any of `[0-9.@-]`), so the query PLANTS a deterministic payload
+    * per doc — `doc_id % 3` emails, `doc_id % 2` phone numbers, an
+    * IPv4 on every 5th doc — and the regexes must EARN the redaction:
+    * the oracle constructs the expected scrubbed text and counts from
+    * the planting arithmetic alone, never running a regex (the
+    * `pl_url_canon` discipline — ground truth states the invariant,
+    * Spark recovers it by actually matching).
+    *
+    * 100 TB shape: a pure narrow projection — three codegen'd
+    * regexp_count's and three regexp_replace passes per row, zero
+    * exchanges, zero joins; scan-bound like `ta_quality`. Redaction
+    * order (emails → IPs → phones) is safe by construction: no
+    * pattern matches inside another's placeholder or residue. */
+  private val piiScrub: Q = (s, d) => {
+    val raw = Tables.documents(s, d).selectExpr(
+      "doc_id",
+      """concat(text,
+           CASE doc_id % 3
+             WHEN 1 THEN concat(' mail user', doc_id, '@', source, '.example.com')
+             WHEN 2 THEN concat(' mail user', doc_id, '@', source, '.example.com',
+                                ' cc user', doc_id + 1, '@', source, '.example.com')
+             ELSE '' END,
+           CASE WHEN doc_id % 2 = 1
+             THEN concat(' call 555-',
+                         lpad(CAST((doc_id * 7) % 1000 AS STRING), 3, '0'), '-',
+                         lpad(CAST((doc_id * 13) % 10000 AS STRING), 4, '0'))
+             ELSE '' END,
+           CASE WHEN doc_id % 5 = 0
+             THEN concat(' from ', 1 + doc_id % 223, '.', doc_id % 256, '.',
+                         (doc_id * 3) % 256, '.', (doc_id * 7) % 256)
+             ELSE '' END) AS raw""")
+    raw.select(
+      col("doc_id"),
+      regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("scrubbed"))
+  }
+
   /** Join-key skew census — the diagnostic that DECIDES the salting
     * strategy (`Skew.saltedJoin` / AQE skew-join) before a 100 TB join
     * is planned: per candidate key column, row count, exact distinct
@@ -911,6 +967,7 @@ object Pipeline {
     "pl_dedup_signals" -> dedupSignals,
     "pl_skew_census" -> skewCensus,
     "pl_url_canon" -> urlCanon,
+    "pl_pii_scrub" -> piiScrub,
     "pl_shuffle_order" -> shuffleOrder,
     "pl_incremental_agg" -> incrementalAgg,
     "pl_k_anonymity" -> kAnonymity,
@@ -1129,6 +1186,25 @@ object Pipeline {
            CAST(1 AS BIGINT) AS n_canonical,
            'https://' || source || '.example.com/docs/' || lang || '/' ||
              doc_id || '?page=' || (doc_id % 7) || '&ref=feed' AS canon_url
+         FROM documents""",
+    // the oracle never runs a regex: expected counts and the scrubbed
+    // text are reconstructed from the planting arithmetic alone, so
+    // Spark must EARN every redaction by actually matching the patterns
+    "pl_pii_scrub" ->
+      """SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+             AS BIGINT) AS n_emails,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_phones,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_ips,
+           text ||
+             CASE doc_id % 3 WHEN 1 THEN ' mail <EMAIL>'
+                             WHEN 2 THEN ' mail <EMAIL> cc <EMAIL>'
+                             ELSE '' END ||
+             CASE WHEN doc_id % 2 = 1 THEN ' call <PHONE>' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' from <IP>' ELSE '' END
+             AS scrubbed
          FROM documents""",
     "pl_shuffle_order" ->
       s"""SELECT doc_id, ($sourceCapExpr) AS h,

@@ -308,6 +308,35 @@ class PipelineSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(h"), p)
   }
 
+  test("pii_scrub: every planted payload redacted, counts match the planting arithmetic") {
+    val scrubbed = Pipeline.queries("pl_pii_scrub")(spark, sfDir)
+    scrubbed.cache()
+    // full redaction: the corpus text carries no digits or '@' (asserted
+    // below), so after scrubbing the planted payloads NOTHING matchable
+    // may remain — a single surviving digit means a regex under-matched
+    val residue = scrubbed.where(
+      regexp_count(col("scrubbed"), lit("[0-9@]")) > 0)
+    assert(residue.count() === 0,
+      residue.select("doc_id", "scrubbed").take(3).mkString("\n"))
+    // and the corpus-cleanliness precondition the planting relies on
+    val dirty = graft.sources.Tables.documents(spark, sfDir)
+      .where(regexp_count(col("text"), lit("[0-9.@-]")) > 0)
+    assert(dirty.count() === 0)
+    // counts recover the planting arithmetic exactly
+    val bad = scrubbed.where(
+      col("n_emails") =!= expr("CASE doc_id % 3 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END") ||
+      col("n_phones") =!= expr("CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END") ||
+      col("n_ips") =!= expr("CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END"))
+    assert(bad.count() === 0, bad.take(3).mkString("\n"))
+    // placeholders present exactly as counted (replace matched what count saw)
+    val mism = scrubbed.where(
+      expr("size(split(scrubbed, '<EMAIL>')) - 1") =!= col("n_emails") ||
+      expr("size(split(scrubbed, '<PHONE>')) - 1") =!= col("n_phones") ||
+      expr("size(split(scrubbed, '<IP>')) - 1") =!= col("n_ips"))
+    assert(mism.count() === 0, mism.take(3).mkString("\n"))
+    scrubbed.unpersist()
+  }
+
   test("incremental agg: base+delta merge equals the full rescan on every group") {
     val rows = Pipeline.queries("pl_incremental_agg")(spark, sfDir).collect()
     assert(rows.nonEmpty)
