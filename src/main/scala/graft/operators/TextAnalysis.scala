@@ -204,6 +204,48 @@ object TextAnalysis {
         "(1000 * sum_df) DIV n_bigrams AS typicality_milli")
   }
 
+  /** Composite quality GATE (the Gopher-rule shape): the per-doc
+    * keep/drop decision table a corpus pipeline actually ships, with
+    * one boolean per rule so downstream can audit WHY a doc dropped —
+    * length bounds, mean-token-length band, minimum stopword evidence,
+    * and the within-doc repetition cap. Thresholds are corpus-calibrated
+    * (documents: 10–99 tokens, mean length 3.7–5.3 chars, 22% of docs
+    * under 2 stopword hits) so every rule genuinely splits.
+    *
+    * All comparisons are INTEGER cross-multiplications (`1000·chars ≥
+    * 3000·n`, `1000·top ≤ 125·bigrams`) — no division, no float, so the
+    * booleans are bit-stable cross-engine (the `ev_anomaly` z-test
+    * discipline applied to filtering).
+    *
+    * 100 TB shape: ZERO exchanges — the top-bigram count stays INSIDE
+    * the row via array ops (per-doc work bounded by doc length², here
+    * ≤10⁴) instead of the explode→groupBy→groupBy shuffle pair
+    * `ta_repetition` uses for the corpus-wide report. For a gate that
+    * feeds a WHERE clause, per-row compute beats two shuffles at any
+    * scale: the filter composes with pushdown and the scan stays the
+    * only stage. */
+  private lazy val qualityGate: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "word_ngrams(text, 1) AS tok", "word_ngrams(text, 2) AS bgs")
+      .selectExpr("doc_id",
+        "size(tok) AS n_tokens",
+        "aggregate(tok, 0L, (a, t) -> a + length(t)) AS n_chars_tok",
+        s"size(filter(tok, t -> t IN (${inList(stop("en"))}))) AS n_stop",
+        "size(bgs) AS n_bigrams",
+        """CASE WHEN size(bgs) = 0 THEN 0L
+            ELSE aggregate(array_distinct(bgs), 0L,
+                   (m, b) -> greatest(m, CAST(size(filter(bgs, x -> x = b)) AS BIGINT)))
+            END AS top_bigram_n""")
+      .selectExpr("doc_id", "n_tokens", "n_stop", "n_bigrams", "top_bigram_n",
+        "n_tokens BETWEEN 32 AND 100000 AS len_ok",
+        """n_tokens > 0 AND 1000 * n_chars_tok >= 3000 * n_tokens
+           AND 1000 * n_chars_tok <= 5000 * n_tokens AS word_len_ok""",
+        "n_stop >= 2 AS stop_ok",
+        "1000 * top_bigram_n <= 125 * n_bigrams AS rep_ok")
+      .selectExpr("*",
+        "len_ok AND word_len_ok AND stop_ok AND rep_ok AS keep")
+
   /** Zipf rank-frequency head: the top-50 corpus terms with their rank
     * and the rank·frequency product (near-constant under Zipf's law —
     * the one-glance sanity check that a corpus is natural-ish text and
@@ -239,6 +281,7 @@ object TextAnalysis {
     "ta_bpe_apply_scaled" -> bpeApplyScaled,
     "ta_bpe_vocab" -> bpeVocab,
     "ta_typicality" -> typicality,
+    "ta_quality_gate" -> qualityGate,
     "ta_zipf" -> zipf,
   )
 
@@ -505,16 +548,18 @@ object TextAnalysis {
 
   /** Repetition signal (Gopher-style quality filter): fraction of a
     * doc's bigram occurrences taken by its single most frequent bigram.
-    * Positional bigrams (duplicates kept) → explode → per-(doc, bigram)
-    * count → per-doc max/total. Int ratio → oracle-deterministic. */
+    * Positional bigrams (duplicates kept — `word_ngrams`, the
+    * non-distinct sibling of `word_shingles`: one native pass instead
+    * of the five-HOF transform/sequence chain, which profiles ~50×
+    * slower per row) → explode → per-(doc, bigram) count → per-doc
+    * max/total. Int ratio → oracle-deterministic. */
   private lazy val repetition: Q = (s, d) =>
+    // no explicit <2-token filter: word_ngrams returns [] below n tokens
+    // and explode drops empty arrays, so sub-bigram docs vanish exactly
+    // as the old size()-guard made them
     Tables.documents(s, d)
-      .withColumn("tok", expr("filter(split(text, ' '), t -> t <> '')"))
-      .where(expr("size(tok) >= 2"))
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, size(tok) - 2), i -> concat(tok[i], ' ', tok[i+1]))"))
-          .as("bigram"))
+        explode(expr("word_ngrams(text, 2)")).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).cast("long").as("n_bigrams"))
@@ -610,6 +655,37 @@ object TextAnalysis {
           SELECT doc_id, $scores
           FROM (SELECT doc_id, $duckTok AS tok FROM documents))"""
     },
+    "ta_quality_gate" ->
+      s"""WITH t AS (
+            SELECT doc_id, $duckTok AS ts FROM documents),
+          raw AS (
+            SELECT doc_id, len(ts) AS n_tokens,
+              CASE WHEN len(ts) = 0 THEN 0 ELSE list_reduce(
+                list_transform(ts, x -> CAST(length(x) AS BIGINT)),
+                (a, b) -> a + b) END AS n_chars_tok,
+              len(list_filter(ts, x -> x IN (${inList(stop("en"))}))) AS n_stop,
+              [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))] AS bgs
+            FROM t),
+          m AS (
+            SELECT doc_id, n_tokens, n_chars_tok, n_stop,
+              len(bgs) AS n_bigrams,
+              CASE WHEN len(bgs) = 0 THEN 0 ELSE list_aggregate(
+                list_transform(list_distinct(bgs),
+                  b -> CAST(len(list_filter(bgs, x -> x = b)) AS BIGINT)),
+                'max') END AS top_bigram_n
+            FROM raw)
+          SELECT doc_id, n_tokens, n_stop, n_bigrams, top_bigram_n,
+            n_tokens BETWEEN 32 AND 100000 AS len_ok,
+            n_tokens > 0 AND 1000 * n_chars_tok >= 3000 * n_tokens
+              AND 1000 * n_chars_tok <= 5000 * n_tokens AS word_len_ok,
+            n_stop >= 2 AS stop_ok,
+            1000 * top_bigram_n <= 125 * n_bigrams AS rep_ok,
+            (n_tokens BETWEEN 32 AND 100000)
+              AND (n_tokens > 0 AND 1000 * n_chars_tok >= 3000 * n_tokens
+                   AND 1000 * n_chars_tok <= 5000 * n_tokens)
+              AND n_stop >= 2
+              AND 1000 * top_bigram_n <= 125 * n_bigrams AS keep
+          FROM m""",
     "ta_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
          FROM documents""",

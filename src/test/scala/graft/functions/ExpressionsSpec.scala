@@ -38,4 +38,30 @@ class ExpressionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("word_shingles"))
   }
+
+  test("word_ngrams ≡ the positional HOF chain (multiplicity kept, corpus-wide)") {
+    // the declared chain word_ngrams replaced in ta_repetition — must
+    // agree element-for-element including duplicate grams and order
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("tok", org.apache.spark.sql.functions.expr(
+        "filter(split(text, ' '), t -> t <> '')"))
+    for (n <- Seq(1, 2, 3)) {
+      val diff = docs.selectExpr(
+        s"word_ngrams(text, $n) AS fast",
+        s"""CASE WHEN size(tok) < $n THEN array()
+            ELSE transform(sequence(0, size(tok) - $n),
+                   i -> concat_ws(' ', slice(tok, i + 1, $n))) END AS slow""")
+        .where("fast <> slow")
+      assert(diff.count() === 0, s"n=$n: ${diff.take(1).mkString}")
+    }
+    // edge cases: empty, all-spaces, exactly-n tokens, multiplicity
+    import spark.implicits._
+    val edge = Seq("", "   ", "a b", "a b a b").toDF("text")
+      .selectExpr("word_ngrams(text, 2) AS g").collect().map(_.getSeq[String](0))
+    assert(edge(0).isEmpty && edge(1).isEmpty)
+    assert(edge(2) === Seq("a b"))
+    assert(edge(3) === Seq("a b", "b a", "a b")) // duplicate KEPT
+    // null propagates
+    assert(spark.sql("SELECT word_ngrams(CAST(NULL AS STRING), 2)").head.isNullAt(0))
+  }
 }
