@@ -212,6 +212,74 @@ object Multimodal {
       every: Int = 4): DataFrame =
     sampleFramesWith(rows, new StrideDecoder(frameBytes, every))
 
+  /** Average-hash (aHash) of a decoded ARGB frame: the standard
+    * perceptual near-dup kernel — two frames are visual near-dups iff
+    * the Hamming distance of their 64-bit hashes is small, so frame
+    * dedup becomes the same banded/bucketed join discipline as
+    * [[Dedup]]'s SimHash path instead of byte-exact md5 matching
+    * (which a single re-encode breaks).
+    *
+    * 1-D variant over the luminance stream: the packed-ARGB frames the
+    * [[FrameDecoder]] contract yields carry no (w,h), and for
+    * near-dup bucketing the exact 8×8 downsample geometry is
+    * irrelevant — what matters is that the SAME pixels give the SAME
+    * hash and near pixels give near hashes. 64 equal buckets over the
+    * luminance sequence; bit i set iff bucket i's mean EXCEEDS the
+    * global mean, compared by integer cross-multiplication
+    * (`sum_i · n > total · n_i`) — no division, no float, bit-stable
+    * on every JVM. All-uniform frames hash to 0L by construction
+    * (no bucket exceeds the mean).
+    *
+    * ITU-R 601 integer luminance: (299·R + 587·G + 114·B) / 1000,
+    * truncating — deterministic, and alpha ignored. */
+  private[graft] def averageHash64(argb: Array[Byte]): Long = {
+    val n = argb.length / 4
+    if (n == 0) return 0L
+    val lum = new Array[Long](n)
+    var total = 0L
+    var p = 0
+    while (p < n) {
+      val r = argb(p * 4 + 1) & 0xFF
+      val g = argb(p * 4 + 2) & 0xFF
+      val b = argb(p * 4 + 3) & 0xFF
+      lum(p) = (299L * r + 587L * g + 114L * b) / 1000L
+      total += lum(p)
+      p += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // bucket i covers [i*n/64, (i+1)*n/64) — empty when n < 64; an
+      // empty bucket contributes a 0 bit (0 * n > total * 0 is false)
+      val from = i * n / 64
+      val until = (i + 1) * n / 64
+      var s = 0L
+      var j = from
+      while (j < until) { s += lum(j); j += 1 }
+      if (s * n > total * (until - from)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-frame perceptual hashes through a [[FrameDecoder]]: decode →
+    * feature-extract in one narrow pass (the hash rides the same task
+    * as the decode, so full-resolution pixels never shuffle — only the
+    * 8-byte hash does, the property that makes frame near-dup viable
+    * at 100 TB of video). */
+  private[graft] def frameAHashes(rows: Dataset[MediaRow],
+      dec: FrameDecoder): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      dec.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      it.flatMap { m =>
+        dec.frames(m.payload).map { case (f, b) => (m.doc_id, f, averageHash64(b)) }
+      }
+    }.toDF("doc_id", "frame_no", "ahash")
+  }
+
   /** Features as a declared query — hash-verified: the stub decoder is
     * md5-derived, so the oracle recomputes the exact lane values;
     * MultimodalSpec additionally pins determinism + shape. */

@@ -152,6 +152,46 @@ class MultimodalSpec extends SparkSpec {
     val p = pairs.head
     assert(p.getLong(0) == 0L && p.getLong(1) == 1L && p.getLong(2) == 1L)
   }
+
+  test("averageHash64: identical frames collide, near frames are near, inverses are far") {
+    import spark.implicits._
+    // structured 64x1 gradient images (solid colors all hash to 0L by
+    // construction — uniform luminance has no bucket above the mean)
+    def gradPng(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      (0 until 64).foreach { x =>
+        val v = f(x) & 0xFF
+        img.setRGB(x, 0, 0xFF000000 | (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val ramp = gradPng(x => x * 4)                    // dark → bright
+    val rampJit = gradPng(x => (x * 4) ^ 1)           // ±1 luminance noise
+    val inverse = gradPng(x => 255 - x * 4)           // bright → dark
+    val docs = Seq(
+      MediaRow(1L, ramp ++ rampJit ++ inverse, "s"),
+      MediaRow(2L, ramp, "s"),
+    ).toDS().repartition(2)
+    val h = Multimodal.frameAHashes(docs, new Multimodal.PngFrameDecoder)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // identical pixels → identical hash, across docs and partitions
+    assert(h((1L, 0)) == h((2L, 0)))
+    // the ramp's bright half is above its mean: a non-trivial bit pattern
+    assert(java.lang.Long.bitCount(h((1L, 0))) >= 24
+      && java.lang.Long.bitCount(h((1L, 0))) <= 40, h((1L, 0)).toBinaryString)
+    // ±1 jitter moves few bits; the inverted gradient flips nearly all
+    assert(dist(h((1L, 0)), h((1L, 1))) <= 8,
+      s"jitter dist ${dist(h((1L, 0)), h((1L, 1)))}")
+    assert(dist(h((1L, 0)), h((1L, 2))) >= 48,
+      s"inverse dist ${dist(h((1L, 0)), h((1L, 2)))}")
+    // pure-kernel edge cases: empty frame and uniform frame hash to 0
+    assert(Multimodal.averageHash64(Array.emptyByteArray) == 0L)
+    assert(Multimodal.averageHash64(Array.fill(256)(0x7F.toByte)) == 0L)
+  }
 }
 
 /** Static counters: the decoder closure runs in local[*] executor
