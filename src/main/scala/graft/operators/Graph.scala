@@ -220,11 +220,68 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  private val LpaIters = 3
+
+  /** Community detection by fixed-round synchronous label propagation
+    * over the mutual-kNN graph — the cheap community pass that follows
+    * [[triangles]]' clustering signal: every node starts as its own label
+    * and each round adopts the label with the greatest total incident
+    * edge weight among its neighbors, tie-broken by MIN label — fully
+    * deterministic, so the fixed-point prefix is hash-exact
+    * cross-engine (float-free by construction: weights are shared-part
+    * counts).
+    *
+    * Synchronous LPA can oscillate on bipartite-ish structure; a FIXED
+    * round count makes the declared semantics "labels after k rounds",
+    * which is deterministic whether or not the underlying iteration
+    * has converged (the production mitigation — per-round hash-parity
+    * update schedules — changes which nodes update, not the per-node
+    * rule declared here).
+    *
+    * 100 TB shape = [[pageRank]]'s loop verbatim: undirected edges
+    * repartitioned on the probe key and checkpointed ONCE; each round
+    * is one shuffle-hash join (label side builds) + one (dst, lbl)
+    * partial agg + one combinable min(struct) argmax — the
+    * `pl_skew_census` discipline, never a per-dst window over the edge
+    * stream; per-round label checkpoints with previous-round drops
+    * keep residency O(|nodes|). Degree ≤ k from the kNN construction
+    * bounds every round's fan-in. */
+  private[graft] def labelPropagate(mut: DataFrame, iters: Int = LpaIters): DataFrame = {
+    val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"),
+      col("n_shared_parts").as("w"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val edges = und.repartition(col("src")).localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var prevRound = labels
+    (1 to iters).foreach { _ =>
+      val next = edges.join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(sum(col("w")).as("ws"))
+        // argmax(ws), tie → min(lbl), as ONE combinable aggregate:
+        // min over (−ws, lbl) struct ordering
+        .groupBy(col("dst").as("id"))
+        .agg(min(struct((-col("ws")).as("nw"), col("lbl").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+      labels = next
+      graft.Checkpoints.drop(prevRound)
+      prevRound = next
+    }
+    labels.select(col("id").as("suppkey"), col("lbl").as("community"))
+  }
+
+  private val labelProp: Q = (s, d) => labelPropagate(
+    mutualKnnCore(Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> pagerankQ,
     "gr_cosuppliers" -> coSuppliers,
     "gr_knn_graph" -> knnGraph,
     "gr_triangles" -> triangles,
+    "gr_labelprop" -> labelProp,
   )
 
   /** DuckDB replay: the three rounds unrolled as plain CTEs (aggregates
@@ -281,6 +338,28 @@ object Graph {
             UNION ALL SELECT b FROM tri
             UNION ALL SELECT c FROM tri)
           SELECT suppkey, count(*) AS n_triangles FROM nodes GROUP BY suppkey""",
+    "gr_labelprop" -> {
+      // per-round argmax replayed as a post-agg window (row_number over
+      // (sum DESC, lbl)) — semantically the min(−ws, lbl) struct pick
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS (
+             SELECT id, lbl FROM (
+               SELECT u.dst AS id, l.lbl, sum(u.w) AS ws,
+                 row_number() OVER (
+                   PARTITION BY u.dst ORDER BY sum(u.w) DESC, l.lbl) AS r
+               FROM e2 u JOIN $prev l ON u.src = l.id
+               GROUP BY u.dst, l.lbl)
+             WHERE r = 1)"""
+      s"""$knnOracleCtes,
+          e2 AS (
+            SELECT sa AS src, sb AS dst, w FROM mut
+            UNION ALL SELECT sb AS src, sa AS dst, w FROM mut),
+          l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e2),
+          ${step("l0", "l1")},
+          ${step("l1", "l2")},
+          ${step("l2", "l3")}
+          SELECT id AS suppkey, lbl AS community FROM l3"""
+    },
   )
 
   /** Shared replay of [[mutualKnnCore]]: capped pair census, symmetric

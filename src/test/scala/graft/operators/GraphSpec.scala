@@ -96,6 +96,40 @@ class GraphSpec extends SparkSpec {
     t1.unpersist()
   }
 
+  test("labelprop: planted cliques resolve to two communities across a weak bridge") {
+    import spark.implicits._
+    // two weight-5 triangles {1,2,3} and {10,11,12}, bridged by a
+    // weight-1 edge (3,10). Hand-traced under the declared rule
+    // (argmax neighbor-label weight, tie → min label):
+    //   r1: 1→2, 2→1, 3→1, 10→11, 11→10, 12→10
+    //   r2: 1→1, 2→1, 3→1, 10→10, 11→10, 12→10
+    //   r3: fixed point — the bridge weight never outvotes the clique
+    val mut = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (10L, 11L, 5L), (10L, 12L, 5L), (11L, 12L, 5L),
+      (3L, 10L, 1L),
+    ).toDF("supp_a", "supp_b", "n_shared_parts")
+    val got = Graph.labelPropagate(mut).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), got.toString)
+  }
+
+  test("gr_labelprop: covers every kNN node once, labels are nodes, deterministic") {
+    val c1 = Graph.queries("gr_labelprop")(spark, sfDir).cache()
+    val nodes = Graph.queries("gr_knn_graph")(spark, sfDir)
+      .selectExpr("supp_a AS s").union(
+        Graph.queries("gr_knn_graph")(spark, sfDir).selectExpr("supp_b AS s"))
+      .distinct()
+    assert(c1.count() === nodes.count())
+    // every community label is itself a graph node (labels only ever
+    // copy ids, never invent them)
+    assert(c1.join(nodes, c1("community") === nodes("s"), "left_anti").count() === 0)
+    val c2 = Graph.queries("gr_labelprop")(spark, sfDir)
+    assert(c1.exceptAll(c2).count() === 0 && c2.exceptAll(c1).count() === 0)
+    c1.unpersist()
+  }
+
   test("cosuppliers: a hot part past the cap contributes zero pairs; weights are exact") {
     import spark.implicits._
     // planted bipartite graph:

@@ -73,6 +73,29 @@ class TextAnalysisSpec extends SparkSpec {
     vocab.unpersist(); z.unpersist()
   }
 
+  test("quality gate: flags recompute from parts, every rule splits, keep is the AND") {
+    import org.apache.spark.sql.functions._
+    val g = TextAnalysis.queries("ta_quality_gate")(spark, sfDir).cache()
+    assert(g.count() === graft.sources.Tables.documents(spark, sfDir).count())
+    // the in-row top-bigram count must equal ta_repetition's
+    // shuffle-computed one on every doc it covers (≥2 tokens)
+    val rep = TextAnalysis.queries("ta_repetition")(spark, sfDir)
+      .select(col("doc_id"), col("top_bigram_n").as("rep_top"))
+    val drift = g.join(rep, "doc_id").where(col("top_bigram_n") =!= col("rep_top"))
+    assert(drift.count() === 0, drift.take(3).mkString("\n"))
+    // keep is exactly the conjunction
+    assert(g.where(col("keep") =!=
+      (col("len_ok") && col("word_len_ok") && col("stop_ok") && col("rep_ok")))
+      .count() === 0)
+    // calibration: the gate neither passes nor drops everything, and
+    // each rule individually rejects at least one doc
+    val kept = g.where(col("keep")).count()
+    assert(kept > 0 && kept < g.count(), s"kept=$kept of ${g.count()}")
+    for (rule <- Seq("len_ok", "word_len_ok", "stop_ok", "rep_ok"))
+      assert(g.where(!col(rule)).count() > 0, s"$rule never fires")
+    g.unpersist()
+  }
+
   test("typicality: df algebra closes — hapax total equals df=1 bigrams") {
     import org.apache.spark.sql.functions._
     val t = TextAnalysis.queries("ta_typicality")(spark, sfDir).cache()
