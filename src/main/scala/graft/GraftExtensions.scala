@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.functions.{CosineSimilarity, DotProduct, DotProductLong,
-  IntersectionSize, RewriteIntersectionSize, SimHash60, WinnowFingerprints,
-  WordNgrams, WordShingles}
+  IntersectionSize, OrderedPairsPacked, RewriteIntersectionSize, SimHash60,
+  WinnowFingerprints, WordNgrams, WordShingles}
 
 /** Engine extensions, registered via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): native functions the
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) =>
         WordShingles(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("ordered_pairs"),
+      new ExpressionInfo(classOf[OrderedPairsPacked].getName, "ordered_pairs"),
+      (children: Seq[Expression]) => OrderedPairsPacked(children(0))))
     ext.injectFunction((
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
