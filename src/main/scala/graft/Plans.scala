@@ -51,6 +51,10 @@ object Plans {
     "sim_recall_report",    // 4 paths + one broadcast LocalRelation truth
     "dd_simhash",           // native simhash60: narrow codegen projection
     "gr_cosuppliers",       // capped bipartite projection, no self-join
+    "gr_knn_graph",         // packed-pair census + top-k window + mutual rollup
+    "gr_labelprop",         // per-round hash join + combinable struct argmax
+    "ta_quality_gate",      // zero-exchange integer rule gate
+    "pl_pii_scrub",         // narrow codegen'd redaction projection
   )
 
   def main(args: Array[String]): Unit = {
