@@ -135,6 +135,44 @@ object Similarity {
       .where(col("cos_sim") >= 0.45)
   }
 
+  private val KnnSelfK = 5
+
+  /** Self-kNN join: EVERY corpus vector's top-[[KnnSelfK]] nearest
+    * LSH-candidate neighbors — the embedding-pipeline workhorse that
+    * feeds SemDeDup clustering, diversity sampling, and the doc-level
+    * affinity graph (`gr_knn_graph`'s construction on semantic edges
+    * instead of co-occurrence). Differs from [[topkBrute]]/[[topkLsh]]
+    * (a SMALL query set against the corpus — broadcastable) in that
+    * every vector is a query, so the all-pairs form is O(n²) and dead
+    * at scale; declared semantics are "top-k among vectors sharing ≥1
+    * LSH bucket" — deterministic candidates (fixed ±1 hyperplanes),
+    * exact cosine on every survivor, (cos DESC, id) tie-break.
+    *
+    * 100 TB shape: [[cosinePairs]]' discipline with a per-vector
+    * window on top — the bucket join and dedup move id-only rows,
+    * vectors join exactly twice (probe + neighbor side, both hash
+    * joins on id), and the row_number window partitions by vec_id
+    * over ONLY that vector's LSH candidates (collision-bounded, never
+    * the corpus). */
+  private val knnSelf: Q = (s, d) => {
+    val e = vecs(s, d)
+    val b = bucketIds(e)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.table_id") === col("y.table_id") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id"), col("v").as("va")), "vec_id")
+      .join(e.select(col("vec_id").as("nbr"), col("v").as("vb")), "nbr")
+      .select(col("vec_id"), col("nbr"), expr("cosine_sim(va, vb)").as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nbr"))))
+      .where(col("rnk") <= KnnSelfK)
+      .select("vec_id", "nbr", "rnk", "cos_sim")
+  }
+
   /** Embedding-level deduped corpus — the SemDeDup-style pipeline
     * (public design: Abbas et al. 2023, "SemDeDup": semantic dedup via
     * embedding-space near-dup clusters) composed end-to-end from parts
@@ -334,6 +372,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_topk_cosine" -> topkBrute,
     "sim_cosine_pairs" -> cosinePairs,
+    "sim_knn_self" -> knnSelf,
     "sim_dedup_corpus" -> semDedupCorpus,
     "sim_topk_lsh" -> topkLsh,
     "sim_topk_ivf" -> topkIvf,
@@ -742,6 +781,21 @@ object Similarity {
           FROM cand JOIN e ea ON ea.vec_id = vec_a
                     JOIN e eb ON eb.vec_id = vec_b
           WHERE ${cosSql("ea.v", "eb.v")} >= 0.45""",
+    "sim_knn_self" ->
+      s"""WITH $bucketsCte,
+          cand AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr
+                   FROM b x JOIN b y
+                     ON x.table_id = y.table_id AND x.bucket = y.bucket
+                    AND x.vec_id <> y.vec_id),
+          sc AS (SELECT c.vec_id, c.nbr,
+                   ${cosSql("ea.v", "eb.v")} AS cos_sim
+                 FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
+                             JOIN e eb ON eb.vec_id = c.nbr),
+          r AS (SELECT vec_id, nbr, cos_sim,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos_sim DESC, nbr) AS rnk
+                FROM sc)
+          SELECT vec_id, nbr, rnk, cos_sim FROM r WHERE rnk <= $KnnSelfK""",
     // the sim_cosine_pairs ground truth + recursive transitive closure
     // (dd_dedup_corpus's pattern): survivors = everything except
     // non-representative members of cosine near-dup clusters

@@ -139,6 +139,32 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, s"SQ8 top-5 overlap $overlap below floor")
   }
 
+  test("knn self-join: dense ranks, pairs dominated by rank-1, deterministic") {
+    import org.apache.spark.sql.functions._
+    val k1 = Similarity.queries("sim_knn_self")(spark, sfDir).cache()
+    // ranks are dense 1..m with m <= K per vector
+    val badRanks = k1.groupBy("vec_id")
+      .agg(count(lit(1)).as("m"), max("rnk").as("mx"), min("rnk").as("mn"))
+      .where(col("mx") =!= col("m") || col("mn") =!= 1 || col("m") > 5)
+    assert(badRanks.count() === 0, badRanks.take(3).mkString("\n"))
+    // a vector's rank-1 similarity dominates every cosine_pairs partner
+    // it has (pairs candidates are a subset of knn candidates)
+    val top1 = k1.where(col("rnk") === 1)
+      .select(col("vec_id"), col("cos_sim").as("best"))
+    val pairs = Similarity.queries("sim_cosine_pairs")(spark, sfDir)
+    val partner = pairs.select(col("vec_a").as("vec_id"), col("cos_sim"))
+      .union(pairs.select(col("vec_b").as("vec_id"), col("cos_sim")))
+    val dominated = partner.join(top1, "vec_id")
+      .where(col("cos_sim") > col("best"))
+    assert(dominated.count() === 0, dominated.take(3).mkString("\n"))
+    // neighbor never self, similarity in range
+    assert(k1.where(col("vec_id") === col("nbr")).count() === 0)
+    assert(k1.where(col("cos_sim") < -1.0001 || col("cos_sim") > 1.0001).count() === 0)
+    val k2 = Similarity.queries("sim_knn_self")(spark, sfDir)
+    assert(k1.exceptAll(k2).count() === 0 && k2.exceptAll(k1).count() === 0)
+    k1.unpersist()
+  }
+
   test("cosine pairs: precision 1 vs brute force, deterministic candidates") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
