@@ -110,11 +110,32 @@ object Bench {
 
     val results = if (repSessions) {
       // per-rep isolation: session create/stop lands OUTSIDE the timed
-      // region; each rep re-plans from the loader in a clean context
+      // region; each rep re-plans from the loader in a clean context.
+      //
+      // WARM-UP (round 9): round 8 shipped per-rep sessions WITHOUT a
+      // warm-up, so all 3 reps were cold (fresh thread pools, footer
+      // reads, first whole-stage codegen per session) and the sweep
+      // total inflated 2.6x on unchanged code — median(cold,cold,cold)
+      // measures session start-up, not the query. The round-7 objection
+      // to warm-ups (a 4th execution's shuffle/broadcast churn inflating
+      // LATER reps) only applied to shared sessions, where churn
+      // accumulates across reps; here every rep's session dies right
+      // after its timed run, so the warm-up's only surviving effects are
+      // the ones we want warm (page cache, JIT, codegen cache — JVM-
+      // level, deliberately shared). Between warm-up and the timed run,
+      // block hygiene (clearCache + blocking unpersist + StateDrain)
+      // drops the warm-up's explicit blocks synchronously, outside the
+      // clock, so the timed rep starts from clean BLOCK state in a warm
+      // JVM — an independent warm draw, which is what a median wants.
       ordered.map { case (name, fn) =>
         val gc0 = gcSecs
         val times = (1 to reps).flatMap { _ =>
           val spark = freshSession()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          StateDrain(spark)
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case _: Throwable => false }
@@ -224,7 +245,8 @@ object Bench {
     if (only.isEmpty)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),
-        line.getBytes("UTF-8"))
+        // newline-terminated: POSIX text file, clean diffs
+        (line + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => }
     println(line)
   }

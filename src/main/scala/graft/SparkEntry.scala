@@ -25,7 +25,8 @@ object SparkEntry {
     operators.Multimodal.queries ++
     operators.Advanced.queries ++
     operators.Pipeline.queries ++
-    operators.Graph.queries
+    operators.Graph.queries ++
+    streaming.StreamParity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
     operators.Multimodal.oracle ++
     operators.Advanced.oracle ++
     operators.Pipeline.oracle ++
-    operators.Graph.oracle
+    operators.Graph.oracle ++
+    streaming.StreamParity.oracle
 }

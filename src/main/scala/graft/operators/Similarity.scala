@@ -281,8 +281,12 @@ object Similarity {
       .withColumn("q", expr("transform(v, x -> CAST(floor(x / scale + 0.5D) AS BIGINT))"))
       .select(col("vec_id"), col("q"))
 
-  private val topkSq8: Q = (s, d) => {
-    val qz = sq8Codes(s, d)
+  private val topkSq8: Q = (s, d) => topkSq8From(sq8Codes(s, d))
+
+  /** [[topkSq8]] body over a caller-supplied code table, so
+    * [[recallReport]] can hand every SQ8-consuming path the SAME
+    * materialized codes instead of each path re-quantizing the corpus. */
+  private def topkSq8From(qz: DataFrame): DataFrame = {
     val qq = qz.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     // scoring runs on the codegen'd integer kernel (dot_prod_long), not
@@ -352,11 +356,20 @@ object Similarity {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val truth = truthRows.toDF("query_id", "neighbor_id")
       .withColumn("hit", lit(1))
-    val paths: Seq[(String, Q)] = Seq(
-      "ivf" -> topkIvf, "ivf_trained" -> topkIvfTrained,
-      "lsh" -> topkLsh, "sq8" -> topkSq8)
+    // the SQ8 code table feeds TWO paths (sq8 serving; ivf_trained
+    // training + assignment + probe) and is corpus-sized, so a
+    // LocalRelation is out — materialize it ONCE (localCheckpoint) and
+    // hand the same blocks to both, instead of each path re-quantizing
+    // the corpus from parquet. Values are unchanged (quantization is
+    // deterministic), so the report hash is unchanged; the blocks stay
+    // resident until the consumer's block hygiene drops them (the same
+    // residency-visible discipline as gr_pagerank's edges).
+    val codes = sq8Codes(s, d).localCheckpoint(true)
+    val paths: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> topkIvf(s, d), "ivf_trained" -> topkIvfTrainedFrom(s, codes),
+      "lsh" -> topkLsh(s, d), "sq8" -> topkSq8From(codes))
     val returned = paths.map { case (n, q) =>
-      q(s, d).select(lit(n).as("path"), col("query_id"), col("neighbor_id"))
+      q.select(lit(n).as("path"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))
     returned
       .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
@@ -480,9 +493,11 @@ object Similarity {
     * corpus itself NEVER shuffles, same as [[topkIvf]]. Recall vs
     * brute force is pinned ≥ the pseudo-centroid path's in
     * [[SimilaritySpec]]. */
-  private lazy val topkIvfTrained: Q = (s, d) => {
+  private lazy val topkIvfTrained: Q = (s, d) =>
+    topkIvfTrainedFrom(s, sq8Codes(s, d))
+
+  private def topkIvfTrainedFrom(s: SparkSession, codes: DataFrame): DataFrame = {
     import s.implicits._
-    val codes = sq8Codes(s, d)
     // the trained centroid table is k rows but its PLAN is the whole
     // 2-round training, and it feeds BOTH the corpus assignment and the
     // query probe ranking — materialize the k rows on the driver (the

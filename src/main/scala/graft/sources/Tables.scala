@@ -27,17 +27,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader won't map to its µs TimestampType; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as epoch
-    * nanos (long). The data is µs-precision, so `ts div 1000` is a
-    * lossless integer conversion (a double division would lose precision
-    * above 2^53 ns). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** events.ts arrives in whichever parquet timestamp encoding the
+    * upstream generator chose; this loader's invariant is that callers
+    * always see a session-TZ `TimestampType` column regardless:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader won't map nanos to
+    *    its µs TimestampType; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as epoch
+    *    nanos (long). The data is µs-precision, so `ts div 1000` is a
+    *    lossless integer conversion (a double division would lose
+    *    precision above 2^53 ns).
+    *  - timestamp[us] WITHOUT isAdjustedToUTC: Spark 4 infers
+    *    `TIMESTAMP_NTZ`, which `unix_micros()` and friends reject. The
+    *    session TZ is pinned to UTC (GraftSession), so casting to
+    *    TimestampType is a lossless relabel of the same micros.
+    *  - timestamp[us] adjusted to UTC: already TimestampType, pass
+    *    through. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"), "ts")
+
+  /** Normalize one timestamp column to session-TZ `TimestampType`
+    * whatever its on-disk encoding (see [[events]]). Ingest layers over
+    * arbitrary corpora should run every known timestamp column through
+    * this — schema drift across table generations must never reach the
+    * operators. */
+  def normalizeTs(raw: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema(colName).dataType match {
+      case LongType =>
+        raw.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn(colName, col(colName).cast(TimestampType))
       case _ => raw
     }
   }

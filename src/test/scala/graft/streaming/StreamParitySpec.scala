@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** The declared streaming-parity queries must equal their batch twins
+  * on the real corpus — the same parity the driver's oracle will
+  * hash-check, pinned locally first. */
+class StreamParitySpec extends SparkSpec {
+
+  test("st_exact_dedup fp set == batch distinct-md5 set") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamParity.queries("st_exact_dedup")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    val batch = graft.sources.Tables.documents(spark, sfDir)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("st_cross_dedup fp set == pl_cross_dedup's fp column") {
+    val streamed = StreamParity.queries("st_cross_dedup")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    val batch = graft.operators.Pipeline.queries("pl_cross_dedup")(spark, sfDir)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming-parity queries are watermark/batch-slicing invariant: rerun is identical") {
+    // a second full run (new memory sink, new checkpoint) must produce
+    // the same key set — the determinism the driver's hash gate needs
+    val a = StreamParity.queries("st_cross_dedup")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    val b = StreamParity.queries("st_cross_dedup")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    assert(a == b)
+  }
+}
