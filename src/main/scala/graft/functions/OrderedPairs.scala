@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * keeps it viable, and the unpack is `pair >> 32` / `pair & 0x7FFFFFFF`.
   */
 case class OrderedPairsPacked(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ordered_pairs"
@@ -43,8 +43,30 @@ case class OrderedPairsPacked(child: Expression)
       s"$prettyName requires array<bigint>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val in = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    OrderedPairsPacked.pack(v.asInstanceOf[ArrayData])
+
+  /** Codegen: one static call into [[OrderedPairsPacked.pack]]. The
+    * point is not the call itself but what it unblocks — a
+    * CodegenFallback generator forces `explode(ordered_pairs(...))`'s
+    * GenerateExec out of whole-stage codegen, which detaches the
+    * downstream partial hash-count of the pair census into interpreted
+    * row-at-a-time processing over the FANNED-OUT stream (8.7M rows at
+    * sf0.1, quadratically more at scale). With a real doGenCode the
+    * generate + partial-agg pipeline fuses into one codegen'd stage. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.OrderedPairsPacked.pack($in);")
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairsPacked =
+    copy(child = newChild)
+}
+
+object OrderedPairsPacked {
+  /** The fan-out kernel (shared by interpreted eval and generated
+    * code — Scala emits a static forwarder for this method, which is
+    * what the Janino-compiled codegen calls). */
+  def pack(in: ArrayData): ArrayData = {
     val n = in.numElements()
     val a = new Array[Long](n)
     var i = 0
@@ -72,7 +94,4 @@ case class OrderedPairsPacked(child: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): OrderedPairsPacked =
-    copy(child = newChild)
 }
