@@ -367,7 +367,8 @@ object Similarity {
     val codes = sq8Codes(s, d).localCheckpoint(true)
     val paths: Seq[(String, DataFrame)] = Seq(
       "ivf" -> topkIvf(s, d), "ivf_trained" -> topkIvfTrainedFrom(s, codes),
-      "lsh" -> topkLsh(s, d), "sq8" -> topkSq8From(codes))
+      "lsh" -> topkLsh(s, d), "sq8" -> topkSq8From(codes),
+      "pq" -> topkPq(s, d))
     val returned = paths.map { case (n, q) =>
       q.select(lit(n).as("path"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionAll(_))
@@ -391,6 +392,7 @@ object Similarity {
     "sim_topk_ivf" -> topkIvf,
     "sim_topk_ivf_trained" -> topkIvfTrained,
     "sim_topk_sq8" -> topkSq8,
+    "sim_topk_pq" -> topkPq,
     "sim_recall_report" -> recallReport,
     "sim_label_centroids" -> labelCentroids,
     "sim_kmeans_sq8" -> kmeansSq8,
@@ -471,6 +473,132 @@ object Similarity {
       .groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("dist")).cast("long").as("inertia"))
+  }
+
+  // ---- Product quantization (PQ) -----------------------------------------
+  private val PqM = 8        // subspaces
+  private val PqSubDim = 8   // dims per subspace (PqM * PqSubDim = 64)
+  private val PqK = 16       // centroids per subspace codebook
+  private val PqIters = 1    // Lloyd rounds per codebook
+  private val PqScale = 16384L // unit-norm fixed point: floor(v/||v||·2^14 + 0.5)
+  private val PqRefine = 64  // ADC shortlist size fed to the exact re-rank
+
+  /** Unit-normalized fixed-point codes for the PQ path. Unlike the SQ8
+    * per-vector max-abs scale (which cancels in cosine but NOT in L2),
+    * normalizing to the unit sphere first makes squared-L2 ranking
+    * monotone with cosine — so PQ's approximate distances chase the
+    * same truth set as every other path in the recall report. All
+    * arithmetic after the two IEEE ops per element (divide by the
+    * fold-ordered norm, scale) is exact int64, hash-identical across
+    * engines. */
+  private def pqNormCodes(s: SparkSession, d: String): DataFrame =
+    vecs(s, d)
+      .withColumn("nrm", expr("sqrt(dot_prod(v, v))"))
+      .where(col("nrm") > 0D)
+      .select(col("vec_id"), expr(
+        s"transform(v, x -> CAST(floor(x / nrm * ${PqScale}.0D + 0.5D) AS BIGINT))")
+        .as("q"))
+
+  /** (vec_id, m, sq): the M contiguous sub-vectors of each code. */
+  private def pqSub(codes: DataFrame): DataFrame =
+    codes.select(col("vec_id"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("q"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(q, m * $PqSubDim + 1, $PqSubDim)").as("sq"))
+
+  private val PqDistExpr =
+    "dot_prod_long(sq, sq) - 2 * dot_prod_long(sq, cq) + dot_prod_long(cq, cq)"
+
+  /** Per-(vector, subspace) nearest codebook entry — the same
+    * map-side-combinable min-struct argmin as [[assignNearest]], keyed
+    * by (vec_id, m); `cents` is (m, cid, cq) and broadcasts (M·K
+    * rows). */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", expr(PqDistExpr))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("mm"),
+        first(col("sq")).as("sq"))
+      .select(col("vec_id"), col("m"), col("sq"),
+        col("mm.cid").as("cid"), col("mm.dist").as("dist"))
+
+  /** `iters` Lloyd rounds per subspace → (m, cid, cq) codebooks. Seeds
+    * are the sub-vectors of vec_id 0..K-1 (the [[trainedCents]]
+    * discipline, per subspace). Truncating integer means keep every
+    * engine bit-identical. */
+  private[graft] def pqTrain(sub: DataFrame, iters: Int): DataFrame = {
+    var cents = sub.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cid"), col("sq").as("cq"))
+    (1 to iters).foreach { _ =>
+      cents = pqAssign(sub, cents)
+        .select(col("m"), col("cid"),
+          posexplode(col("sq")).as(Seq("pos", "comp")))
+        .groupBy("m", "cid", "pos")
+        .agg(expr("CAST(sum(comp) AS BIGINT) DIV count(1)").as("cval"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)")
+          .as("cq"))
+    }
+    cents
+  }
+
+  /** Approximate top-5 by PRODUCT QUANTIZATION with asymmetric distance
+    * and exact re-rank (public FAISS `PQ` + refine design, the memory
+    * end-game of ANN serving): each vector stores only M=8 nibble
+    * codes (4 bits each — 4 BYTES a vector instead of 256 for
+    * float32), queries keep their full sub-vectors and score against a
+    * per-query lookup table of exact int64 sub-distances, so a corpus
+    * scan is M table lookups + adds per candidate; the ADC shortlist
+    * ([[PqRefine]] per query) is then re-ranked by EXACT cosine over
+    * the true vectors — the standard two-stage recipe (coarse scan
+    * over 4-byte codes, exact math over a bounded candidate set).
+    *
+    * 100 TB shape: the codebooks are M·K tiny rows trained once
+    * (corpus touched `iters+1` times, only (m, cid, dim) rollups
+    * shuffle) and materialized driver-side (the bounded-model
+    * LocalRelation discipline — 128 rows); the per-query LUT
+    * (|Q|·M·K exact int64 distances) broadcasts; the encoded corpus —
+    * 3 small ints a row — is the big operand and it never shuffles
+    * wide: the ADC join is map-side against the broadcast LUT and the
+    * (query, vec) partial sums combine before the exchange. The
+    * re-rank touches |Q|·[[PqRefine]] vectors via an id JOIN (the
+    * corpus is never broadcast). Every ADC distance is exact integer
+    * arithmetic over deterministic fixed-point codes and the re-rank
+    * is the shared cosine fold, so ranking (ties → lower neighbor_id)
+    * is hash-exact cross-engine, and recall@5 vs the brute-force
+    * truth is a DECLARED number in `sim_recall_report`. */
+  private lazy val topkPq: Q = (s, d) => {
+    import s.implicits._
+    val sub = pqSub(pqNormCodes(s, d))
+    val cents = pqTrain(sub, PqIters).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq.toDF("m", "cid", "cq")
+    val enc = pqAssign(sub, cents)
+      .select(col("vec_id"), col("m"), col("cid"))
+    val lut = pqSub(pqNormCodes(s, d).where(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("m"), col("sq"))
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("d", expr(PqDistExpr))
+      .select(col("query_id"), col("m"), col("cid"), col("d"))
+    val shortlist = enc.join(broadcast(lut), Seq("m", "cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).cast("long").as("adist"))
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("adist"), col("neighbor_id"))).as("ark"))
+      .where(col("ark") <= PqRefine)
+      .select("query_id", "neighbor_id")
+    val qv = vecs(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    shortlist
+      .join(vecs(s, d).withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos_sim", expr("cosine_sim(qv, v)"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))).as("rnk"))
+      .where(col("rnk") <= 5)
   }
 
   // ---- IVF with TRAINED lists --------------------------------------------
@@ -737,12 +865,83 @@ object Similarity {
 
   /** DuckDB's WITH is legal inside a derived table, so each path oracle
     * nests unchanged: `FROM (<full path SQL>) AS x`. */
+  /** PQ oracle: regenerate normalization, per-subspace training, corpus
+    * encoding, LUT, and ADC ranking in SQL. The unit-norm fold
+    * (`list_reduce` sum of squares, left-to-right) mirrors the Spark
+    * `dot_prod` fold exactly; everything after the two IEEE ops per
+    * element is int64. One Lloyd round unrolled (PqIters = 1). */
+  private lazy val duckTopkPqSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        nz AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_transform(v, x -> x * x),
+                   (p, r) -> p + r)) AS nrm
+               FROM e),
+        nq AS (SELECT vec_id,
+                 list_transform(v, x ->
+                   CAST(floor(x / nrm * ${PqScale}.0 + 0.5) AS BIGINT)) AS q
+               FROM nz WHERE nrm > 0),
+        ms AS (SELECT unnest(range($PqM)) AS m),
+        sub AS (SELECT vec_id, m,
+                  list_slice(q, m * $PqSubDim + 1, (m + 1) * $PqSubDim) AS sq
+                FROM nq CROSS JOIN ms),
+        pc0 AS (SELECT m, vec_id AS cid, sq AS cq FROM sub WHERE vec_id < $PqK),
+        pa1 AS (
+          SELECT vec_id, m, sq, cid FROM (
+            SELECT s.vec_id, s.m, s.sq, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                ORDER BY ${dsqSql("s.sq", "c.cq")}, c.cid) AS rk
+            FROM sub s JOIN pc0 c ON c.m = s.m) WHERE rk = 1),
+        pc1 AS (
+          SELECT m, cid, list(cval ORDER BY pos) AS cq FROM (
+            SELECT m, cid, pos, CAST(sum(comp) AS BIGINT) // count(*) AS cval
+            FROM (SELECT m, cid,
+                    unnest([{'pos': i, 'comp': sq[i]}
+                            FOR i IN range(1, len(sq) + 1)], recursive := true)
+                  FROM pa1)
+            GROUP BY m, cid, pos)
+          GROUP BY m, cid),
+        enc AS (
+          SELECT vec_id, m, cid FROM (
+            SELECT s.vec_id, s.m, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                ORDER BY ${dsqSql("s.sq", "c.cq")}, c.cid) AS rk
+            FROM sub s JOIN pc1 c ON c.m = s.m) WHERE rk = 1),
+        lut AS (
+          SELECT s.vec_id AS query_id, c.m, c.cid,
+            ${dsqSql("s.sq", "c.cq")} AS d
+          FROM sub s JOIN pc1 c ON c.m = s.m
+          WHERE s.vec_id < 10),
+        ad AS (
+          SELECT l.query_id, x.vec_id AS neighbor_id,
+            CAST(sum(l.d) AS BIGINT) AS adist
+          FROM enc x JOIN lut l ON l.m = x.m AND l.cid = x.cid
+          WHERE x.vec_id <> l.query_id
+          GROUP BY 1, 2),
+        shortlist AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist, neighbor_id) AS ark
+            FROM ad) WHERE ark <= $PqRefine),
+        rr AS (
+          SELECT s.query_id, s.neighbor_id,
+            ${cosSql("eq.v", "en.v")} AS cos_sim
+          FROM shortlist s
+          JOIN e eq ON eq.vec_id = s.query_id
+          JOIN e en ON en.vec_id = s.neighbor_id)
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM rr) WHERE rnk <= 5"""
+
   private lazy val duckRecallReportSql: String = {
     val pathSubs = Seq(
       "ivf" -> duckTopkIvfSql,
       "ivf_trained" -> duckTopkIvfTrainedSql,
       "lsh" -> duckTopkLshSql,
-      "sq8" -> duckTopkSq8Sql)
+      "sq8" -> duckTopkSq8Sql,
+      "pq" -> duckTopkPqSql)
       .map { case (n, sql) =>
         s"SELECT '$n' AS path, query_id, neighbor_id FROM ($sql)"
       }.mkString("\n          UNION ALL ")
@@ -785,6 +984,7 @@ object Similarity {
             CAST(sum(dist) AS BIGINT) AS inertia
           FROM af GROUP BY cid""",
     "sim_topk_cosine" -> duckTopkCosineSql,
+    "sim_topk_pq" -> duckTopkPqSql,
     "sim_recall_report" -> duckRecallReportSql,
     "sim_cosine_pairs" ->
       s"""WITH $bucketsCte,

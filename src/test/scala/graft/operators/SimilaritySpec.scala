@@ -139,6 +139,33 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= 0.8, s"SQ8 top-5 overlap $overlap below floor")
   }
 
+  test("PQ top-k: structural validity, determinism, recall above bucketing paths") {
+    val rows = Similarity.queries("sim_topk_pq")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // exactly the standard query set, 5 ranked rows each, adist >= 0
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 5))
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 5))
+    // re-ranked scores are true cosines
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    // deterministic: a rerun is row-identical
+    val again = Similarity.queries("sim_topk_pq")(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // PQ scans every corpus vector (no bucketing miss — error comes only
+    // from codebook quantization), so its recall must beat the
+    // bucket-miss paths on fixed data
+    val brute = Similarity.queries("sim_topk_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(q: String): Double = {
+      val got = Similarity.queries(q)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val pq = recallOf("sim_topk_pq")
+    val lsh = recallOf("sim_topk_lsh")
+    assert(pq >= lsh, s"PQ recall $pq below LSH $lsh")
+  }
+
   test("knn self-join: dense ranks, pairs dominated by rank-1, deterministic") {
     import org.apache.spark.sql.functions._
     val k1 = Similarity.queries("sim_knn_self")(spark, sfDir).cache()
