@@ -55,12 +55,27 @@ object StreamParity {
     * hand back the sink table. The query name is uniqued per run so a
     * warm-up execution and the timed execution in one session never
     * collide on the sink registration. */
-  private def runToTable(df: DataFrame, name: String): DataFrame = {
+  private def runToTable(df: DataFrame, name: String,
+                         mode: String = "append"): DataFrame = {
     val qn = s"${name}_${runSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(qn)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     df.sparkSession.table(qn)
+  }
+
+  /** events.parquet as a STREAM, schema-drift-proof: the on-disk
+    * timestamp encoding is sniffed from the batch reader's inferred
+    * schema (a metadata-only footer read), declared to the file
+    * stream source verbatim, then normalized through the SAME
+    * [[graft.sources.Tables.normalizeTs]] invariant as the batch
+    * loader — whichever of TIMESTAMP / TIMESTAMP_NTZ / nanos-as-long
+    * the generator produced, the stream sees session-TZ timestamps. */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    val onDisk = s.read.parquet(s"$d/events.parquet").schema
+    graft.sources.Tables.normalizeTs(
+      s.readStream.schema(onDisk).option("basePath", d)
+        .parquet(s"$d/events.parque[t]"), "ts")
   }
 
   /** Exact-content streaming dedup over the full documents corpus:
@@ -89,9 +104,34 @@ object StreamParity {
       .select("fp")
   }
 
+  /** Conversion-funnel stages computed by the CUSTOM-STATE streaming
+    * path — [[EventStreams.funnelStages]]'s `mapGroupsWithState`
+    * machine over the real events corpus — aggregated to the same
+    * (stage, n_users) shape as the batch `ev_funnel`, whose oracle it
+    * shares. The per-user state machine sorts each group's batch by
+    * (ts, stage-rank, event_id), so within one micro-batch the scan
+    * order is total and the machine provably equals the batch
+    * min-join formulation (the local spec also pins this); stages
+    * only advance, so the `max(stage)` collapse below is correct
+    * under ANY micro-batch slicing of the source. */
+  val funnelParity: Q = (s, d) => {
+    import s.implicits._
+    val ev = streamEvents(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")).as[Event]
+    // mapGroupsWithState emits one (uid, stage) row per user per
+    // micro-batch → update output mode; the memory sink keeps every
+    // update, so collapse to each user's final (= max) stage first
+    runToTable(EventStreams.funnelStages(ev).toDF("user_id", "stage"),
+      "st_funnel", mode = "update")
+      .groupBy("user_id").agg(max(col("stage")).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st_exact_dedup" -> exactDedupParity,
     "st_cross_dedup" -> crossDedupParity,
+    "st_funnel" -> funnelParity,
   )
 
   /** DuckDB replay: the key-set semantics are plain SQL. */
@@ -102,5 +142,29 @@ object StreamParity {
       """WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents)
          SELECT DISTINCT fp FROM h WHERE doc_id % 5 = 4
            AND fp NOT IN (SELECT fp FROM h WHERE doc_id % 5 <> 4)""",
+    // identical to ev_funnel's oracle: the streaming machine and the
+    // batch min-join formulation are the same funnel semantics
+    "st_funnel" ->
+      """WITH v AS (
+           SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+           JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+           JOIN c ON c.user_id = e.user_id AND e.ts >= c.c_ts
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
+                     WHEN c.c_ts IS NOT NULL THEN 2
+                     WHEN v.v_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS stage,
+                COUNT(*) AS n_users
+         FROM u LEFT JOIN v USING (user_id)
+                LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+         GROUP BY 1""",
   )
 }

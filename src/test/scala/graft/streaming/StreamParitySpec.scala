@@ -27,6 +27,15 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("st_funnel (mapGroupsWithState path) == batch ev_funnel stage counts") {
+    val streamed = StreamParity.queries("st_funnel")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val batch = graft.operators.Events.queries("ev_funnel")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming-parity queries are watermark/batch-slicing invariant: rerun is identical") {
     // a second full run (new memory sink, new checkpoint) must produce
     // the same key set — the determinism the driver's hash gate needs
