@@ -128,10 +128,26 @@ object StreamParity {
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Tumbling-window counts computed by the WATERMARKED WINDOWED-AGG
+    * streaming path ([[EventStreams.tumblingCounts]]) over the real
+    * events corpus, update-mode: every micro-batch emits each touched
+    * window's RUNNING count, so the final value per (bucket,
+    * event_type) is the max over its updates (counts only grow; the
+    * float sum_value column is deliberately NOT declared — it is not
+    * monotone, so only the count collapse is slicing-invariant).
+    * Equals the batch hourly census, which is the oracle. */
+  val tumblingParity: Q = (s, d) =>
+    runToTable(
+      EventStreams.tumblingCounts(streamEvents(s, d)),
+      "st_tumbling", mode = "update")
+      .groupBy("bucket", "event_type")
+      .agg(max(col("n")).as("n"))
+
   val queries: Map[String, Q] = Map(
     "st_exact_dedup" -> exactDedupParity,
     "st_cross_dedup" -> crossDedupParity,
     "st_funnel" -> funnelParity,
+    "st_tumbling" -> tumblingParity,
   )
 
   /** DuckDB replay: the key-set semantics are plain SQL. */
@@ -166,5 +182,8 @@ object StreamParity {
                 LEFT JOIN c USING (user_id)
                 LEFT JOIN p USING (user_id)
          GROUP BY 1""",
+    "st_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+         COUNT(*) AS n FROM events GROUP BY 1, 2""",
   )
 }

@@ -36,6 +36,18 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("st_tumbling (watermarked window-agg path) == batch hourly counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamParity.queries("st_tumbling")(spark, sfDir)
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming-parity queries are watermark/batch-slicing invariant: rerun is identical") {
     // a second full run (new memory sink, new checkpoint) must produce
     // the same key set — the determinism the driver's hash gate needs
