@@ -55,6 +55,9 @@ object Plans {
     "gr_labelprop",         // per-round hash join + combinable struct argmax
     "ta_quality_gate",      // zero-exchange integer rule gate
     "pl_pii_scrub",         // narrow codegen'd redaction projection
+    "sim_topk_pq",          // PQ codebooks + broadcast ADC LUT + exact re-rank
+    "st_cross_dedup",       // stream-static anti join + watermarked dedup state
+    "st_funnel",            // mapGroupsWithState machine, batch-parity collapse
   )
 
   def main(args: Array[String]): Unit = {
