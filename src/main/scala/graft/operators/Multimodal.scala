@@ -262,6 +262,54 @@ object Multimodal {
     hash
   }
 
+  /** Nearest-neighbor resize of a packed-ARGB frame (4 bytes/pixel,
+    * row-major): dst(y, x) = src(y·srcH DIV dstH, x·srcW DIV dstW) —
+    * the thumbnail/downsample step of every image pipeline, in pure
+    * integer index arithmetic (no interpolation, no float, so the
+    * output bytes are a deterministic SELECTION of input bytes on any
+    * JVM). Runs fused with the decode inside the [[FrameDecoder]]
+    * task — full-resolution pixels never leave the partition, only
+    * thumbnails shuffle (the [[frameAHashes]] discipline; at 100 TB of
+    * video the resize is WHERE the data-volume drop happens, so it
+    * must ride the decode task, never a separate shuffle stage). */
+  private[graft] def resizeNearestArgb(argb: Array[Byte], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    require(srcW * srcH * 4 == argb.length,
+      s"frame is ${argb.length} bytes, not ${srcW}x$srcH ARGB")
+    val out = new Array[Byte](dstW * dstH * 4)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        System.arraycopy(argb, (sy * srcW + sx) * 4, out, (y * dstW + x) * 4, 4)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode → resize → thumbnail rows in one narrow pass: per frame,
+    * the (doc_id, frame_no, dstW·dstH ARGB thumbnail). Geometry comes
+    * from the caller because the packed-ARGB contract carries no
+    * (w, h). */
+  private[graft] def frameThumbnails(rows: Dataset[MediaRow], dec: FrameDecoder,
+      srcW: Int, srcH: Int, dstW: Int, dstH: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      dec.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      it.flatMap { m =>
+        dec.frames(m.payload).map { case (f, b) =>
+          (m.doc_id, f, resizeNearestArgb(b, srcW, srcH, dstW, dstH))
+        }
+      }
+    }.toDF("doc_id", "frame_no", "thumb")
+  }
+
   /** Per-frame perceptual hashes through a [[FrameDecoder]]: decode →
     * feature-extract in one narrow pass (the hash rides the same task
     * as the decode, so full-resolution pixels never shuffle — only the
@@ -313,6 +361,34 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
   }
 
+  /** 8×8 → 4×4 thumbnail geometry for the declared stride-frame resize:
+    * a [[FrameBytes]]-byte frame read as an 8×8 grid of 1-byte pixels,
+    * nearest-neighbor sampled at (2i, 2j) — the same index formula as
+    * [[resizeNearestArgb]] with 1-byte pixels. Positions are 1-based
+    * byte offsets, compile-time constants mirrored into the oracle. */
+  private val ThumbPositions: Seq[Int] =
+    for (i <- 0 until 4; j <- 0 until 4) yield (i * 2) * 8 + j * 2 + 1
+
+  /** Resize as a declared query: every sampled frame downsampled to a
+    * 4×4 thumbnail, identified by md5 — the resize PLUMBING (frame
+    * fan-out → per-frame index selection → thumbnail key) with the
+    * codec stubbed as the stride decoder, exactly the
+    * [[frameSample]]/[[frameDupes]] convention (ascii-only docs so the
+    * oracle's char substrings replay the byte slices). The REAL-pixel
+    * path is [[frameThumbnails]] over [[resizeNearestArgb]],
+    * spec-pinned on planted PNGs. */
+  private val resizeQ: Q = (s, d) => {
+    import s.implicits._
+    val asciiDocs = Tables.documents(s, d)
+      .where(expr("length(CAST(text AS BINARY)) = length(text)"))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
+      .as[MediaRow]
+    val thumb = concat(ThumbPositions.map(p => substring(col("frame"), p, 1)): _*)
+    sampleFrames(asciiDocs, FrameBytes, FrameEvery)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(thumb).as("thumb_md5"))
+  }
+
   /** Hot-fingerprint document-frequency cap for [[frameDupes]] — same
     * discipline as `dd_winnow`'s `WinnowDfCap` (`Dedup.scala`): a frame
     * hash shared by more than this many payloads is boilerplate (black
@@ -357,6 +433,7 @@ object Multimodal {
     "mm_features" -> features,
     "mm_frame_sample" -> frameSample,
     "mm_frame_dupes" -> frameDupes,
+    "mm_resize" -> resizeQ,
   )
 
   val oracle: Map[String, String] = Map(
@@ -416,5 +493,20 @@ object Multimodal {
                                $FrameEvery)) AS frame_no
                 FROM documents
                 WHERE octet_length(encode(text)) = length(text))""",
+    // the 16 thumbnail positions are the same compile-time constants
+    // the Spark side samples (8x8 grid, nearest-neighbor (2i, 2j))
+    "mm_resize" -> {
+      val picks = ThumbPositions
+        .map(p => s"substr(f, $p, 1)").mkString("concat(", ", ", ")")
+      s"""SELECT doc_id, frame_no, md5($picks) AS thumb_md5
+          FROM (SELECT doc_id,
+                  substring(text, frame_no * $FrameBytes + 1, $FrameBytes) AS f,
+                  frame_no
+                FROM (SELECT doc_id, text,
+                        unnest(range(0, octet_length(encode(text)) // $FrameBytes,
+                                     $FrameEvery)) AS frame_no
+                      FROM documents
+                      WHERE octet_length(encode(text)) = length(text)))"""
+    },
   )
 }

@@ -153,6 +153,41 @@ class MultimodalSpec extends SparkSpec {
     assert(p.getLong(0) == 0L && p.getLong(1) == 1L && p.getLong(2) == 1L)
   }
 
+  test("resizeNearestArgb: exact pixel selection, idempotent at same size, fused decode path") {
+    import spark.implicits._
+    // 4x3 frame with a distinct ARGB int per pixel: resize to 2x2 must
+    // pick exactly src(y*3/2, x*4/2) = rows {0,1}, cols {0,2}
+    val src = java.nio.ByteBuffer.allocate(12 * 4)
+    (0 until 12).foreach(p => src.putInt(0xFF000000 | p))
+    val bytes = src.array()
+    def px(b: Array[Byte], i: Int): Int =
+      java.nio.ByteBuffer.wrap(b, i * 4, 4).getInt
+    val t = Multimodal.resizeNearestArgb(bytes, 4, 3, 2, 2)
+    assert(t.length == 2 * 2 * 4)
+    assert(Seq(px(t, 0), px(t, 1), px(t, 2), px(t, 3)) ==
+      Seq(0xFF000000 | 0, 0xFF000000 | 2, 0xFF000000 | 4, 0xFF000000 | 6))
+    // same-size resize is the identity selection
+    assert(java.util.Arrays.equals(
+      Multimodal.resizeNearestArgb(bytes, 4, 3, 4, 3), bytes))
+    // end-to-end through the REAL PNG decoder: a solid-color image
+    // thumbnails to the same solid color at the smaller size
+    def png(argb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, argb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val red = 0xFFCC0000
+    val docs = Seq(MediaRow(1L, png(red, 4, 3), "s")).toDS()
+    val thumbs = Multimodal.frameThumbnails(docs,
+        new Multimodal.PngFrameDecoder, 4, 3, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](2)))
+    assert(thumbs.length == 1)
+    assert((0 until 4).forall(i => px(thumbs.head._2, i) == red))
+  }
+
   test("averageHash64: identical frames collide, near frames are near, inverses are far") {
     import spark.implicits._
     // structured 64x1 gradient images (solid colors all hash to 0L by
