@@ -289,12 +289,63 @@ object Graph {
     mutualKnnCore(Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))
 
+  private val KcoreK = 4
+  private val KcoreRounds = 3
+
+  /** Fixed-round k-core peel over the mutual-kNN graph — the density
+    * filter that follows [[triangles]]' clustering signal: each round
+    * drops every node whose CURRENT degree is below k (and all its
+    * edges), so survivors sit in increasingly dense neighborhoods
+    * (cluster cores for community mining; in a corpus affinity graph,
+    * the tight template/mirror families worth a closer look).
+    *
+    * Declared semantics are "the graph after [[KcoreRounds]] synchronous
+    * peel rounds", not the fixpoint core — the same fixed-round
+    * discipline as [[labelPropagate]]/[[pageRank]]: deterministic
+    * whether or not peeling has converged (a fixpoint loop is the same
+    * body run until no node drops; round count is the only knob).
+    *
+    * 100 TB shape = the family's loop verbatim: undirected edges
+    * repartitioned on src and checkpointed once; each round is one
+    * partial-agg'd degree count (the alive set, checkpointed — it
+    * feeds BOTH endpoint filters, and without the pin the degree agg
+    * would execute twice per round) + two shuffle-hash SEMI joins
+    * (only ids move, never weights); per-round edge checkpoints with
+    * previous-round drops keep residency O(|surviving edges|). */
+  private[graft] def kcorePeel(mut: DataFrame, k: Int = KcoreK,
+      rounds: Int = KcoreRounds): DataFrame = {
+    val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"))
+    var edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    var prevRound = edges
+    (1 to rounds).foreach { _ =>
+      val alive = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint(true)
+      val next = edges
+        .join(alive.hint("shuffle_hash"), edges("src") === alive("id"), "left_semi")
+        .join(alive.hint("shuffle_hash"), edges("dst") === alive("id"), "left_semi")
+        .localCheckpoint(true)
+      graft.Checkpoints.drop(alive)
+      graft.Checkpoints.drop(prevRound)
+      edges = next
+      prevRound = next
+    }
+    edges.groupBy(col("src").as("suppkey"))
+      .agg(count(lit(1)).as("deg"))
+  }
+
+  private val kcore: Q = (s, d) => kcorePeel(
+    mutualKnnCore(Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> pagerankQ,
     "gr_cosuppliers" -> coSuppliers,
     "gr_knn_graph" -> knnGraph,
     "gr_triangles" -> triangles,
     "gr_labelprop" -> labelProp,
+    "gr_kcore" -> kcore,
   )
 
   /** DuckDB replay: the three rounds unrolled as plain CTEs (aggregates
@@ -372,6 +423,26 @@ object Graph {
           ${step("l1", "l2")},
           ${step("l2", "l3")}
           SELECT id AS suppkey, lbl AS community FROM l3"""
+    },
+    "gr_kcore" -> {
+      // inner joins against the distinct alive-id set replay the semi
+      // joins exactly
+      val peel = (prev: String, alive: String, next: String) =>
+        s"""$alive AS (
+             SELECT src AS id FROM $prev GROUP BY src
+             HAVING count(*) >= $KcoreK),
+           $next AS (
+             SELECT p.src, p.dst FROM $prev p
+             JOIN $alive x ON p.src = x.id
+             JOIN $alive y ON p.dst = y.id)"""
+      s"""$knnOracleCtes,
+          g0 AS (
+            SELECT sa AS src, sb AS dst FROM mut
+            UNION ALL SELECT sb AS src, sa AS dst FROM mut),
+          ${peel("g0", "a1", "g1")},
+          ${peel("g1", "a2", "g2")},
+          ${peel("g2", "a3", "g3")}
+          SELECT src AS suppkey, count(*) AS deg FROM g3 GROUP BY src"""
     },
   )
 

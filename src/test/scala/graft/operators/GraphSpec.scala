@@ -130,6 +130,35 @@ class GraphSpec extends SparkSpec {
     c1.unpersist()
   }
 
+  test("kcore: a planted clique survives the peel, its pendant fringe does not") {
+    import spark.implicits._
+    // K5 clique {1..5} (degree 4 everywhere) + a pendant node 20 on 1 +
+    // a 3-path {30,31,32}. With k=4: round 1 drops 20/30/31/32 (deg<4);
+    // clique degrees stay 4 (the pendant edge leaves node 1 at 5->4);
+    // rounds 2-3 are fixed point. Survivors: the clique at degree 4.
+    val cliq = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b, 1L)
+    val mut = (cliq ++ Seq((1L, 20L, 1L), (30L, 31L, 1L), (31L, 32L, 1L)))
+      .toDF("supp_a", "supp_b", "n_shared_parts")
+    val got = Graph.kcorePeel(mut).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === (1L to 5L).map(_ -> 4L).toMap, got.toString)
+  }
+
+  test("gr_kcore: survivors are kNN nodes, degrees bounded by the kNN k, deterministic") {
+    val c1 = Graph.queries("gr_kcore")(spark, sfDir).cache()
+    assert(c1.count() > 0)
+    // a peel survivor's remaining degree can never exceed the kNN bound
+    assert(c1.where("deg > 8").count() === 0)
+    val nodes = Graph.queries("gr_knn_graph")(spark, sfDir)
+      .selectExpr("supp_a AS s").union(
+        Graph.queries("gr_knn_graph")(spark, sfDir).selectExpr("supp_b AS s"))
+      .distinct()
+    assert(c1.join(nodes, c1("suppkey") === nodes("s"), "left_anti").count() === 0)
+    val c2 = Graph.queries("gr_kcore")(spark, sfDir)
+    assert(c1.exceptAll(c2).count() === 0 && c2.exceptAll(c1).count() === 0)
+    c1.unpersist()
+  }
+
   test("cosuppliers: a hot part past the cap contributes zero pairs; weights are exact") {
     import spark.implicits._
     // planted bipartite graph:
