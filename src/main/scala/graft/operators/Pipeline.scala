@@ -994,7 +994,8 @@ object Pipeline {
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** Same 3-gram shingle CTE shape as [[Dedup]]'s replay. */
-  private val duckShingles =
+  // shared with StreamParity's st_contaminated oracle
+  private[graft] val duckShingles =
     """WITH tok AS (
          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') ts
          FROM documents),

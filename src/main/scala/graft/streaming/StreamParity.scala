@@ -143,11 +143,31 @@ object StreamParity {
       .groupBy("bucket", "event_type")
       .agg(max(col("n")).as("n"))
 
+  /** Live decontamination, the streaming twin of `pl_contamination`'s
+    * flagging semantics with the SAME benchmark split (every 20th doc
+    * is the eval suite): the incoming stream is the rest of the
+    * corpus, and [[DedupStreams.contaminated]] — explode to shingles,
+    * stream-static LEFT SEMI join against the broadcast dictionary,
+    * watermarked per-doc collapse — flags docs sharing ≥1 word-3-gram
+    * with the suite. Projected to the flagged doc_id SET (which doc
+    * row survived the dedup collapse is not contractual; the set
+    * is). */
+  val contaminatedParity: Q = (s, d) => {
+    val bench = graft.sources.Tables.documents(s, d)
+      .where(col("doc_id") % 20 === 0)
+      .select(explode(expr("word_shingles(text, 3)")).as("shingle"))
+      .distinct()
+    val incoming = streamDocs(s, d).where(col("doc_id") % 20 =!= 0)
+    runToTable(DedupStreams.contaminated(incoming, bench), "st_contaminated")
+      .select("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st_exact_dedup" -> exactDedupParity,
     "st_cross_dedup" -> crossDedupParity,
     "st_funnel" -> funnelParity,
     "st_tumbling" -> tumblingParity,
+    "st_contaminated" -> contaminatedParity,
   )
 
   /** DuckDB replay: the key-set semantics are plain SQL. */
@@ -185,5 +205,15 @@ object StreamParity {
     "st_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
          COUNT(*) AS n FROM events GROUP BY 1, 2""",
+    // the flagged set: non-benchmark docs sharing >=1 3-shingle with
+    // the benchmark slice (pl_contamination's dictionary, set-valued)
+    "st_contaminated" ->
+      s"""${graft.operators.Pipeline.duckShingles},
+          bench AS (
+            SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+          corpus AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 20 <> 0)
+          SELECT DISTINCT doc_id
+          FROM corpus JOIN bench USING (shingle)""",
   )
 }

@@ -48,6 +48,15 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("st_contaminated flagged set == batch pl_contamination doc_ids") {
+    val streamed = StreamParity.queries("st_contaminated")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.Pipeline.queries("pl_contamination")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming-parity queries are watermark/batch-slicing invariant: rerun is identical") {
     // a second full run (new memory sink, new checkpoint) must produce
     // the same key set — the determinism the driver's hash gate needs
