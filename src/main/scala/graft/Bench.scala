@@ -135,6 +135,14 @@ object Bench {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
+          // the streaming-parity queries leave their memory-sink
+          // result registered as a temp view (the view's plan pins the
+          // sink's rows) — drop the warm-up's views so the timed rep
+          // doesn't run with the warm-up's whole output resident
+          try spark.catalog.listTables().collect()
+            .filter(_.isTemporary)
+            .foreach(t => spark.catalog.dropTempView(t.name))
+          catch { case _: Throwable => }
           StateDrain(spark)
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }

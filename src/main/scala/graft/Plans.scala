@@ -58,6 +58,8 @@ object Plans {
     "sim_topk_pq",          // PQ codebooks + broadcast ADC LUT + exact re-rank
     "st_cross_dedup",       // stream-static anti join + watermarked dedup state
     "st_funnel",            // mapGroupsWithState machine, batch-parity collapse
+    "gr_kcore",             // per-round alive-set pin + two id-only semi joins
+    "mm_resize",            // constant-index thumbnail selection, zero shuffle
   )
 
   def main(args: Array[String]): Unit = {

@@ -87,7 +87,14 @@ object EventStreams {
         (uid: Long, batch: Iterator[Event], state: GroupState[Int]) =>
           var stage = state.getOption.getOrElse(0)
           batch.toSeq
-            .sortBy(e => (e.ts.getTime, rank.getOrElse(e.event_type, 3), e.event_id))
+            // FULL-precision time order: getTime alone truncates to
+            // milliseconds, but the corpus is microsecond-precision and
+            // the batch twin (ev_funnel) compares full timestamps — a
+            // sub-millisecond view/click inversion would diverge from
+            // the shared oracle. (getTime ms, getNanos fractional)
+            // sorts the complete instant.
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos,
+              rank.getOrElse(e.event_type, 3), e.event_id))
             .foreach { e =>
               e.event_type match {
                 case "view" if stage == 0     => stage = 1

@@ -33,22 +33,25 @@ object StreamParity {
 
   private val runSeq = new AtomicLong(0L)
 
-  private val DocsSchema =
-    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
-
   /** documents.parquet as a STREAM: the file source (the continuous-
     * ingest entry point — a crawl drop-directory at scale), with a
-    * constant literal event time (see determinism note above). */
-  private def streamDocs(s: SparkSession, d: String): DataFrame =
+    * constant literal event time (see determinism note above). The
+    * declared schema is SNIFFED from the batch reader's footer (the
+    * [[streamEvents]] discipline): a hardcoded schema would paper
+    * over generator drift with silent nulls, where the sniff makes
+    * the stream see exactly what batch readers see. */
+  private def streamDocs(s: SparkSession, d: String): DataFrame = {
+    val onDisk = s.read.parquet(s"$d/documents.parquet").schema
     // documents.parquet is a single FILE in the test corpora; for a
     // NON-glob path the file stream source force-injects
     // `basePath = path`, which must be a directory → error. A glob
     // path suppresses that injection, and the explicit basePath keeps
     // partition discovery rooted at the sf dir.
-    s.readStream.schema(DocsSchema).option("basePath", d)
+    s.readStream.schema(onDisk).option("basePath", d)
       .parquet(s"$d/documents.parque[t]")
       .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       .select("doc_id", "ts", "text")
+  }
 
   /** Run a streaming frame to completion (AvailableNow: process every
     * available input, then stop — the incremental-batch trigger) and
@@ -112,8 +115,13 @@ object StreamParity {
     * (ts, stage-rank, event_id), so within one micro-batch the scan
     * order is total and the machine provably equals the batch
     * min-join formulation (the local spec also pins this); stages
-    * only advance, so the `max(stage)` collapse below is correct
-    * under ANY micro-batch slicing of the source. */
+    * only advance, so the `max(stage)` collapse below is
+    * slicing-stable. CAVEAT (unlike the constant-event-time document
+    * queries): batch-parity of the MACHINE itself assumes micro-
+    * batches arrive in event-time order — true here because
+    * events.parquet is one file → one AvailableNow batch; a
+    * multi-file drop-directory ingest would need the batch twin run
+    * per epoch instead. */
   val funnelParity: Q = (s, d) => {
     import s.implicits._
     val ev = streamEvents(s, d)
@@ -134,8 +142,14 @@ object StreamParity {
     * window's RUNNING count, so the final value per (bucket,
     * event_type) is the max over its updates (counts only grow; the
     * float sum_value column is deliberately NOT declared — it is not
-    * monotone, so only the count collapse is slicing-invariant).
-    * Equals the batch hourly census, which is the oracle. */
+    * monotone, so only the count collapse is slicing-stable). Equals
+    * the batch hourly census, which is the oracle. CAVEAT: with real
+    * event time the 10-minute watermark would DROP genuinely late
+    * rows under out-of-order multi-batch arrival — parity holds
+    * because the single-file source yields one AvailableNow batch
+    * (nothing is ever late inside a batch); a drop-directory ingest
+    * trades exact parity for bounded state, which is the point of the
+    * watermark. */
   val tumblingParity: Q = (s, d) =>
     runToTable(
       EventStreams.tumblingCounts(streamEvents(s, d)),
@@ -178,30 +192,10 @@ object StreamParity {
       """WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents)
          SELECT DISTINCT fp FROM h WHERE doc_id % 5 = 4
            AND fp NOT IN (SELECT fp FROM h WHERE doc_id % 5 <> 4)""",
-    // identical to ev_funnel's oracle: the streaming machine and the
-    // batch min-join formulation are the same funnel semantics
-    "st_funnel" ->
-      """WITH v AS (
-           SELECT user_id, MIN(ts) AS v_ts FROM events
-           WHERE event_type = 'view' GROUP BY user_id),
-         c AS (
-           SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
-           JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
-           WHERE e.event_type = 'click' GROUP BY e.user_id),
-         p AS (
-           SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
-           JOIN c ON c.user_id = e.user_id AND e.ts >= c.c_ts
-           WHERE e.event_type = 'purchase' GROUP BY e.user_id),
-         u AS (SELECT DISTINCT user_id FROM events)
-         SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
-                     WHEN c.c_ts IS NOT NULL THEN 2
-                     WHEN v.v_ts IS NOT NULL THEN 1
-                     ELSE 0 END AS stage,
-                COUNT(*) AS n_users
-         FROM u LEFT JOIN v USING (user_id)
-                LEFT JOIN c USING (user_id)
-                LEFT JOIN p USING (user_id)
-         GROUP BY 1""",
+    // THE ev_funnel oracle, by reference: the streaming machine and the
+    // batch min-join formulation are the same funnel semantics, and a
+    // future fix to one gate must flow to the other
+    "st_funnel" -> graft.operators.Events.oracle("ev_funnel"),
     "st_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
          COUNT(*) AS n FROM events GROUP BY 1, 2""",

@@ -24,10 +24,26 @@ class TimestampEncodingSpec extends SparkSpec {
       "adv_range_join" -> graft.operators.Advanced.queries("adv_range_join"),
       "adv_asof_join" -> graft.operators.Advanced.queries("adv_asof_join"))
 
+  private val tempDirs = scala.collection.mutable.Buffer.empty[String]
+
+  override def afterAll(): Unit = {
+    // each run writes a re-encoded events.parquet copy per encoding —
+    // delete them or repeated runs accumulate in /tmp
+    tempDirs.foreach { d =>
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
+    super.afterAll()
+  }
+
   /** Build a per-encoding sf directory: events.parquet re-encoded,
     * every other table symlinked from the real sf0.001 corpus. */
   private def encodedDir(tag: String)(write: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
     val dir = Files.createTempDirectory(s"graft-tsenc-$tag").toString
+    tempDirs += dir
     Tables.all.filterNot(_ == "events").foreach { t =>
       Files.createSymbolicLink(
         Paths.get(s"$dir/$t.parquet"), Paths.get(s"$sfDir/$t.parquet"))
