@@ -309,6 +309,53 @@ object Events {
       .select(col("user_id"), col("first3"), col("n_events"))
   }
 
+  /** EWMA smoothing factor in per-mille (α = 0.3): integer arithmetic
+    * end to end, mirrored in the oracle. */
+  private val EwmaAlphaMille = 300L
+
+  /** Per-user exponentially weighted moving average of `value` — the
+    * classic time-series smoother, and the operator shape no built-in
+    * window expresses: a NONLINEAR per-key ordered fold (each state
+    * depends multiplicatively on the previous), where running
+    * sum/min/avg are linear and stay in `Window` frames. The batch
+    * form of per-key online state (the streaming twin is
+    * `mapGroupsWithState` carrying `ewma` as its state value).
+    *
+    * Determinism discipline: values enter as floor-of-micros int64
+    * (one IEEE multiply + floor per row, bit-identical cross-engine),
+    * the fold is e₀ = v₀, eᵢ = (α·vᵢ + (1000−α)·eᵢ₋₁) DIV 1000 in
+    * pure int64 (both engines truncate integer division toward zero),
+    * and the fold ORDER is pinned by (ts to the full microsecond,
+    * event_id) — so the declared output (final state + count per
+    * user) is hash-exact.
+    *
+    * 100 TB shape: ONE shuffle keyed by user (the `ev_user_path`
+    * secondary-sort discipline); per-group work is a sort bounded by
+    * that user's history and O(1) fold state. The per-group sort is
+    * the batch cost of order — at unbounded per-key history the
+    * streaming twin with checkpointed state is the shape, which is
+    * why it exists. */
+  private val ewma: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(floor(value * 1000000D) AS BIGINT)").as("vm"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val sorted = it.toSeq
+          .sortBy(e => (e._3.getTime, e._3.getNanos, e._2))
+        var e = 0L
+        var first = true
+        sorted.foreach { case (_, _, _, v) =>
+          e = if (first) { first = false; v }
+              else (EwmaAlphaMille * v + (1000L - EwmaAlphaMille) * e) / 1000L
+        }
+        (uid, sorted.length.toLong, e)
+      }
+      .toDF("user_id", "n_events", "ewma_micro")
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling_1h" -> tumbling,
     "ev_sliding_1h_15m" -> sliding,
@@ -320,6 +367,7 @@ object Events {
     "ev_ffill" -> ffill,
     "ev_anomaly" -> anomaly,
     "ev_user_path" -> userPath,
+    "ev_ewma" -> ewma,
   )
 
   /** Shared dense-grid CTE prefix for the resampling family's oracles. */
@@ -343,6 +391,22 @@ object Events {
           FROM grid LEFT JOIN counts USING (bucket, event_type))"""
 
   val oracle: Map[String, String] = Map(
+    // the same int64 fold: list_reduce seeds from the first element
+    // (= e0 = v0) and DuckDB's // truncates toward zero like DIV
+    "ev_ewma" ->
+      s"""WITH v AS (
+            SELECT user_id, event_id, ts,
+              CAST(floor(value * 1000000) AS BIGINT) AS vm
+            FROM events),
+          o AS (
+            SELECT user_id,
+              list(vm ORDER BY ts, event_id) AS xs
+            FROM v GROUP BY user_id)
+          SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+            list_reduce(xs, (acc, x) ->
+              ($EwmaAlphaMille * x + ${1000L - EwmaAlphaMille} * acc) // 1000)
+              AS ewma_micro
+          FROM o""",
     "ev_user_path" ->
       """WITH r AS (
            SELECT user_id, event_type,

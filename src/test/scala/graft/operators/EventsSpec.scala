@@ -6,6 +6,31 @@ import graft.SparkSpec
   * DuckDB oracle can't see (it checks values, not plans). */
 class EventsSpec extends SparkSpec {
 
+  test("ewma: fold matches the hand-computed sequence and a local replay of the corpus") {
+    // hand trace, alpha = 0.3 in per-mille integer arithmetic:
+    //   v = [1_000_000, 2_000_000, -500_000]
+    //   e0 = 1_000_000
+    //   e1 = (300*2_000_000 + 700*1_000_000) / 1000 = 1_300_000
+    //   e2 = (300*(-500_000) + 700*1_300_000) / 1000 = 760_000
+    val vs = Seq(1000000L, 2000000L, -500000L)
+    val folded = vs.tail.foldLeft(vs.head)((a, x) => (300L * x + 700L * a) / 1000L)
+    assert(folded === 760000L)
+    // full-corpus differential: the mapGroups fold equals a driver-side
+    // replay over the same (ts, event_id) order
+    val got = Events.queries("ev_ewma")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "ts",
+        "CAST(floor(value * 1000000D) AS BIGINT) AS vm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+    val expect = rows.groupBy(_._1).map { case (u, es) =>
+      val vs = es.sortBy(e => (e._3.getTime, e._3.getNanos, e._2)).map(_._4)
+      u -> ((vs.length.toLong,
+        vs.tail.foldLeft(vs.head)((a, x) => (300L * x + 700L * a) / 1000L)))
+    }
+    assert(got === expect)
+  }
+
   test("late_arrivals: two-phase prefix-max scan equals the global-window form") {
     val a = Events.lateArrivalsScan(spark, sfDir)
     val b = Events.lateArrivalsWindow(spark, sfDir)
