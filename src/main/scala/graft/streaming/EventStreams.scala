@@ -12,6 +12,10 @@ case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 /** Per-user running aggregate carried across micro-batches. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** Per-user EWMA fold state carried across micro-batches: event count
+  * and the integer fixed-point EWMA (micro-units) so far. */
+case class EwmaState(user_id: Long, n_events: Long, ewma_micro: Long)
+
 /** Structured Streaming surface over event streams — the incremental
   * mirror of `graft.operators.Events` (same semantics; the batch versions
   * are the DuckDB-checkable ground truth).
@@ -123,6 +127,37 @@ object EventStreams {
           }
           state.update(next)
           next
+      }
+  }
+
+  /** Per-user EWMA as ONLINE fold state — the streaming twin of the
+    * batch `ev_ewma` (`graft.operators.Events`): same floor-of-micros
+    * int64 values, same (α·v + (1000−α)·e) DIV 1000 integer fold, same
+    * full-precision (ts, event_id) order WITHIN a micro-batch, but the
+    * fold state (count, ewma) is carried in checkpointed
+    * `mapGroupsWithState` — per-key O(1) state at unbounded history,
+    * which is exactly where the batch form's per-group sort stops
+    * scaling. Cross-batch order is the ingest's responsibility (same
+    * caveat as `funnelStages`: event-time-ordered arrival). */
+  def ewmaUserState(events: Dataset[Event],
+      alphaMille: Long = 300L): Dataset[EwmaState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(uid, 0L, 0L))
+          batch.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              val v = math.floor(e.value * 1000000d).toLong
+              st =
+                if (st.n_events == 0L) EwmaState(uid, 1L, v)
+                else EwmaState(uid, st.n_events + 1,
+                  (alphaMille * v + (1000L - alphaMille) * st.ewma_micro) / 1000L)
+            }
+          state.update(st)
+          st
       }
   }
 

@@ -176,12 +176,32 @@ object StreamParity {
       .select("doc_id")
   }
 
+  /** Online-EWMA parity: [[EventStreams.ewmaUserState]]'s checkpointed
+    * fold state over the streamed events corpus must equal the batch
+    * `ev_ewma` fold, whose oracle it shares. Each micro-batch emits the
+    * running (n, ewma) per touched user; n grows monotonically, so the
+    * final state per user is its max-n update (the `st_funnel`
+    * collapse discipline — and the same single-file ordered-arrival
+    * caveat). */
+  val ewmaParity: Q = (s, d) => {
+    import s.implicits._
+    val ev = streamEvents(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")).as[Event]
+    runToTable(EventStreams.ewmaUserState(ev).toDF(), "st_ewma", mode = "update")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("ewma_micro"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.ewma_micro").as("ewma_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st_exact_dedup" -> exactDedupParity,
     "st_cross_dedup" -> crossDedupParity,
     "st_funnel" -> funnelParity,
     "st_tumbling" -> tumblingParity,
     "st_contaminated" -> contaminatedParity,
+    "st_ewma" -> ewmaParity,
   )
 
   /** DuckDB replay: the key-set semantics are plain SQL. */
@@ -196,6 +216,8 @@ object StreamParity {
     // batch min-join formulation are the same funnel semantics, and a
     // future fix to one gate must flow to the other
     "st_funnel" -> graft.operators.Events.oracle("ev_funnel"),
+    // same by-reference sharing: the online fold IS the batch fold
+    "st_ewma" -> graft.operators.Events.oracle("ev_ewma"),
     "st_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
          COUNT(*) AS n FROM events GROUP BY 1, 2""",

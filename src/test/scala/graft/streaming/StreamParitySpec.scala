@@ -57,6 +57,15 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("st_ewma (checkpointed fold state) == batch ev_ewma per-user fold") {
+    val streamed = StreamParity.queries("st_ewma")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.operators.Events.queries("ev_ewma")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming-parity queries are watermark/batch-slicing invariant: rerun is identical") {
     // a second full run (new memory sink, new checkpoint) must produce
     // the same key set — the determinism the driver's hash gate needs
