@@ -159,6 +159,27 @@ class GraphSpec extends SparkSpec {
     c1.unpersist()
   }
 
+  test("kcore plan: a peel round is two shuffle-hash SEMI joins, never sort-merge") {
+    // the declared query materializes each round eagerly (checkpoint),
+    // so its FINAL plan is just the pinned aggregate — assert the
+    // round BODY's shape on an identically-constructed frame instead
+    import org.apache.spark.sql.functions._
+    val e = Graph.queries("gr_knn_graph")(spark, sfDir)
+      .selectExpr("supp_a AS src", "supp_b AS dst")
+    val und = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    val alive = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 4).select(col("src").as("id"))
+    val round = und
+      .join(alive.hint("shuffle_hash"), und("src") === alive("id"), "left_semi")
+      .join(alive.hint("shuffle_hash"), und("dst") === alive("id"), "left_semi")
+    round.collect()
+    val p = round.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftSemi"), s"no semi join in peel round:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a peel round sort-merged (the hint failed):\n$p")
+  }
+
   test("cosuppliers: a hot part past the cap contributes zero pairs; weights are exact") {
     import spark.implicits._
     // planted bipartite graph:

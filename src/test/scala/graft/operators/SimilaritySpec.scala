@@ -166,6 +166,17 @@ class SimilaritySpec extends SparkSpec {
     assert(pq >= lsh, s"PQ recall $pq below LSH $lsh")
   }
 
+  test("PQ plan: ADC lookup joins broadcast; the corpus side never sort-merges") {
+    val df = Similarity.queries("sim_topk_pq")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the LUT and the query-vector table are tiny and must broadcast;
+    // a SortMergeJoin anywhere means a corpus-sized side got sorted
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in PQ plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge crept into the PQ serve plan:\n$p")
+  }
+
   test("knn self-join: dense ranks, pairs dominated by rank-1, deterministic") {
     import org.apache.spark.sql.functions._
     val k1 = Similarity.queries("sim_knn_self")(spark, sfDir).cache()
