@@ -60,6 +60,7 @@ object Plans {
     "st_funnel",            // mapGroupsWithState machine, batch-parity collapse
     "gr_kcore",             // per-round alive-set pin + two id-only semi joins
     "mm_resize",            // constant-index thumbnail selection, zero shuffle
+    "ev_ewma",              // typed ordered fold: one user-keyed exchange
   )
 
   def main(args: Array[String]): Unit = {
