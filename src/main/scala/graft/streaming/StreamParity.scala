@@ -195,11 +195,22 @@ object StreamParity {
         col("m.ewma_micro").as("ewma_micro"))
   }
 
+  /** Sliding-window counts (1 h every 15 min; each event lands in 4
+    * overlapping windows) through [[EventStreams.slidingCounts]] —
+    * same update-mode max(n) collapse and single-file caveat as
+    * [[tumblingParity]]. */
+  val slidingParity: Q = (s, d) =>
+    runToTable(EventStreams.slidingCounts(streamEvents(s, d)),
+      "st_sliding", mode = "update")
+      .groupBy("bucket")
+      .agg(max(col("n")).as("n"))
+
   val queries: Map[String, Q] = Map(
     "st_exact_dedup" -> exactDedupParity,
     "st_cross_dedup" -> crossDedupParity,
     "st_funnel" -> funnelParity,
     "st_tumbling" -> tumblingParity,
+    "st_sliding" -> slidingParity,
     "st_contaminated" -> contaminatedParity,
     "st_ewma" -> ewmaParity,
   )
@@ -221,6 +232,14 @@ object StreamParity {
     "st_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
          COUNT(*) AS n FROM events GROUP BY 1, 2""",
+    // each event belongs to the 4 hour-long windows whose starts are
+    // the preceding four 15-minute marks (ev_sliding's replay, minus
+    // the type split the streaming op doesn't make)
+    "st_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - (k * to_minutes(15)) AS bucket, COUNT(*) AS n
+         FROM events, unnest([0, 1, 2, 3]) AS t(k)
+         GROUP BY 1""",
     // the flagged set: non-benchmark docs sharing >=1 3-shingle with
     // the benchmark slice (pl_contamination's dictionary, set-valued)
     "st_contaminated" ->

@@ -99,6 +99,47 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(batch == streamed, s"batch=$batch stream=$streamed")
   }
 
+  test("EWMA fold state survives kill/restart (restart must not reset the fold)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ewma")
+    val src = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(src).mkdirs()
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    def ev(id: Long, t: String, uid: Long, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), uid, "click", v, "{}")
+    def write(rows: Seq[Event]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = EventStreams.ewmaUserState(
+          spark.readStream.schema(schema).parquet(src).as[Event])
+        .toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    def state(): Map[Long, (Long, Long)] =
+      spark.read.parquet(out).groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("ewma_micro"))).as("m"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))).toMap
+
+    // phase 1: e0 = 1_000_000, then e1 = (300*2e6 + 700*1e6)/1000
+    write(Seq(ev(0, "2024-01-01 10:00:00", 7, 1.0),
+              ev(1, "2024-01-01 10:01:00", 7, 2.0)))
+    run()
+    assert(state() == Map(7L -> ((2L, 1300000L))), state().toString)
+
+    // phase 2 after restart: the fold continues FROM 1_300_000 — if the
+    // checkpoint lost the state, the fold restarts at v and yields
+    // -500_000 instead of (300*(-5e5) + 700*1.3e6)/1000 = 760_000
+    write(Seq(ev(2, "2024-01-01 10:02:00", 7, -0.5)))
+    run()
+    assert(state() == Map(7L -> ((3L, 760000L))), state().toString)
+  }
+
   test("streaming near-dedup state survives kill/restart (dup across restart stays dropped)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-neardedup")

@@ -66,6 +66,19 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("st_sliding (overlapping windows) == batch 15-min-anchored hourly counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamParity.queries("st_sliding")(spark, sfDir)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming-parity queries are watermark/batch-slicing invariant: rerun is identical") {
     // a second full run (new memory sink, new checkpoint) must produce
     // the same key set — the determinism the driver's hash gate needs
