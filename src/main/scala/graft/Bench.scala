@@ -43,6 +43,19 @@ import org.apache.spark.sql.SparkSession
   * 3) and reports the MEDIAN — the one cold rep (fresh-session pools,
   * first codegen) is absorbed by the median.
   *
+  * STALL GUARD (round 10): if the rep spread exceeds 3x the rep
+  * minimum, up to 2 extra reps are APPENDED (never substituted) and
+  * the median is taken over the whole array. Rationale: the r9
+  * committed artifact recorded ev_sessions as [0.39, 5.38, 6.25] —
+  * rep 1 matched the query's 3-round history and an environment stall
+  * during reps 2-3 set the committed median to 13x truth. Under
+  * per-rep sessions every rep is an independent draw, so a >3x
+  * outlier is environmental by construction; appending keeps the
+  * artifact honest (a genuinely degraded window shows high retries
+  * too and still reports high) while one stalled rep can no longer
+  * set the committed median. Fired retries are listed per-query in
+  * "stall_retries".
+  *
   * BLOCK HYGIENE between reps (within a chunk): queries that
   * materialize state (`localCheckpoint`, `cache`) leave storage blocks
   * resident; each rep rebuilds its DataFrame from scratch, so no old
@@ -129,9 +142,15 @@ object Bench {
       // JVM — an independent warm draw, which is what a median wants.
       ordered.map { case (name, fn) =>
         val gc0 = gcSecs
-        val times = (1 to reps).flatMap { _ =>
+        var warmFails = 0
+        def runOnce(): Option[Double] = {
           val spark = freshSession()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          // NonFatal only (advice r9): an OOM/fatal JVM error in the
+          // warm-up must propagate, not leave a wounded JVM that the
+          // timed run then "measures"; a non-fatal warm-up failure is
+          // counted so a cold-timed query is visible in the artifact
+          try { fn(spark, sfDir).count() }
+          catch { case scala.util.control.NonFatal(_) => warmFails += 1 }
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
@@ -142,16 +161,34 @@ object Bench {
           try spark.catalog.listTables().collect()
             .filter(_.isTemporary)
             .foreach(t => spark.catalog.dropTempView(t.name))
-          catch { case _: Throwable => }
+          catch { case scala.util.control.NonFatal(_) => }
           StateDrain(spark)
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
+                   catch { case scala.util.control.NonFatal(_) => false }
           val elapsed = (System.nanoTime() - t0) / 1e9
           spark.stop()
           if (ok) Some(elapsed) else None
         }
-        (name, times, gcSecs - gc0)
+        var times = (1 to reps).flatMap(_ => runOnce()).toVector
+        // STALL GUARD (round 10, verdict item 1): the r9 committed
+        // artifact had reps like ev_sessions [0.39, 5.38, 6.25] — one
+        // environment stall during reps 2-3 set the committed median to
+        // 13x the query's true cost. A rep >3x the rep minimum is (by
+        // the per-rep-session design) not a plan property — every rep
+        // is an independent draw — so it is environmental; run up to 2
+        // EXTRA reps to dilute it. Extra reps are APPENDED, never
+        // replace the outlier: the full chronological array stays in
+        // the artifact, so a genuinely degraded window is still visible
+        // (all reps high -> guard fires, retries land high too, median
+        // honestly reports the window), while one stalled rep among
+        // sane ones can no longer set the committed median.
+        var extra = 0
+        while (times.nonEmpty && extra < 2 && times.max > 3 * times.min) {
+          runOnce().foreach(t => times = times :+ t)
+          extra += 1
+        }
+        (name, times, gcSecs - gc0, extra, warmFails)
       }
     } else chunks.flatMap { chunk =>
       val spark = GraftSession.builder(cpus, cpus).getOrCreate()
@@ -191,8 +228,10 @@ object Bench {
       // self-churning iterative queries (dd_components) inflates the
       // later reps' shuffle-file state more than the cold rep costs —
       // the median of 3 absorbs the one cold rep instead.
+      var chunkWarmFails = 0
       if (chunk.size > 1) {
-        try { chunk.head._2(spark, sfDir).count() } catch { case _: Throwable => }
+        try { chunk.head._2(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(_) => chunkWarmFails += 1 }
         dropBlocks()
       }
       // a failed rep is excluded from the median; a query with zero
@@ -200,21 +239,32 @@ object Bench {
       // read as broken, never as a fast success)
       val chunkResults = chunk.map { case (name, fn) =>
         val gc0 = gcSecs
-        val times = (1 to reps).flatMap { _ =>
+        def runOnce(): Option[Double] = {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
+                   catch { case scala.util.control.NonFatal(_) => false }
           // stop the clock BEFORE hygiene: blocking block removal is
           // inter-rep maintenance, not query cost
           val elapsed = (System.nanoTime() - t0) / 1e9
           if (!keepBlocks) dropBlocks()
           if (ok) Some(elapsed) else None
         }
+        var times = (1 to reps).flatMap(_ => runOnce()).toVector
+        // same stall guard as the per-rep-session branch (see above);
+        // in this A/B branch reps share a session, so an outlier can
+        // also be self-churn — the appended retries make that visible
+        // (they stay high) rather than masking it
+        var extra = 0
+        while (times.nonEmpty && extra < 2 && times.max > 3 * times.min) {
+          runOnce().foreach(t => times = times :+ t)
+          extra += 1
+        }
         // CHRONOLOGICAL order (round 8; earlier rounds sorted here,
         // which made every reps[] array look monotonically rising and
         // hid which rep was actually slow) — the median sorts its own
         // copy below
-        (name, times, gcSecs - gc0)
+        (name, times, gcSecs - gc0, extra,
+          if (name == chunk.head._1) chunkWarmFails else 0)
       }
       // stop the context: deletes shuffle dirs, drops the block
       // manager, resets listener state; the JVM (JIT, codegen cache)
@@ -225,17 +275,23 @@ object Bench {
       chunkResults
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    val medians = results.map { case (k, ts, _) =>
+    val medians = results.map { case (k, ts, _, _, _) =>
       k -> (if (ts.isEmpty) -1.0
             else { val s = ts.sorted; r3(s(s.length / 2)) })
     }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val repJson = results.map { case (k, ts, _) =>
+    val repJson = results.map { case (k, ts, _, _, _) =>
       "\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val gcJson = results.map { case (k, _, g) => "\"" + k + "\":" + r3(g) }
+    val gcJson = results.map { case (k, _, g, _, _) => "\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
+    // only the queries where the stall guard fired / a warm-up failed —
+    // empty objects read as "nothing to report", keeping the line short
+    val retryJson = results.collect { case (k, _, _, e, _) if e > 0 =>
+      "\"" + k + "\":" + e }.mkString("{", ",", "}")
+    val warmFailJson = results.collect { case (k, _, _, _, w) if w > 0 =>
+      "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val total = r3(medians.map(_._2).filter(_ >= 0).sum)
     // key order matters: a tail-only capture must still see the total and
     // the medians, so diagnostics come first and "value" is last
@@ -246,6 +302,7 @@ object Bench {
       // emit null so A/B readers can tell "succeeded" from "never ran"
       s""""restart_every":$restartEvery,"rep_sessions":$repSessions,""" +
       s""""drain_ok":${if (repSessions) "null" else StateDrain.healthy.toString},""" +
+      s""""stall_retries":$retryJson,"warm_fails":$warmFailJson,""" +
       s""""gc_sec":$gcJson,"reps":$repJson,"queries":$qs,"value":$total}"""
     // only a FULL sweep may overwrite the round artifact — an isolated
     // SPARK_GRAFT_ONLY diagnosis run must not clobber the 139-query

@@ -23,18 +23,36 @@ import java.security.MessageDigest
   */
 object ResultCache {
 
-  /** Stable key for (plan, inputs). */
+  private def fileSnapshot(f: String): String = {
+    val p = Paths.get(f.stripPrefix("file:"))
+    val (len, mtime) =
+      if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      else (-1L, -1L)
+    s"$f|$len|$mtime"
+  }
+
+  /** Stable key for (plan, inputs).
+    *
+    * COLLISION GUARD (round 10): a plan rooted at a non-file relation —
+    * e.g. the `LogicalRDD` a `localCheckpoint`ed iterative loop leaves
+    * behind — canonicalizes WITHOUT identity (attribute ids normalized,
+    * no files), so two different checkpoint-rooted computations with the
+    * same shape would collide on one key (observed: the textual and
+    * semantic drop lists, both `filter(id =!= label).project(id)` over a
+    * (id, label, size) RDD — the semantic list silently read the textual
+    * list's cache). When the plan traces to zero input files, the
+    * ANALYZED plan string (real attribute names + RDD ids) is mixed in:
+    * such keys never falsely collide, at the cost of never hitting
+    * across re-constructions — callers who want reuse for
+    * checkpoint-rooted parents declare identity explicitly via
+    * [[runCachedKeyed]]. */
   def fingerprint(df: DataFrame): String = {
     val plan = df.queryExecution.optimizedPlan.canonicalized.toString
-    val files = df.inputFiles.sorted.map { f =>
-      val p = Paths.get(f.stripPrefix("file:"))
-      val (len, mtime) =
-        if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
-        else (-1L, -1L)
-      s"$f|$len|$mtime"
-    }
+    val files = df.inputFiles.sorted.map(fileSnapshot)
     val md = MessageDigest.getInstance("SHA-256")
     md.update(plan.getBytes("UTF-8"))
+    if (files.isEmpty)
+      md.update(df.queryExecution.analyzed.toString.getBytes("UTF-8"))
     files.foreach(f => md.update(f.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString.take(32)
   }
@@ -45,6 +63,38 @@ object ResultCache {
   def runCached(df: DataFrame, cacheDir: String): (DataFrame, Boolean) = {
     val spark = df.sparkSession
     val key = fingerprint(df)
+    val path = s"$cacheDir/$key"
+    val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
+    if (!committed) df.write.mode("overwrite").parquet(path)
+    (spark.read.parquet(path), committed)
+  }
+
+  /** Run-or-reuse under an EXPLICIT semantic key — for computations
+    * whose plan identity can't be read off the plan itself (iterative
+    * loops that materialize through `localCheckpoint` construct
+    * EAGERLY and leave only an identityless `LogicalRDD`; see
+    * [[fingerprint]]'s collision guard). The caller declares
+    *
+    *  - `name`: the computation's identity INCLUDING a version tag
+    *    (e.g. "textDropIds/v1") — bump it when the logic changes, the
+    *    key cannot see code;
+    *  - `inputs`: the source relations the computation reads — their
+    *    file snapshots invalidate the entry when data changes, same
+    *    contract as [[runCached]];
+    *  - `df`: the computation, BY NAME — on a committed hit it is
+    *    never constructed, so an eager iterative parent skips its
+    *    whole loop, not just the final write. That is the round-10
+    *    `pl_dedup_signals` win: the corpus's two most expensive
+    *    closures run once per input snapshot, and every later consumer
+    *    pays one parquet read. */
+  def runCachedKeyed(name: String, inputs: Seq[DataFrame], cacheDir: String)(
+      df: => DataFrame): (DataFrame, Boolean) = {
+    val spark = inputs.head.sparkSession
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(name.getBytes("UTF-8"))
+    inputs.flatMap(_.inputFiles).sorted.map(fileSnapshot)
+      .foreach(f => md.update(f.getBytes("UTF-8")))
+    val key = md.digest().map("%02x".format(_)).mkString.take(32)
     val path = s"$cacheDir/$key"
     val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
     if (!committed) df.write.mode("overwrite").parquet(path)

@@ -329,29 +329,43 @@ object Events {
     * event_id) — so the declared output (final state + count per
     * user) is hash-exact.
     *
-    * 100 TB shape: ONE shuffle keyed by user (the `ev_user_path`
-    * secondary-sort discipline); per-group work is a sort bounded by
-    * that user's history and O(1) fold state. The per-group sort is
-    * the batch cost of order — at unbounded per-key history the
-    * streaming twin with checkpointed state is the shape, which is
-    * why it exists. */
+    * 100 TB shape (round 10, replacing a `groupByKey.mapGroups` that
+    * buffered each user's whole history in one task's heap): ONE
+    * shuffle keyed by user, ordering supplied by Spark's SPILLABLE
+    * sort (`repartition(user_id)` + `sortWithinPartitions(user_id,
+    * ts, event_id)` — the classic secondary sort), then a
+    * `mapPartitions` streaming fold over the now-clustered rows with
+    * O(1) state per group: current uid, running count, running ewma.
+    * A hot user with 10⁹ events costs sort spill, never task heap.
+    * The timestamp sort key is full-microsecond TimestampType, i.e.
+    * exactly the (millis, nanos) pair the old in-heap sort used — the
+    * fold order and therefore the hash are unchanged. At unbounded
+    * per-key history the streaming twin (`st_ewma`) with checkpointed
+    * state is the shape, which is why it exists. */
   private val ewma: Q = (s, d) => {
     import s.implicits._
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"),
         expr("CAST(floor(value * 1000000D) AS BIGINT)").as("vm"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, Long, java.sql.Timestamp, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val sorted = it.toSeq
-          .sortBy(e => (e._3.getTime, e._3.getNanos, e._2))
-        var e = 0L
-        var first = true
-        sorted.foreach { case (_, _, _, v) =>
-          e = if (first) { first = false; v }
-              else (EwmaAlphaMille * v + (1000L - EwmaAlphaMille) * e) / 1000L
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(Long, Long, Long)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Long, Long) = {
+            val (uid, _, _, v0) = rows.next()
+            var e = v0
+            var n = 1L
+            while (rows.hasNext && rows.head._1 == uid) {
+              val v = rows.next()._4
+              e = (EwmaAlphaMille * v + (1000L - EwmaAlphaMille) * e) / 1000L
+              n += 1
+            }
+            (uid, n, e)
+          }
         }
-        (uid, sorted.length.toLong, e)
       }
       .toDF("user_id", "n_events", "ewma_micro")
   }

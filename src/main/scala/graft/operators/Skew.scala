@@ -43,4 +43,30 @@ object Skew {
     df.withColumn("_salt", pmod(hash(saltFrom.map(col): _*), lit(s)))
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum(col("_partial")).cast("long").as("n"))
+
+  /** Size-GUARDED broadcast hint (round 10, verdict item: "a broadcast
+    * proportional to the dup count, not the eval suite, dies at a 30%
+    * dup rate on 100 TB").
+    *
+    * An explicit `broadcast(df)` hint FORCES a broadcast regardless of
+    * size — the right call when the side is provably bounded (a 4-row
+    * model table, k centroids), and a driver-OOM grenade when the side
+    * grows with the data (drop lists, change-key sets). This helper
+    * applies the hint only when Catalyst's own size estimate for the
+    * plan is under the session's `autoBroadcastJoinThreshold`; above it
+    * the frame is returned unhinted, so the planner falls back to a
+    * shuffle join keyed like any other exchange.
+    *
+    * The estimate is `optimizedPlan.stats.sizeInBytes` — exact file
+    * bytes for a materialized-parquet relation (which is why callers
+    * should materialize unbounded intermediates through
+    * [[graft.ResultCache]] FIRST: a raw multi-join subplan's estimate
+    * is a product of guesses, a committed parquet file's is its true
+    * size), costing zero Spark jobs either way. */
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val threshold: Long =
+      df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 && bytes <= threshold) broadcast(df) else df
+  }
 }

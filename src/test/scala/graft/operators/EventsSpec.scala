@@ -31,6 +31,28 @@ class EventsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("ewma: secondary-sort plan — spillable sort + streaming fold, no per-group buffering") {
+    val df = Events.queries("ev_ewma")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the r9 shape (`groupByKey.mapGroups` + in-heap it.toSeq.sortBy)
+    // materialized each user's full history in one task — a hot user
+    // OOMs at scale. The r10 shape must order rows via Spark's
+    // spillable SortExec and fold them in a MapPartitions with O(1)
+    // state per group; MapGroups (and its AppendColumns key-extractor)
+    // must be gone.
+    assert(!p.contains("MapGroups"), s"per-group materialization is back:\n$p")
+    assert(!p.contains("AppendColumns"), p)
+    assert(p.contains("MapPartitions"), p)
+    // ordering comes from the engine sort, keyed user-first so groups
+    // arrive clustered, then (ts, event_id) pins the fold order
+    assert(p.contains("Sort [user_id"), s"expected secondary sort on user_id, ts, event_id:\n$p")
+    assert(p.contains("ts"), p)
+    // one shuffle total: the user_id repartition that co-locates groups
+    val shuffles = "Exchange".r.findAllIn(p).length
+    assert(shuffles === 1, s"ev_ewma should shuffle exactly once ($shuffles):\n$p")
+  }
+
   test("late_arrivals: two-phase prefix-max scan equals the global-window form") {
     val a = Events.lateArrivalsScan(spark, sfDir)
     val b = Events.lateArrivalsWindow(spark, sfDir)

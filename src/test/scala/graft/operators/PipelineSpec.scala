@@ -416,6 +416,65 @@ class PipelineSpec extends SparkSpec {
     rows.foreach { case (_, t, m, k) => assert(k == (!t && !m)) }
   }
 
+  test("dedup_signals: parents materialize once via ResultCache; combine reads committed parquet") {
+    val df = Pipeline.queries("pl_dedup_signals")(spark, sfDir)
+    df.collect()
+    // re-deriving either parent must HIT the committed cache — the
+    // round-10 contract: the corpus's two most expensive closures run
+    // once per input snapshot, not once per consumer. The by-name
+    // argument throwing proves a hit never even CONSTRUCTS the parent
+    // (construction is eager — the component loop would run here).
+    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    def boom: org.apache.spark.sql.DataFrame = fail("cache miss re-ran the parent closure")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(graft.ResultCache.runCachedKeyed("textDropIds/v1", Seq(docs), dir)(boom)._2,
+      "textDropIds was not committed by pl_dedup_signals")
+    assert(graft.ResultCache.runCachedKeyed("semDropIds/v1", Seq(embs), dir)(boom)._2,
+      "semDropIds was not committed by pl_dedup_signals")
+    // and the two entries are DISTINCT — the r10 collision regression:
+    // both parents canonicalize to the same identityless LogicalRDD
+    // shape, so plan-fingerprinting keyed them identically and the
+    // semantic list silently read the textual list's cache
+    val textIds = graft.ResultCache.runCachedKeyed("textDropIds/v1", Seq(docs), dir)(boom)
+      ._1.collect().map(_.getLong(0)).toSet
+    val semIds = graft.ResultCache.runCachedKeyed("semDropIds/v1", Seq(embs), dir)(boom)
+      ._1.collect().map(_.getLong(0)).toSet
+    assert(textIds != semIds, "text and semantic drop lists collided on one cache key")
+    // the combine plan is scans + joins over the materialized lists:
+    // none of the parents' machinery (LSH explode/Generate, component
+    // windows) may appear inline
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("Generate") && !p.contains("Window"),
+      s"parent closure recomputed inline:\n$p")
+    // at test scale the drop lists sit under the broadcast threshold,
+    // so the size guard must have granted the hint
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("broadcastIfSmall: grants the hint under the threshold, withholds it above") {
+    import org.apache.spark.sql.functions.col
+    val key = "n_nationkey"
+    val left = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as(key))
+    def planWith(threshold: String): String = {
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        val right = Skew.broadcastIfSmall(
+          graft.sources.Tables.nation(spark, sfDir).select(col(key)))
+        val j = left.join(right, key)
+        j.collect()
+        j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+    // tiny table, default threshold: hint granted
+    assert(planWith("10485760").contains("BroadcastHashJoin"))
+    // 1-byte threshold: hint withheld AND auto-broadcast can't fire —
+    // the join must fall back to a shuffle
+    assert(!planWith("1").contains("BroadcastHashJoin"))
+  }
+
   test("weighted_sample: exact top-k by the ES key, weight-biased, sort-free plan") {
     val df = Pipeline.queries("pl_weighted_sample")(spark, sfDir)
     df.collect() // finalize THIS plan under AQE before reading it
