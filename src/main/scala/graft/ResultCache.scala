@@ -89,7 +89,17 @@ object ResultCache {
     *    pays one parquet read. */
   def runCachedKeyed(name: String, inputs: Seq[DataFrame], cacheDir: String)(
       df: => DataFrame): (DataFrame, Boolean) = {
-    val spark = inputs.head.sparkSession
+    val (path, committed) = materializeKeyed(name, inputs, cacheDir)(df)
+    (inputs.head.sparkSession.read.parquet(path), committed)
+  }
+
+  /** [[runCachedKeyed]] without the read-back: returns the committed
+    * parquet DIRECTORY path (plus hit flag) for consumers that want the
+    * location rather than a DataFrame — e.g. a file STREAM source
+    * replaying the materialized data as micro-batches. Same key, same
+    * `_SUCCESS` commit discipline. */
+  def materializeKeyed(name: String, inputs: Seq[DataFrame], cacheDir: String)(
+      df: => DataFrame): (String, Boolean) = {
     val md = MessageDigest.getInstance("SHA-256")
     md.update(name.getBytes("UTF-8"))
     inputs.flatMap(_.inputFiles).sorted.map(fileSnapshot)
@@ -98,6 +108,6 @@ object ResultCache {
     val path = s"$cacheDir/$key"
     val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
     if (!committed) df.write.mode("overwrite").parquet(path)
-    (spark.read.parquet(path), committed)
+    (path, committed)
   }
 }

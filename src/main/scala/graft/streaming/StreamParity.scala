@@ -40,7 +40,17 @@ object StreamParity {
     * [[streamEvents]] discipline): a hardcoded schema would paper
     * over generator drift with silent nulls, where the sniff makes
     * the stream see exactly what batch readers see. */
+  /** The `[t]` trick below turns the path into a glob; if the sf dir
+    * itself contained glob metacharacters the glob would silently
+    * match zero files and yield an EMPTY stream (r9 advice) — fail
+    * loudly instead. */
+  private def requireGlobSafe(d: String): Unit =
+    require(!d.exists("[]{}*?".contains(_)),
+      s"corpus dir '$d' contains glob metacharacters; the file-stream " +
+        "source path would silently match nothing")
+
   private def streamDocs(s: SparkSession, d: String): DataFrame = {
+    requireGlobSafe(d)
     val onDisk = s.read.parquet(s"$d/documents.parquet").schema
     // documents.parquet is a single FILE in the test corpora; for a
     // NON-glob path the file stream source force-injects
@@ -53,18 +63,59 @@ object StreamParity {
       .select("doc_id", "ts", "text")
   }
 
+  /** documents as a FORCED MULTI-BATCH stream: the corpus is
+    * materialized once (keyed, `_SUCCESS`-committed — the
+    * [[graft.ResultCache]] discipline) as `MultiBatchFiles` parquet
+    * files, and the file source takes `maxFilesPerTrigger=1`, so
+    * AvailableNow processes ≥ `MultiBatchFiles` micro-batches instead
+    * of the single-file corpora's one. This is the drop-directory
+    * ingest shape a crawl feed has at 100 TB, and it closes the r9
+    * caveat (`single-file ⇒ one micro-batch`): cross-batch DEDUP STATE
+    * is now exercised under the oracle — batch 2's rows must be
+    * deduped against batch 1's watermark-held keys, not just within
+    * their own batch. Constant event time keeps every slicing
+    * equivalent (nothing is ever late), which is exactly why the
+    * key-set projection is batch-replayable. */
+  private[graft] val MultiBatchFiles = 4
+  private[graft] def streamDocsMultiBatch(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.documents(s, d)
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val (dir, _) = graft.ResultCache.materializeKeyed(
+      s"streamSplitDocs/$MultiBatchFiles/v1", Seq(base), cacheDir)(
+      base.repartition(MultiBatchFiles, pmod(col("doc_id"), lit(MultiBatchFiles))))
+    s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .select("doc_id", "ts", "text")
+  }
+
   /** Run a streaming frame to completion (AvailableNow: process every
     * available input, then stop — the incremental-batch trigger) and
     * hand back the sink table. The query name is uniqued per run so a
     * warm-up execution and the timed execution in one session never
     * collide on the sink registration. */
   private def runToTable(df: DataFrame, name: String,
-                         mode: String = "append"): DataFrame = {
+                         mode: String = "append"): DataFrame =
+    runToTableCounted(df, name, mode)._1
+
+  /** As [[runToTable]], also reporting how many micro-batches actually
+    * executed (from the query's progress log) — the multi-batch specs
+    * assert ≥2 so "multi-batch parity" can never silently degrade to a
+    * one-batch run. awaitTermination is BOUNDED (r9 advice): a wedged
+    * AvailableNow stream fails loudly after 5 min instead of hanging
+    * the whole bench/correctness sweep. */
+  private[graft] def runToTableCounted(df: DataFrame, name: String,
+                         mode: String = "append"): (DataFrame, Int) = {
     val qn = s"${name}_${runSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(qn)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(qn)
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      sys.error(s"streaming query $qn did not terminate within 300 s")
+    }
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    (df.sparkSession.table(qn), batches)
   }
 
   /** events.parquet as a STREAM, schema-drift-proof: the on-disk
@@ -75,6 +126,7 @@ object StreamParity {
     * loader — whichever of TIMESTAMP / TIMESTAMP_NTZ / nanos-as-long
     * the generator produced, the stream sees session-TZ timestamps. */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    requireGlobSafe(d)
     val onDisk = s.read.parquet(s"$d/events.parquet").schema
     graft.sources.Tables.normalizeTs(
       s.readStream.schema(onDisk).option("basePath", d)
@@ -89,6 +141,48 @@ object StreamParity {
   val exactDedupParity: Q = (s, d) =>
     runToTable(DedupStreams.exactDedup(streamDocs(s, d)), "st_exact_dedup")
       .select("fp")
+
+  /** [[exactDedupParity]] under FORCED MULTI-BATCH arrival
+    * ([[streamDocsMultiBatch]]: 4 files × maxFilesPerTrigger=1 → 4
+    * micro-batches): the surviving fp set must still equal the
+    * corpus's distinct md5 set, which requires batch k's duplicates of
+    * batch j<k rows to be dropped against the watermark-held state,
+    * not merely within one batch. The declared CORRECTNESS row for
+    * cross-batch dedup state. */
+  val exactDedupMultiBatchParity: Q = (s, d) =>
+    runToTable(DedupStreams.exactDedup(streamDocsMultiBatch(s, d)),
+      "st_exact_dedup_mb")
+      .select("fp")
+
+  /** The PRODUCTION sink path under the oracle: the same multi-batch
+    * exact dedup, but written through
+    * [[EventStreams.idempotentParquetSink]] (foreachBatch → one
+    * `_batch_id=` partition per micro-batch, dynamic partition
+    * overwrite so an at-least-once replay overwrites itself instead of
+    * duplicating rows) and read BACK from the committed parquet — the
+    * memory sink is a verification harness, this is what a real
+    * pipeline deploys. Each run starts from a fresh output + checkpoint
+    * (the run IS the pipeline's first deployment; restart idempotence
+    * is separately pinned by [[CheckpointRecoverySpec]]). */
+  val exactDedupParquetParity: Q = (s, d) => {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft-stream-sink/st_exact_dedup_parquet"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory && !java.nio.file.Files.isSymbolicLink(p.toPath))
+        Option(p.listFiles).foreach(_.foreach(rm))
+      p.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val q = EventStreams.idempotentParquetSink(
+        DedupStreams.exactDedup(streamDocsMultiBatch(s, d)),
+        s"$base/data", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      sys.error("st_exact_dedup_parquet did not terminate within 300 s")
+    }
+    s.read.parquet(s"$base/data").select("fp")
+  }
 
   /** Continuous-ingest cross-corpus dedup, the streaming twin of
     * `pl_cross_dedup` with the SAME corpus/batch split (doc_id % 5):
@@ -116,12 +210,11 @@ object StreamParity {
     * order is total and the machine provably equals the batch
     * min-join formulation (the local spec also pins this); stages
     * only advance, so the `max(stage)` collapse below is
-    * slicing-stable. CAVEAT (unlike the constant-event-time document
-    * queries): batch-parity of the MACHINE itself assumes micro-
-    * batches arrive in event-time order — true here because
-    * events.parquet is one file → one AvailableNow batch; a
-    * multi-file drop-directory ingest would need the batch twin run
-    * per epoch instead. */
+    * slicing-stable. The machine's arrival contract (micro-batches in
+    * event-time order) is exercised for real in
+    * [[graft.streaming.MultiBatchParitySpec]]: 4 time-epoch files,
+    * `maxFilesPerTrigger=1`, per-user state carried across batches,
+    * result equal to the batch funnel. */
   val funnelParity: Q = (s, d) => {
     import s.implicits._
     val ev = streamEvents(s, d)
@@ -149,7 +242,9 @@ object StreamParity {
     * because the single-file source yields one AvailableNow batch
     * (nothing is ever late inside a batch); a drop-directory ingest
     * trades exact parity for bounded state, which is the point of the
-    * watermark. */
+    * watermark. Cross-batch STATE (dedup keys, fold state) is
+    * oracle-gated via `st_exact_dedup_mb` and spec-gated in
+    * [[graft.streaming.MultiBatchParitySpec]]. */
   val tumblingParity: Q = (s, d) =>
     runToTable(
       EventStreams.tumblingCounts(streamEvents(s, d)),
@@ -207,6 +302,8 @@ object StreamParity {
 
   val queries: Map[String, Q] = Map(
     "st_exact_dedup" -> exactDedupParity,
+    "st_exact_dedup_mb" -> exactDedupMultiBatchParity,
+    "st_exact_dedup_parquet" -> exactDedupParquetParity,
     "st_cross_dedup" -> crossDedupParity,
     "st_funnel" -> funnelParity,
     "st_tumbling" -> tumblingParity,
@@ -218,6 +315,14 @@ object StreamParity {
   /** DuckDB replay: the key-set semantics are plain SQL. */
   val oracle: Map[String, String] = Map(
     "st_exact_dedup" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents",
+    // the multi-batch run answers the SAME question — slicing must not
+    // change the surviving key set
+    "st_exact_dedup_mb" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents",
+    // the sink path must preserve the key set exactly — partitioned
+    // parquet out, read back, same answer
+    "st_exact_dedup_parquet" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents",
     "st_cross_dedup" ->
       """WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents)
