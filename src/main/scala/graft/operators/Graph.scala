@@ -75,6 +75,60 @@ object Graph {
 
   private val pagerankQ: Q = (s, d) => pageRank(Tables.lineitem(s, d))
 
+  /** Max rounds for the `*_fix` convergence-stop variants. The declared
+    * semantics are "the fixpoint, or the state after [[FixMaxRounds]]
+    * synchronous rounds, whichever comes first" — and that is EXACTLY
+    * what an oracle unrolled to [[FixMaxRounds]] computes, converged or
+    * not: a converged state L has f(L) = L (the convergence test
+    * L_c = L_{c−1} certifies f(L_{c−1}) = L_{c−1}), so every unrolled
+    * round past c is an identity and round-maxRounds output equals the
+    * early-stopped loop's output. Early stop is therefore purely a
+    * COST optimization — at 100× scale the peel/propagation runs the
+    * 2–4 rounds the data needs instead of a fixed guess, and the
+    * declared answer never depends on how many rounds actually ran. */
+  private val FixMaxRounds = 8
+
+  /** [[pageRank]] with convergence-stop: iterate until the integer rank
+    * table is EXACTLY unchanged (truncating integer arithmetic
+    * quantizes, so exact equality is reachable) or [[FixMaxRounds]].
+    * Returns the rounds actually executed for the early-stop spec.
+    * Convergence test cost: one |nodes|-sized join per round over two
+    * checkpointed tables — noise next to the round's edge join. */
+  private[graft] def pageRankFix(lineitem: DataFrame,
+      maxRounds: Int = FixMaxRounds): (DataFrame, Int) = {
+    val e = lineitem
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = und.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+      .localCheckpoint(true)
+    var prevRound = ranks
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val next = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
+        .select(col("dst"), expr("rank DIV deg").as("contrib"))
+        .groupBy(col("dst").as("id"))
+        .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
+        .localCheckpoint(true)
+      converged = next
+        .join(ranks.select(col("id"), col("rank").as("p_rank")), "id")
+        .where(col("rank") =!= col("p_rank")).isEmpty
+      ranks = next
+      graft.Checkpoints.drop(prevRound)
+      prevRound = next
+      rounds += 1
+    }
+    (ranks.select(
+      when(col("id") % 2 === 0, "part").otherwise("supplier").as("entity"),
+      expr("id DIV 2").as("entity_key"),
+      col("rank").as("rank_micro")), rounds)
+  }
+
+  private val pagerankFixQ: Q = (s, d) => pageRankFix(Tables.lineitem(s, d))._1
+
   /** Hot-node cap for the bipartite projection: a part supplied by m
     * suppliers contributes m·(m−1)/2 supplier pairs, so one
     * mega-degree node makes the projection quadratic (the same blow-up
@@ -289,6 +343,47 @@ object Graph {
     mutualKnnCore(Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))
 
+  /** [[labelPropagate]] with convergence-stop: iterate until NO label
+    * changed (synchronous LPA can oscillate, so the [[FixMaxRounds]]
+    * bound is load-bearing, not a formality) — same unrolled-oracle
+    * equivalence as [[pageRankFix]]. Checkpoints every round here
+    * (unlike the fixed-round variant's depth-2 cadence) because the
+    * convergence join reads both the new and previous label tables. */
+  private[graft] def labelPropagateFix(mut: DataFrame,
+      maxRounds: Int = FixMaxRounds): (DataFrame, Int) = {
+    val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"),
+      col("n_shared_parts").as("w"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val edges = und.repartition(col("src")).localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var prevRound = labels
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val next = edges.join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(sum(col("w")).as("ws"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(struct((-col("ws")).as("nw"), col("lbl").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("lbl").as("p_lbl")), "id")
+        .where(col("lbl") =!= col("p_lbl")).isEmpty
+      labels = next
+      graft.Checkpoints.drop(prevRound)
+      prevRound = next
+      rounds += 1
+    }
+    (labels.select(col("id").as("suppkey"), col("lbl").as("community")), rounds)
+  }
+
+  private val labelPropFixQ: Q = (s, d) => labelPropagateFix(
+    mutualKnnCore(Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))._1
+
   private val KcoreK = 4
   private val KcoreRounds = 3
 
@@ -339,13 +434,58 @@ object Graph {
     mutualKnnCore(Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))
 
+  /** [[kcorePeel]] with convergence-stop: peel until NO edge was
+    * dropped (peeling is monotone, so an unchanged edge COUNT certifies
+    * the fixpoint — the cheapest possible convergence test, one count()
+    * on a checkpointed table per round) or [[FixMaxRounds]]. This is
+    * the TRUE k-core: at 100× scale 3 fixed rounds can sit far from
+    * the core, while the peel typically needs only the few extra
+    * rounds the degree distribution demands. Same unrolled-oracle
+    * equivalence as [[pageRankFix]]. */
+  private[graft] def kcorePeelFix(mut: DataFrame, k: Int = KcoreK,
+      maxRounds: Int = FixMaxRounds): (DataFrame, Int) = {
+    val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"))
+    var edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    var prevRound = edges
+    var nEdges = edges.count()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val alive = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint(true)
+      val next = edges
+        .join(alive.hint("shuffle_hash"), edges("src") === alive("id"), "left_semi")
+        .join(alive.hint("shuffle_hash"), edges("dst") === alive("id"), "left_semi")
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == nEdges
+      nEdges = n
+      graft.Checkpoints.drop(alive)
+      graft.Checkpoints.drop(prevRound)
+      edges = next
+      prevRound = next
+      rounds += 1
+    }
+    (edges.groupBy(col("src").as("suppkey"))
+      .agg(count(lit(1)).as("deg")), rounds)
+  }
+
+  private val kcoreFixQ: Q = (s, d) => kcorePeelFix(
+    mutualKnnCore(Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))._1
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> pagerankQ,
+    "gr_pagerank_fix" -> pagerankFixQ,
     "gr_cosuppliers" -> coSuppliers,
     "gr_knn_graph" -> knnGraph,
     "gr_triangles" -> triangles,
     "gr_labelprop" -> labelProp,
+    "gr_labelprop_fix" -> labelPropFixQ,
     "gr_kcore" -> kcore,
+    "gr_kcore_fix" -> kcoreFixQ,
   )
 
   /** DuckDB replay: the three rounds unrolled as plain CTEs (aggregates
@@ -375,6 +515,71 @@ object Graph {
           SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
             id // 2 AS entity_key, rank AS rank_micro
           FROM r3"""
+    },
+    // fixpoint variant: unrolled to EXACTLY FixMaxRounds — equal to the
+    // engine's early-stopping loop whether or not it converged within
+    // the bound (converged state is a fixpoint, so extra unrolled
+    // rounds are identities; see pageRankFix's scaladoc)
+    "gr_pagerank_fix" -> {
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS MATERIALIZED (
+             SELECT u.dst AS id,
+               CAST(150000 + (85 * sum(r.rank // u.deg)) // 100 AS BIGINT) AS rank
+             FROM $prev r JOIN und u ON u.src = r.id
+             GROUP BY u.dst)"""
+      val steps = (1 to FixMaxRounds)
+        .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+            SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM lineitem),
+          undirected AS MATERIALIZED (
+            SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+          deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM undirected GROUP BY src),
+          und AS MATERIALIZED (
+            SELECT u.src, u.dst, d.deg FROM undirected u JOIN deg d USING (src)),
+          r0 AS MATERIALIZED (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+          $steps
+          SELECT CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
+            id // 2 AS entity_key, rank AS rank_micro
+          FROM r$FixMaxRounds"""
+    },
+    "gr_labelprop_fix" -> {
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS MATERIALIZED (
+             SELECT id, lbl FROM (
+               SELECT u.dst AS id, l.lbl, sum(u.w) AS ws,
+                 row_number() OVER (
+                   PARTITION BY u.dst ORDER BY sum(u.w) DESC, l.lbl) AS r
+               FROM e2 u JOIN $prev l ON u.src = l.id
+               GROUP BY u.dst, l.lbl)
+             WHERE r = 1)"""
+      val steps = (1 to FixMaxRounds)
+        .map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+      s"""$knnOracleCtesMat,
+          e2 AS MATERIALIZED (
+            SELECT sa AS src, sb AS dst, w FROM mut
+            UNION ALL SELECT sb AS src, sa AS dst, w FROM mut),
+          l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e2),
+          $steps
+          SELECT id AS suppkey, lbl AS community FROM l$FixMaxRounds"""
+    },
+    "gr_kcore_fix" -> {
+      val peel = (prev: String, alive: String, next: String) =>
+        s"""$alive AS MATERIALIZED (
+             SELECT src AS id FROM $prev GROUP BY src
+             HAVING count(*) >= $KcoreK),
+           $next AS MATERIALIZED (
+             SELECT p.src, p.dst FROM $prev p
+             JOIN $alive x ON p.src = x.id
+             JOIN $alive y ON p.dst = y.id)"""
+      val steps = (1 to FixMaxRounds)
+        .map(i => peel(s"g${i - 1}", s"a$i", s"g$i")).mkString(",\n")
+      s"""$knnOracleCtesMat,
+          g0 AS MATERIALIZED (
+            SELECT sa AS src, sb AS dst FROM mut
+            UNION ALL SELECT sb AS src, sa AS dst FROM mut),
+          $steps
+          SELECT src AS suppkey, count(*) AS deg FROM g$FixMaxRounds GROUP BY src"""
     },
     "gr_cosuppliers" ->
       s"""WITH e AS (
@@ -448,25 +653,36 @@ object Graph {
 
   /** Shared replay of [[mutualKnnCore]]: capped pair census, symmetric
     * fan-out, per-node top-k by (w DESC, id), mutual filter, a < b. */
-  private def knnOracleCtes: String =
-    s"""WITH e AS (
+  private def knnOracleCtes: String = knnOracleCtesWith("")
+
+  /** As [[knnOracleCtes]] but with every CTE MATERIALIZED — required by
+    * the unrolled `*_fix` oracles: DuckDB INLINES plain CTEs, and a
+    * peel round that references its predecessor three times (once
+    * directly, twice through the alive set) expands 3^8-fold by round
+    * 8, re-opening the lineitem scan thousands of times ("Too many
+    * open files", observed). Materialization keeps the replay linear
+    * in rounds. */
+  private def knnOracleCtesMat: String = knnOracleCtesWith("MATERIALIZED ")
+
+  private def knnOracleCtesWith(m: String): String =
+    s"""WITH e AS $m(
           SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-        capped AS (
+        capped AS $m(
           SELECT pk FROM e GROUP BY pk HAVING count(*) <= $CoPartCap),
-        ec AS (SELECT e.pk, e.sk FROM e JOIN capped USING (pk)),
-        pairs AS (
+        ec AS $m(SELECT e.pk, e.sk FROM e JOIN capped USING (pk)),
+        pairs AS $m(
           SELECT a.sk AS sa, b.sk AS sb, count(*) AS w
           FROM ec a JOIN ec b ON a.pk = b.pk AND a.sk < b.sk
           GROUP BY a.sk, b.sk),
-        und AS (
+        und AS $m(
           SELECT sa, sb, w FROM pairs
           UNION ALL SELECT sb AS sa, sa AS sb, w FROM pairs),
-        rk AS (
+        rk AS $m(
           SELECT sa, sb, w,
             row_number() OVER (PARTITION BY sa ORDER BY w DESC, sb) AS r
           FROM und),
-        knn AS (SELECT sa, sb, w FROM rk WHERE r <= $KnnK),
-        mut AS (
+        knn AS $m(SELECT sa, sb, w FROM rk WHERE r <= $KnnK),
+        mut AS $m(
           SELECT least(sa, sb) AS sa, greatest(sa, sb) AS sb, max(w) AS w
           FROM knn GROUP BY 1, 2 HAVING count(*) = 2)"""
 }

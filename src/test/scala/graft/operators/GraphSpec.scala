@@ -26,6 +26,68 @@ class GraphSpec extends SparkSpec {
     pr.unpersist()
   }
 
+  test("pagerank_fix: early-stops on a pre-converged regular graph") {
+    import spark.implicits._
+    // complete bipartite 2x2: every node has degree 2, so round 1
+    // returns 150000 + 85 * (2 * 1000000/2) / 100 = 1000000 = the start
+    // — already the fixpoint; the loop must detect it on round 1
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("l_partkey", "l_suppkey")
+    val (pr, rounds) = Graph.pageRankFix(li)
+    assert(rounds === 1, s"expected early stop at round 1, ran $rounds")
+    assert(pr.where(col("rank_micro") =!= 1000000L).count() === 0)
+  }
+
+  test("pagerank_fix: equals the unrolled fixed-round form at the bound on the corpus") {
+    // the oracle-equivalence claim, engine-side: the early-stopping loop
+    // and a fixed 8-round run must agree whether or not convergence
+    // happened inside the bound
+    val (fixed, rounds) = Graph.pageRankFix(
+      graft.sources.Tables.lineitem(spark, sfDir))
+    assert(rounds >= 1 && rounds <= 8)
+    val unrolled = Graph.pageRank(
+      graft.sources.Tables.lineitem(spark, sfDir), iters = 8)
+    assert(fixed.exceptAll(unrolled).count() === 0)
+    assert(unrolled.exceptAll(fixed).count() === 0)
+  }
+
+  test("kcore_fix: early-stops when nothing peels, and reaches the true core") {
+    import spark.implicits._
+    // complete graph K5 (as a < b pairs): every degree is 4 = KcoreK,
+    // nothing ever peels -> fixpoint detected after one no-op round
+    val mut = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b, 2L))
+      .toDF("supp_a", "supp_b", "n_shared_parts")
+    val (core, rounds) = Graph.kcorePeelFix(mut)
+    assert(rounds === 1, s"expected early stop at round 1, ran $rounds")
+    assert(core.count() === 5)
+    assert(core.where(col("deg") =!= 4).count() === 0)
+    // a pendant path peels and the loop reports its real round count:
+    // K5 plus 5-6-7 — nodes 6 (deg 2) and 7 (deg 1) are both below
+    // k=4 and fall together in round 1; round 2 confirms the fixpoint
+    val chain = mut.union(Seq((5L, 6L, 2L), (6L, 7L, 2L))
+      .toDF("supp_a", "supp_b", "n_shared_parts"))
+    val (core2, rounds2) = Graph.kcorePeelFix(chain)
+    assert(rounds2 === 2, s"peel+confirm should take 2 rounds, ran $rounds2")
+    assert(core2.select("suppkey").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("labelprop_fix: converges on a symmetric triangle and matches its own fixpoint") {
+    import spark.implicits._
+    val mut = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("supp_a", "supp_b", "n_shared_parts")
+    val (labels, rounds) = Graph.labelPropagateFix(mut)
+    assert(rounds < 8, s"triangle LPA should converge before the bound, ran $rounds")
+    // fixpoint: everyone ends in one community
+    assert(labels.select("community").distinct().count() === 1)
+    // and because the converged state is a fixpoint, running the fixed
+    // 8-round form lands on the same labels
+    val eight = Graph.labelPropagate(mut, iters = 8)
+      .withColumnRenamed("community", "c8")
+    val joined = labels.join(eight, "suppkey")
+    assert(joined.where(col("community") =!= col("c8")).count() === 0)
+  }
+
   test("pagerank: a hub out-ranks a leaf on a planted star graph") {
     import spark.implicits._
     // star: part 1 supplied by suppliers 1..10; part 2 by supplier 1 only
