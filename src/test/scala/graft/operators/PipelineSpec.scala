@@ -475,6 +475,35 @@ class PipelineSpec extends SparkSpec {
     assert(!planWith("1").contains("BroadcastHashJoin"))
   }
 
+  test("apply_cdc: guarded fallback shuffles and answers identically") {
+    // broadcast-audit spec (round 10): the change-key set is unbounded
+    // (a backfill feed approaches the snapshot), so its hint is
+    // size-guarded. Under the default threshold the anti join is
+    // broadcast; at a 1-byte threshold the guard withholds the hint and
+    // the plan falls back to a shuffled anti join — with the SAME rows.
+    def run(): (Set[String], String) = {
+      val df = Pipeline.queries("pl_apply_cdc")(spark, sfDir)
+      val rows = df.collect().map(_.toString).toSet
+      (rows, df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
+    }
+    val (keysB, planB) = run()
+    assert(planB.contains("BroadcastHashJoin"), planB)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (keysS, planS) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      run()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert(!planS.contains("BroadcastHashJoin"), planS)
+    assert(keysS == keysB, "fallback path changed the merge result")
+  }
+
+  test("contamination: size guard grants the dictionary broadcast at test scale") {
+    val df = Pipeline.queries("pl_contamination")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("weighted_sample: exact top-k by the ES key, weight-biased, sort-free plan") {
     val df = Pipeline.queries("pl_weighted_sample")(spark, sfDir)
     df.collect() // finalize THIS plan under AQE before reading it

@@ -30,8 +30,13 @@ class TimestampEncodingSpec extends SparkSpec {
     // each run writes a re-encoded events.parquet copy per encoding —
     // delete them or repeated runs accumulate in /tmp
     tempDirs.foreach { d =>
+      // never recurse through a symlink: listFiles on a link-to-dir
+      // lists the TARGET, and the non-events tables here are symlinks
+      // into the real read-only corpus — deleting through them would
+      // reach real corpus files if those ever become directories
       def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm))
+        if (!Files.isSymbolicLink(p.toPath))
+          Option(p.listFiles()).foreach(_.foreach(rm))
         p.delete(): Unit
       }
       rm(new java.io.File(d))
@@ -65,7 +70,12 @@ class TimestampEncodingSpec extends SparkSpec {
     tsQueries.foreach { case (name, q) =>
       val df = q(spark, dir)
       df.queryExecution.assertAnalyzed()
-      assert(df.limit(1).collect() != null, s"[$tag] $name failed to execute")
+      // the REAL assertion: row count against this encoding equals the
+      // count against the canonical corpus (the r8 drift failed with an
+      // AnalysisException here; a silent row-drop would now fail too)
+      val canonN = q(spark, sfDir).count()
+      assert(df.count() == canonN,
+        s"[$tag] $name row count drifted from canonical encoding")
     }
   }
 
