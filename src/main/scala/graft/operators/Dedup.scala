@@ -129,13 +129,15 @@ object Dedup {
   /** LSH candidates → exact verify: same output contract (and oracle) as
     * [[ngramJaccard]], at banded-join cost instead of full inverted-index
     * fan-out — the 100 TB path. */
-  private val minhashLsh: Q = (s, d) => {
-    val sig = minhashSignatures(s, d)
-    val bands = sig.select(col("doc_id"),
+  private def bandTable(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${NumPerm / BandRows - 1}), " +
         s"b -> hash(slice(minhash, b * $BandRows + 1, $BandRows)))")))
       .toDF("doc_id", "band_id", "band_hash")
+
+  private val minhashLsh: Q = (s, d) => {
+    val bands = bandTable(minhashSignatures(s, d))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -143,6 +145,38 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardVerify(cand, s, d)
+  }
+
+  /** Cross-corpus NEAR-dup flagging — the MinHash twin of
+    * `pl_cross_dedup`'s exact-hash decontamination, same batch split
+    * (incoming = `doc_id % 5 = 4`): an incoming crawl slice is checked
+    * against the EXISTING corpus for jac ≥ 0.8 near-duplicates before
+    * ingest. Same banded-LSH candidates → exact-verify contract as
+    * [[minhashLsh]] (and at τ=0.8 band recall is deterministically
+    * complete, so the oracle is the brute ground truth restricted to
+    * cross pairs), collapsed to the per-incoming-doc decision row:
+    * how many corpus near-dups, and the best jaccard.
+    *
+    * 100 TB shape: band buckets move 12-byte id rows; the incoming
+    * side is feed-sized. In production the corpus band table is
+    * PRECOMPUTED once and maintained incrementally (the signature scan
+    * here covers both sides only because the declared query must be
+    * self-contained); each incoming doc then probes 16 bucket keys —
+    * no corpus rescan per feed. */
+  private val crossLsh: Q = (s, d) => {
+    val bands = bandTable(minhashSignatures(s, d))
+    val inc = bands.where(col("doc_id") % 5 === 4)
+      .toDF("doc_a", "band_id_a", "band_hash_a")
+    val corp = bands.where(col("doc_id") % 5 =!= 4)
+      .toDF("doc_b", "band_id_b", "band_hash_b")
+    val cand = inc.join(corp,
+        col("band_id_a") === col("band_id_b") &&
+        col("band_hash_a") === col("band_hash_b"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardVerify(cand, s, d)
+      .groupBy("doc_a")
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jac"))
+      .withColumnRenamed("doc_a", "batch_doc")
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -383,6 +417,7 @@ object Dedup {
     "dd_exact" -> exact,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_minhash_lsh" -> minhashLsh,
+    "dd_cross_lsh" -> crossLsh,
     "dd_simhash" -> simhash,
     "dd_winnow" -> winnowDedup,
     "dd_containment" -> containment,
@@ -518,6 +553,17 @@ object Dedup {
     // recall is deterministically complete — same ground truth as the
     // exact operator.
     "dd_minhash_lsh" -> duckJaccardPairs,
+    // the cross variant's ground truth: the same brute jaccard replay
+    // restricted to (incoming, corpus) pairs, collapsed per incoming doc
+    "dd_cross_lsh" ->
+      s"""$duckShingles
+         SELECT a.doc_id AS batch_doc, COUNT(*) AS n_matches,
+           MAX(len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) AS best_jac
+         FROM sh a JOIN sh b ON a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+         WHERE len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+         GROUP BY a.doc_id""",
     // dd_winnow's oracle REPLAYS the df cap: winnow fingerprints
     // (md5-60-bit k-gram hashes + window minima, the same replay
     // ta_winnow uses), document frequency per fingerprint, candidates

@@ -139,6 +139,48 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
+  /** BM25 term ranking (Robertson–Spärck Jones weighting as used by
+    * Lucene/Elasticsearch; k1 = 1.2, b = 0.75), top-3 terms per doc —
+    * the retrieval-grade upgrade of [[tfidf]]: tf saturates instead of
+    * growing linearly, and long documents are normalized by
+    * `dl / avgdl`. The idf factor is kept in its RATIONAL form
+    * `(N − df + 0.5)/(df + 0.5)` — a strictly monotone transform of
+    * the usual `log(…)` for fixed tf, so the top-k per doc is the
+    * BM25 top-k, while every arithmetic step stays an IEEE-754
+    * add/mul/div over integers and exactly-representable constants:
+    * the oracle spells the IDENTICAL expression tree, so both engines
+    * produce bit-equal doubles (`ln` differs in the last ulp across
+    * libm implementations — the same reason tfidf avoids it).
+    *
+    * 100 TB shape: same as tfidf — two partial-agg'd groupBys (tf, df),
+    * one term-keyed join (df is vocab-sized, usually broadcast-able by
+    * AQE; no forced hint since vocab grows with the corpus), a 1-row
+    * corpus-stats broadcast, and a per-doc top-3 window whose partition
+    * is doc-sized. */
+  private lazy val bm25: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val stats = docs.select(expr(s"size($tokExpr)").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), expr(s"size($tokExpr)").as("dl"),
+        explode(expr(tokExpr)).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(stats))
+      // constants carry the D suffix: Spark parses a bare `0.75` as
+      // DECIMAL(2,2) and decimal division rounds at scale 6 — the
+      // oracle (and IEEE) answer needs every step in DOUBLE
+      .withColumn("score", expr(
+        "((CAST(n_docs AS DOUBLE) - df + 0.5D) / (df + 0.5D)) * " +
+          "((tf * 2.2D) / (tf + 1.2D * (0.25D + (0.75D * dl * n_docs) / total_dl)))"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))))
+      .where(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
   /** BPE-style pre-tokenization counting — the GPT-2 pre-tokenizer
     * shape (public pattern family: contraction suffixes, space-prefixed
     * letter runs, digit runs, punctuation runs), restricted to
@@ -274,6 +316,7 @@ object TextAnalysis {
     "ta_repetition" -> repetition,
     "ta_char_stats" -> charStats,
     "ta_tfidf" -> tfidf,
+    "ta_bm25" -> bm25,
     "ta_inverted_index" -> invertedIndex,
     "ta_bpe_tokens" -> bpeTokens,
     "ta_bpe_learn" -> bpeLearn,
@@ -783,6 +826,32 @@ object TextAnalysis {
             SELECT doc_id, tf.term, tf.tf, df.df,
               CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
             FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+          SELECT doc_id, term, tf, df, score, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rnk
+            FROM scored) WHERE rnk <= 3""",
+    "ta_bm25" ->
+      s"""WITH base AS (SELECT doc_id, $duckTok AS toks FROM documents),
+          tok AS (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+          tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+            GROUP BY doc_id, dl, term),
+          df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_dl FROM base),
+          scored AS (
+            -- tf * 2.2 must multiply DOUBLES: DuckDB would otherwise
+            -- compute it exactly in DECIMAL (3 * 2.2 = 6.6) where IEEE
+            -- gives 6.6000000000000005 — a 1-ulp hash mismatch. The
+            -- other constants (0.75, 0.25, 0.5) are exactly
+            -- representable, and 1.2 already multiplies a double.
+            SELECT doc_id, tf.term, tf.tf, df.df,
+              ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+                ((tf * CAST(2.2 AS DOUBLE)) /
+                 (tf + 1.2 * (0.25 + (0.75 * dl * n_docs) / total_dl)))
+                AS score
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
           SELECT doc_id, term, tf, df, score, rnk FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
               ORDER BY score DESC, term) AS rnk

@@ -300,7 +300,76 @@ object StreamParity {
       .groupBy("bucket")
       .agg(max(col("n")).as("n"))
 
+  /** events + one far-future FLUSH SENTINEL row (user_id = −1, ts =
+    * 2030-01-01), materialized once through [[graft.ResultCache]] and
+    * streamed back. Append-mode stateful output only emits when the
+    * watermark passes a window's end — without the sentinel, every
+    * session inside the final `lateness + gap` of event time would
+    * stay in the state store forever when the source runs dry. The
+    * sentinel is the standard heartbeat/flush discipline a production
+    * feed has anyway (idle sources tick); its own session is filtered
+    * out of the declared result. */
+  private def streamEventsWithFlushSentinel(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+    val sentinel = base.limit(1).select(
+      lit(-1L).as("event_id"),
+      lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("").as("props"))
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val (dir, _) = graft.ResultCache.materializeKeyed(
+      "eventsFlushSentinel/v1", Seq(base), cacheDir)(
+      base.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .unionByName(sentinel))
+    s.readStream.schema(sentinel.schema).parquet(dir)
+  }
+
+  /** Native SESSION WINDOWS ([[EventStreams.sessionCounts]]:
+    * `session_window(ts, 30 min)` + watermark) over the real events
+    * corpus — the streaming sessionization Spark ships, under the
+    * oracle. Append mode (Spark does not support update mode for
+    * session windows): a session emits once, when the watermark passes
+    * its end; the [[streamEventsWithFlushSentinel]] sentinel advances
+    * the final watermark past every real session, and AvailableNow
+    * runs the flush batch that drains them.
+    *
+    * SEMANTICS vs the batch `ev_sessions`: session_window windows are
+    * END-EXCLUSIVE — per-event windows [ts, ts+gap) merge iff they
+    * OVERLAP, so a successor exactly `gap` later starts a NEW session,
+    * where the batch query's `diff > gap` keeps it. This query
+    * therefore declares its own oracle with the strict boundary
+    * (`diff >= gap` starts a session), and `session_end` is the
+    * window's end = last event + gap, not max(ts). Same single-file
+    * ordered-arrival caveat as [[tumblingParity]]. */
+  val sessionParity: Q = (s, d) =>
+    runToTable(EventStreams.sessionCounts(
+        streamEventsWithFlushSentinel(s, d)), "st_sessions")
+      .where(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events")
+
+  /** STREAM-STREAM interval join
+    * ([[EventStreams.viewPurchaseAttribution]]): purchases attributed
+    * to same-user views within the preceding hour, both sides
+    * watermarked so the join state holds one hour + lateness per side.
+    * Inner-join matches emit in the batch that completes the pair (no
+    * watermark wait), so the single-batch AvailableNow run emits every
+    * pair; the watermarks are the state-eviction bound a continuous
+    * deployment needs. Projected to the (purchase, view) id pairs —
+    * deterministic regardless of arrival slicing. */
+  val intervalJoinParity: Q = (s, d) => {
+    val ev = streamEvents(s, d)
+    runToTable(
+      EventStreams.viewPurchaseAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_interval_join")
+      .select("purchase_id", "view_id", "user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_sessions" -> sessionParity,
+    "st_interval_join" -> intervalJoinParity,
     "st_exact_dedup" -> exactDedupParity,
     "st_exact_dedup_mb" -> exactDedupMultiBatchParity,
     "st_exact_dedup_parquet" -> exactDedupParquetParity,
@@ -314,6 +383,34 @@ object StreamParity {
 
   /** DuckDB replay: the key-set semantics are plain SQL. */
   val oracle: Map[String, String] = Map(
+    // gap-merge with session_window's STRICT boundary (>= gap starts a
+    // new session; see sessionParity's Scaladoc) and end-exclusive
+    // session_end = last event + gap
+    "st_sessions" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+         FROM numbered GROUP BY user_id, sid""",
+    "st_interval_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
     "st_exact_dedup" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents",
     // the multi-batch run answers the SAME question — slicing must not

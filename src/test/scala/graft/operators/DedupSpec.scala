@@ -189,4 +189,26 @@ class DedupSpec extends SparkSpec {
     // runs inside the generated loop, not as an interpreted fallback
     assert(p.contains("*(1) Project"), p)
   }
+
+  test("cross_lsh: decision rows equal the within-corpus pair set restricted to cross pairs") {
+    // ground truth from the already-oracle-gated dd_minhash_lsh output:
+    // every jac>=0.8 pair with exactly one incoming (doc_id%5==4) side,
+    // collapsed to (incoming doc, partner count, best jaccard)
+    val pairs = Dedup.queries("dd_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = pairs.flatMap { case (a, b, j) =>
+      (a % 5 == 4, b % 5 == 4) match {
+        case (true, false) => Some((a, j))
+        case (false, true) => Some((b, j))
+        case _             => None
+      }
+    }
+    val want = cross.groupBy(_._1).map { case (id, g) =>
+      (id, g.length.toLong, g.map(_._2).max)
+    }.toSet
+    val got = Dedup.queries("dd_cross_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
 }

@@ -280,4 +280,40 @@ class TextAnalysisSpec extends SparkSpec {
     val n64 = ws.map(encodeLen).sum
     assert(n64 < n4, s"64-merge encode $n64 not tighter than 4-merge $n4")
   }
+
+  test("bm25: top-3 per doc equals a local replay, scores bit-exact") {
+    // replay the declared rational-BM25 with plain Scala doubles in the
+    // SAME expression order the query (and its oracle) spell — the
+    // engine's codegen'd arithmetic must be bit-identical
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val nDocs = docs.length.toLong
+    val totalDl = docs.map(_._2.length.toLong).sum
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, g) => ((id, t), g.length.toLong) }
+    }.toMap
+    val df: Map[String, Long] =
+      tf.keys.groupBy(_._2).map { case (t, g) => (t, g.size.toLong) }
+    val want = docs.flatMap { case (id, toks) =>
+      val dl = toks.length
+      toks.distinct.map { t =>
+        val tfv = tf((id, t)).toDouble
+        val dfv = df(t)
+        val score = ((nDocs.toDouble - dfv + 0.5) / (dfv + 0.5)) *
+          ((tfv * 2.2) / (tfv + 1.2 * (0.25 + (0.75 * dl * nDocs) / totalDl)))
+        (id, t, score)
+      }.sortBy { case (_, t, sc) => (-sc, t) }.take(3)
+        .zipWithIndex.map { case ((i, t, sc), k) => (i, t, sc, k + 1) }
+    }.toSet
+    val got = TextAnalysis.queries("ta_bm25")(spark, sfDir)
+      .select("doc_id", "term", "score", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val extra = got -- want
+    val missing = want -- got
+    assert(extra.isEmpty && missing.isEmpty,
+      s"extra=${extra.take(5).mkString(";")} missing=${missing.take(5).mkString(";")}")
+    assert(got.nonEmpty)
+  }
 }

@@ -79,6 +79,48 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("st_sessions (native session_window, append mode) == batch session_window") {
+    import org.apache.spark.sql.functions._
+    // the sharpest differential: the SAME session_window function in
+    // batch mode — streaming append + watermark flush must lose nothing
+    val streamed = StreamParity.queries("st_sessions")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // and the declared-oracle boundary claim: session_end is
+    // end-exclusive last-event + gap, so every session is >= 30 min long
+    assert(streamed.forall { case (_, s0, e0, _) =>
+      e0.getTime - s0.getTime >= 30L * 60 * 1000 })
+  }
+
+  test("st_interval_join (stream-stream join) == batch interval join pairs") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamParity.queries("st_interval_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val batch = v.join(p, "user_id")
+      .where(col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming-parity queries are watermark/batch-slicing invariant: rerun is identical") {
     // a second full run (new memory sink, new checkpoint) must produce
     // the same key set — the determinism the driver's hash gate needs
