@@ -100,14 +100,57 @@ object ResultCache {
     * `_SUCCESS` commit discipline. */
   def materializeKeyed(name: String, inputs: Seq[DataFrame], cacheDir: String)(
       df: => DataFrame): (String, Boolean) = {
+    val path = keyedPath(name, inputs, cacheDir)
+    val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
+    if (!committed) df.write.mode("overwrite").parquet(path)
+    (path, committed)
+  }
+
+  private def keyedPath(name: String, inputs: Seq[DataFrame],
+      cacheDir: String): String = {
     val md = MessageDigest.getInstance("SHA-256")
     md.update(name.getBytes("UTF-8"))
     inputs.flatMap(_.inputFiles).sorted.map(fileSnapshot)
       .foreach(f => md.update(f.getBytes("UTF-8")))
-    val key = md.digest().map("%02x".format(_)).mkString.take(32)
-    val path = s"$cacheDir/$key"
+    s"$cacheDir/${md.digest().map("%02x".format(_)).mkString.take(32)}"
+  }
+
+  /** [[materializeKeyed]] for ORDERED multi-file replay: each part lands
+    * as one single parquet FILE `part_k.parquet` with strictly
+    * increasing mtimes, so a file STREAM source with
+    * `maxFilesPerTrigger=1` replays the parts as ordered micro-batches
+    * (FileStreamSource picks oldest-mtime first) — the deterministic
+    * drop-directory shape the multi-batch parity queries need. Same
+    * key + `_SUCCESS` commit discipline; a killed writer leaves no
+    * marker and the next caller rebuilds from scratch (the build dir is
+    * cleared first, so no stale part from a dead attempt survives). */
+  def materializeKeyedOrdered(name: String, inputs: Seq[DataFrame],
+      cacheDir: String)(parts: => Seq[DataFrame]): (String, Boolean) = {
+    val path = keyedPath(name, inputs, cacheDir)
     val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
-    if (!committed) df.write.mode("overwrite").parquet(path)
+    if (!committed) {
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory && !Files.isSymbolicLink(p.toPath))
+          Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(new java.io.File(path))
+      Files.createDirectories(Paths.get(path))
+      parts.zipWithIndex.foreach { case (part, k) =>
+        val stage = s"$path/_stage_$k"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        val f = Files.list(Paths.get(stage))
+          .filter(_.toString.endsWith(".parquet")).iterator().next
+        val target = Paths.get(s"$path/part_$k.parquet")
+        Files.move(f, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + k * 60000L))
+        rm(new java.io.File(stage))
+      }
+      Files.createFile(Paths.get(s"$path/_SUCCESS"))
+    }
     (path, committed)
   }
 }

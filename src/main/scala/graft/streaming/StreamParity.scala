@@ -309,13 +309,16 @@ object StreamParity {
     * sentinel is the standard heartbeat/flush discipline a production
     * feed has anyway (idle sources tick); its own session is filtered
     * out of the declared result. */
-  private def streamEventsWithFlushSentinel(s: SparkSession, d: String): DataFrame = {
-    val base = graft.sources.Tables.events(s, d)
-    val sentinel = base.limit(1).select(
+  private def flushSentinel(base: DataFrame): DataFrame =
+    base.limit(1).select(
       lit(-1L).as("event_id"),
       lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
       lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
       lit(0.0).as("value"), lit("").as("props"))
+
+  private def streamEventsWithFlushSentinel(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+    val sentinel = flushSentinel(base)
     val cacheDir =
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
     val (dir, _) = graft.ResultCache.materializeKeyed(
@@ -323,6 +326,81 @@ object StreamParity {
       base.select("event_id", "ts", "user_id", "event_type", "value", "props")
         .unionByName(sentinel))
     s.readStream.schema(sentinel.schema).parquet(dir)
+  }
+
+  /** events as ORDERED TIME-EPOCH micro-batches + the flush sentinel:
+    * the corpus is rank-split on global (ts, event_id) order into
+    * [[SessionEpochs]] contiguous files plus a final sentinel-only
+    * file, materialized once with strictly increasing mtimes
+    * ([[graft.ResultCache.materializeKeyedOrdered]]), and streamed with
+    * `maxFilesPerTrigger=1` — ≥ 5 real micro-batches in event-time
+    * order, the drop-directory ingest shape.
+    *
+    * BOUNDARY CHOICE: a blind quartile cut usually lands between
+    * sessions (per-user gaps dwarf the 30-min window), which would
+    * leave the cross-batch merge path unexercised. The cut ranks come
+    * from [[sessionEpochBounds]] instead: each boundary is the global
+    * rank of a STRADDLE CANDIDATE — an event whose same-user
+    * predecessor is < gap older — so the predecessor lands in the
+    * earlier file and that session PROVABLY spans the boundary, forcing
+    * a state-store merge in the next micro-batch.
+    *
+    * Cuts stay time-contiguous, which keeps append-mode emission SAFE
+    * between batches: a session the watermark closes after epoch k has
+    * its last event > 40 min (gap + lateness) before any possible
+    * future event, so no closed session can ever need a merge.
+    * (The materialization windows are build-once and cached; a
+    * production feed arrives epoched by construction.) */
+  private[graft] val SessionEpochs = 4
+
+  /** Global (ts, event_id)-rank cut points for [[SessionEpochs]] epochs:
+    * the quartile ranks AMONG straddle-candidate events (same-user
+    * predecessor < 30 min older), falling back to plain corpus
+    * quartiles if the corpus has too few candidates. Deterministic,
+    * data-derived, driver-side |epochs−1| longs. */
+  private[graft] def sessionEpochBounds(base: DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cand = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .where(col("prev_us").isNotNull &&
+        unix_micros(col("ts")) - col("prev_us") < 1800L * 1000000)
+      .select(col("rn"))
+      .withColumn("cr", row_number().over(Window.orderBy(col("rn"))))
+    val n = cand.count()
+    if (n >= SessionEpochs - 1) {
+      val picks = (1 until SessionEpochs).map(k => 1L.max(k * n / SessionEpochs))
+      cand.where(col("cr").isin(picks: _*))
+        .select("rn").collect().map(_.getInt(0).toLong).toSeq.distinct.sorted
+    } else {
+      val total = base.count()
+      (1 until SessionEpochs).map(k => 1L + k * total / SessionEpochs)
+    }
+  }
+
+  private[graft] def streamEventsEpochsWithSentinel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinel = flushSentinel(base)
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
+      s"eventsEpochsSentinel/$SessionEpochs/v2", Seq(base), cacheDir) {
+      val bounds = sessionEpochBounds(base)
+      val ranked = base
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("ts"), col("event_id"))))
+        .withColumn("epoch", bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("rn") >= b, 1).otherwise(0) })
+        .drop("rn")
+      (0 to bounds.length).map(k =>
+        ranked.where(col("epoch") === k).drop("epoch")) :+ sentinel
+    }
+    s.readStream.schema(sentinel.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
   }
 
   /** Native SESSION WINDOWS ([[EventStreams.sessionCounts]]:
@@ -348,6 +426,19 @@ object StreamParity {
       .where(col("user_id") >= 0)
       .select("user_id", "session_start", "session_end", "n_events")
 
+  /** [[sessionParity]] under FORCED MULTI-BATCH epoch arrival
+    * ([[streamEventsEpochsWithSentinel]]): ≥ 5 ordered micro-batches,
+    * sessions straddling epoch boundaries carried and MERGED in the
+    * session state store across batches, early sessions emitted by
+    * intermediate watermark passes — the full incremental-session
+    * machine under the hash gate, sharing `st_sessions`' oracle (the
+    * answer must be slicing-invariant). */
+  val sessionMultiBatchParity: Q = (s, d) =>
+    runToTable(EventStreams.sessionCounts(
+        streamEventsEpochsWithSentinel(s, d)), "st_sessions_mb")
+      .where(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events")
+
   /** STREAM-STREAM interval join
     * ([[EventStreams.viewPurchaseAttribution]]): purchases attributed
     * to same-user views within the preceding hour, both sides
@@ -369,6 +460,7 @@ object StreamParity {
 
   val queries: Map[String, Q] = Map(
     "st_sessions" -> sessionParity,
+    "st_sessions_mb" -> sessionMultiBatchParity,
     "st_interval_join" -> intervalJoinParity,
     "st_exact_dedup" -> exactDedupParity,
     "st_exact_dedup_mb" -> exactDedupMultiBatchParity,
@@ -381,29 +473,36 @@ object StreamParity {
     "st_ewma" -> ewmaParity,
   )
 
+  /** One session oracle, shared by the single-file and epoch-sliced
+    * declared runs — the whole point is that slicing can't change it. */
+  private val sessionOracleSql =
+    """WITH marked AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       numbered AS (
+         SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM marked)
+       SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events
+       FROM numbered GROUP BY user_id, sid"""
+
   /** DuckDB replay: the key-set semantics are plain SQL. */
   val oracle: Map[String, String] = Map(
     // gap-merge with session_window's STRICT boundary (>= gap starts a
     // new session; see sessionParity's Scaladoc) and end-exclusive
     // session_end = last event + gap
-    "st_sessions" ->
-      """WITH marked AS (
-           SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         numbered AS (
-           SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-           FROM marked)
-
-         SELECT user_id, MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS n_events
-         FROM numbered GROUP BY user_id, sid""",
+    "st_sessions" -> sessionOracleSql,
+    // multi-batch arrival answers the SAME question — epoch slicing
+    // (cross-batch session merges, intermediate watermark emission)
+    // must not change the session set
+    "st_sessions_mb" -> sessionOracleSql,
     "st_interval_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
            p.user_id AS user_id

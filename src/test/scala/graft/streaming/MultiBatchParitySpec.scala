@@ -206,4 +206,55 @@ class MultiBatchParitySpec extends SparkSpec {
       assert(got == want)
     } finally rmTree(Paths.get(dir))
   }
+
+  test("session windows merge across forced epoch micro-batches (st_sessions_mb)") {
+    val (table, batches) = StreamParity.runToTableCounted(
+      EventStreams.sessionCounts(
+        StreamParity.streamEventsEpochsWithSentinel(spark, sfDir)),
+      "mb_sessions")
+    // 4 epochs + the sentinel file, one micro-batch each
+    assert(batches >= StreamParity.SessionEpochs + 1,
+      s"only $batches micro-batches — epoch slicing degraded")
+    val got = table.where(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val want = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // NON-VACUOUS: at least one session must actually straddle an epoch
+    // boundary (events in two different micro-batches), or the
+    // cross-batch merge path was never exercised. Replay the epoch
+    // assignment and gap-sessionization locally.
+    val evs = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bounds = StreamParity.sessionEpochBounds(
+      graft.sources.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val epochOf = evs.sortBy(e => (e._2, e._3)).zipWithIndex
+      .map { case (e, i) =>
+        ((e._1, e._2, e._3), bounds.count(_ <= i + 1).toLong) }
+      .toMap
+    val spanning = evs.groupBy(_._1).values.map { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      // split into gap sessions (>= 30 min starts a new one)
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+        case (acc, e) => acc match {
+          case h :: t if e._2 - h.head._2 < 1800L * 1000000 =>
+            ((e._1, e._2, e._3) :: h) :: t
+          case _ => List((e._1, e._2, e._3)) :: acc
+        }
+      }
+      sessions.count(ses => ses.map(epochOf).distinct.size > 1)
+    }.sum
+    assert(spanning > 0, "no session spans two epoch files; spec is vacuous")
+  }
 }
