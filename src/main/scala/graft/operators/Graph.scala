@@ -476,7 +476,64 @@ object Graph {
     mutualKnnCore(Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))._1
 
+  /** Multi-source BFS hop distance (unit-weight SSSP) over the mutual
+    * kNN graph: every node whose id is ≡ 0 (mod 10) is a seed, and the
+    * query reports each reachable node's minimum hop count to the seed
+    * set — the "distance to a trusted core" signal (seed = curated
+    * domains, verified suppliers, …) a pipeline uses to tier its
+    * corpus. Frontier BFS with the [[kcorePeelFix]] residency
+    * discipline: per-round frontier/settled checkpoints, previous
+    * round's blocks dropped, early stop the first round the frontier
+    * comes back empty (bounded by [[FixMaxRounds]]). A node found in
+    * round k has hop distance exactly k, so no min() re-aggregation is
+    * ever needed: the settled set is append-only — the BFS invariant —
+    * and each round's work is one frontier-keyed join + one anti join
+    * against the settled ids, id-only rows on both sides.
+    *
+    * Early stop ≡ the oracle's fixed [[FixMaxRounds]]-round unroll for
+    * the usual reason: an empty frontier stays empty, so every
+    * unrolled round past exhaustion contributes nothing. */
+  private[graft] def ssspCore(mut: DataFrame,
+      maxRounds: Int = FixMaxRounds): (DataFrame, Int) = {
+    val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    val seeds = und.select(col("src").as("node")).distinct()
+      .where(col("node") % 10 === 0)
+      .select(col("node"), lit(0).as("hops"))
+      .localCheckpoint(true)
+    var dist = seeds
+    var frontier = seeds
+    var rounds = 0
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val next = frontier
+        .join(und, frontier("node") === und("src"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+        .distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.count() == 0) {
+        graft.Checkpoints.drop(next)
+        done = true
+      } else {
+        val nd = dist.union(next).localCheckpoint(true)
+        if (frontier ne dist) graft.Checkpoints.drop(frontier)
+        graft.Checkpoints.drop(dist)
+        dist = nd
+        frontier = next
+      }
+      rounds += 1
+    }
+    (dist.select(col("node").as("suppkey"), col("hops")), rounds)
+  }
+
+  private val ssspQ: Q = (s, d) => ssspCore(
+    mutualKnnCore(Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))._1
+
   val queries: Map[String, Q] = Map(
+    "gr_sssp" -> ssspQ,
     "gr_pagerank" -> pagerankQ,
     "gr_pagerank_fix" -> pagerankFixQ,
     "gr_cosuppliers" -> coSuppliers,
@@ -491,6 +548,32 @@ object Graph {
   /** DuckDB replay: the three rounds unrolled as plain CTEs (aggregates
     * are not portable inside a recursive term), same integer ops. */
   val oracle: Map[String, String] = Map(
+    // BFS unrolled to exactly FixMaxRounds (materialized CTEs — the
+    // *_fix discipline): frontier k = unseen neighbors of frontier k−1,
+    // found-in-round-k ⇔ hop distance k; rounds past exhaustion add
+    // nothing, which is why the engine may early-stop
+    "gr_sssp" -> {
+      val rounds = (1 to FixMaxRounds).map { k =>
+        s"""f$k AS MATERIALIZED (
+              SELECT DISTINCT u.sb AS node
+              FROM f${k - 1} f JOIN und2 u ON f.node = u.sa
+              WHERE u.sb NOT IN (SELECT node FROM s${k - 1})),
+            s$k AS MATERIALIZED (
+              SELECT node FROM s${k - 1} UNION ALL SELECT node FROM f$k)"""
+      }.mkString(",\n")
+      s"""$knnOracleCtesMat,
+          und2 AS MATERIALIZED (
+            SELECT sa, sb FROM mut
+            UNION ALL SELECT sb AS sa, sa AS sb FROM mut),
+          f0 AS MATERIALIZED (
+            SELECT DISTINCT sa AS node FROM und2 WHERE sa % 10 = 0),
+          s0 AS MATERIALIZED (SELECT node FROM f0),
+          $rounds
+          SELECT node AS suppkey, hops FROM (
+            SELECT node, 0 AS hops FROM f0
+            ${(1 to FixMaxRounds).map(k =>
+              s"UNION ALL SELECT node, $k AS hops FROM f$k").mkString(" ")})"""
+    },
     "gr_pagerank" -> {
       // sum(BIGINT) widens to HUGEINT in DuckDB (then to float in the
       // driver's dataframe) — cast each round back to BIGINT

@@ -259,4 +259,44 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 2L, 2L), (3L, 4L, 3L)), got.toString)
   }
+
+  test("sssp: exact hop levels on a planted path, unreachable stays absent") {
+    import spark.implicits._
+    // path 10-11-12-13-14 (seed = 10, the only %10==0 node) plus a
+    // disconnected pair 21-22: hops = position on the path, the pair
+    // is unreachable and must NOT appear
+    val mut = Seq((10L, 11L, 1L), (11L, 12L, 1L), (12L, 13L, 1L),
+        (13L, 14L, 1L), (21L, 22L, 1L))
+      .toDF("supp_a", "supp_b", "n_shared_parts")
+    val (dist, rounds) = Graph.ssspCore(mut)
+    val got = dist.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(10L -> 0, 11L -> 1, 12L -> 2, 13L -> 3, 14L -> 4))
+    // 4 expanding rounds + the exhaustion round that detects the stop
+    assert(rounds === 5, s"path eccentricity 4 should take 5 rounds, ran $rounds")
+  }
+
+  test("sssp: early-stops immediately when the seeds already cover the graph") {
+    import spark.implicits._
+    // every node %10==0 -> frontier 0 covers everything; round 1 finds
+    // no unseen neighbor and the loop stops
+    val mut = Seq((10L, 20L, 1L), (20L, 30L, 1L))
+      .toDF("supp_a", "supp_b", "n_shared_parts")
+    val (dist, rounds) = Graph.ssspCore(mut)
+    assert(rounds === 1, s"pre-covered graph should stop after 1 round, ran $rounds")
+    assert(dist.where(col("hops") =!= 0).count() === 0)
+    assert(dist.count() === 3)
+  }
+
+  test("sssp: hop bound respected and early stop equals the full unroll on the corpus") {
+    val mut = Graph.queries("gr_knn_graph")(spark, sfDir)
+    val (a, ra) = Graph.ssspCore(mut)
+    // a larger bound must change NOTHING once the frontier is exhausted
+    val (b, rb) = Graph.ssspCore(mut, maxRounds = 12)
+    assert(ra <= 8 && rb <= 12)
+    val sa = a.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val sb = b.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sa == sb)
+    assert(sa.nonEmpty)
+    assert(sa.forall(_._2 <= 8))
+  }
 }
