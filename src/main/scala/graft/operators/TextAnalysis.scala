@@ -159,12 +159,17 @@ object TextAnalysis {
     * is doc-sized. */
   private lazy val bm25: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val stats = docs.select(expr(s"size($tokExpr)").as("dl"))
+    // tokenize ONCE per pass: `tk` is materialized by the projection,
+    // so the stats leg and the tf leg each split the text a single
+    // time (size+explode over the same expr would re-parse per row —
+    // generators don't CSE with project expressions)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokExpr).as("tk"))
+    val stats = toks.select(size(col("tk")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val tf = docs
-      .select(col("doc_id"), expr(s"size($tokExpr)").as("dl"),
-        explode(expr(tokExpr)).as("term"))
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, "term")
