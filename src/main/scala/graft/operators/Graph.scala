@@ -246,6 +246,26 @@ object Graph {
     mutualKnnCore(Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")))
 
+  /** The corpus-instantiated mutual-kNN graph, MATERIALIZED once per
+    * lineitem snapshot through [[graft.ResultCache]] (round 10, the
+    * `pl_dedup_signals` parent discipline): SIX declared queries
+    * (triangles, labelprop ×2, kcore ×2, sssp) iterate over the same
+    * graph, and each was re-running the full pair census + top-k
+    * window + mutuality rollup just to get its edge list — the
+    * sweep's largest redundant work. Consumers now read the committed
+    * parquet (≤ n·k/2 id rows); `gr_knn_graph` itself stays the
+    * inline construction, so the census plan remains declared
+    * evidence (its plan spec pins the one-window shape), and
+    * answer-invariance of cache-or-execute is the oracle-gated
+    * `adv_cached_query` contract. */
+  private def mutCached(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    graft.ResultCache.runCachedKeyed("mutualKnnGraph/v1", Seq(li), dir)(
+      mutualKnnCore(li.select(col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))))._1
+  }
+
   /** Triangle census over the mutual-kNN graph: per-node triangle
     * participation counts — the local-clustering signal that flags
     * tightly-bound communities (in a corpus affinity graph: template
@@ -263,7 +283,7 @@ object Graph {
     // the closing probe); it is ≤ n·k/2 rows of ids, so materialize it
     // ONCE — without this the census + window subtree re-executes per
     // reference (same residency-visible discipline as pageRank's edges)
-    val m = knnGraph(s, d)
+    val m = mutCached(s, d)
       .select(col("supp_a").as("a"), col("supp_b").as("b"))
       .localCheckpoint(true)
     val wedges = m.as("x")
@@ -339,9 +359,7 @@ object Graph {
     labels.select(col("id").as("suppkey"), col("lbl").as("community"))
   }
 
-  private val labelProp: Q = (s, d) => labelPropagate(
-    mutualKnnCore(Tables.lineitem(s, d)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))
+  private val labelProp: Q = (s, d) => labelPropagate(mutCached(s, d))
 
   /** [[labelPropagate]] with convergence-stop: iterate until NO label
     * changed (synchronous LPA can oscillate, so the [[FixMaxRounds]]
@@ -380,9 +398,7 @@ object Graph {
     (labels.select(col("id").as("suppkey"), col("lbl").as("community")), rounds)
   }
 
-  private val labelPropFixQ: Q = (s, d) => labelPropagateFix(
-    mutualKnnCore(Tables.lineitem(s, d)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))._1
+  private val labelPropFixQ: Q = (s, d) => labelPropagateFix(mutCached(s, d))._1
 
   private val KcoreK = 4
   private val KcoreRounds = 3
@@ -430,9 +446,7 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
   }
 
-  private val kcore: Q = (s, d) => kcorePeel(
-    mutualKnnCore(Tables.lineitem(s, d)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))
+  private val kcore: Q = (s, d) => kcorePeel(mutCached(s, d))
 
   /** [[kcorePeel]] with convergence-stop: peel until NO edge was
     * dropped (peeling is monotone, so an unchanged edge COUNT certifies
@@ -472,9 +486,7 @@ object Graph {
       .agg(count(lit(1)).as("deg")), rounds)
   }
 
-  private val kcoreFixQ: Q = (s, d) => kcorePeelFix(
-    mutualKnnCore(Tables.lineitem(s, d)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))._1
+  private val kcoreFixQ: Q = (s, d) => kcorePeelFix(mutCached(s, d))._1
 
   /** Multi-source BFS hop distance (unit-weight SSSP) over the mutual
     * kNN graph: every node whose id is ≡ 0 (mod 10) is a seed, and the
@@ -528,9 +540,7 @@ object Graph {
     (dist.select(col("node").as("suppkey"), col("hops")), rounds)
   }
 
-  private val ssspQ: Q = (s, d) => ssspCore(
-    mutualKnnCore(Tables.lineitem(s, d)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))))._1
+  private val ssspQ: Q = (s, d) => ssspCore(mutCached(s, d))._1
 
   val queries: Map[String, Q] = Map(
     "gr_sssp" -> ssspQ,
