@@ -366,7 +366,7 @@ object Similarity {
     // residency-visible discipline as gr_pagerank's edges).
     val codes = sq8Codes(s, d).localCheckpoint(true)
     val paths: Seq[(String, DataFrame)] = Seq(
-      "ivf" -> topkIvf(s, d), "ivf_trained" -> topkIvfTrainedFrom(s, codes),
+      "ivf" -> topkIvf(s, d), "ivf_trained" -> topkIvfTrainedFrom(s, d, codes),
       "lsh" -> topkLsh(s, d), "sq8" -> topkSq8From(codes),
       "pq" -> topkPq(s, d))
     val returned = paths.map { case (n, q) =>
@@ -417,7 +417,13 @@ object Similarity {
     * inertia), so the gate stays small at any corpus size. */
   private val KmeansK = 8
   private val KmeansIters = 2
-  private lazy val kmeansSq8: Q = (s, d) => kmeansSq8Run(s, d, KmeansIters)
+  private lazy val kmeansSq8: Q = (s, d) => {
+    val codes = sq8Codes(s, d)
+    assignNearest(codes, trainedCentsCached(s, d, codes))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).cast("long").as("inertia"))
+  }
 
   private val KmeansDistExpr =
     "dot_prod_long(q, q) - 2 * dot_prod_long(q, cq) + dot_prod_long(cq, cq)"
@@ -452,6 +458,31 @@ object Similarity {
     * integer centroids. Shared by [[kmeansSq8]] (which summarizes the
     * final assignment) and [[topkIvfTrained]] (which SERVES from the
     * trained lists). */
+  /** The trained model tables, MATERIALIZED once per embeddings
+    * snapshot through [[graft.ResultCache]] (round 10, the
+    * `pl_dedup_signals` parent discipline): the SQ8 k-means centroids
+    * feed THREE declared queries (`sim_kmeans_sq8`,
+    * `sim_topk_ivf_trained`, and the recall report's ivf_trained
+    * path), and the PQ codebooks feed two (`sim_topk_pq` + the
+    * report's pq path) — each was re-running its full Lloyd's
+    * training per consumer. The cached tables are model-sized (k
+    * rows / m·k rows of integer arrays), so the parquet read is
+    * negligible; training remains bit-deterministic, so the cached
+    * answer IS the inline answer (`adv_cached_query` contract). */
+  private def modelCacheDir =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+
+  private def trainedCentsCached(s: SparkSession, d: String,
+      codes: => DataFrame): DataFrame =
+    graft.ResultCache.runCachedKeyed(s"sq8TrainedCents/$KmeansIters/v1",
+      Seq(Tables.embeddings(s, d)), modelCacheDir)(
+      trainedCents(codes, KmeansIters))._1
+
+  private def pqCodebooksCached(s: SparkSession, d: String,
+      sub: => DataFrame): DataFrame =
+    graft.ResultCache.runCachedKeyed(s"pqCodebooks/$PqIters/v1",
+      Seq(Tables.embeddings(s, d)), modelCacheDir)(pqTrain(sub, PqIters))._1
+
   private[graft] def trainedCents(codes: DataFrame, iters: Int): DataFrame = {
     var cents = codes.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
@@ -570,7 +601,7 @@ object Similarity {
   private lazy val topkPq: Q = (s, d) => {
     import s.implicits._
     val sub = pqSub(pqNormCodes(s, d))
-    val cents = pqTrain(sub, PqIters).collect()
+    val cents = pqCodebooksCached(s, d, sub).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
       .toSeq.toDF("m", "cid", "cq")
     val enc = pqAssign(sub, cents)
@@ -622,9 +653,10 @@ object Similarity {
     * brute force is pinned ≥ the pseudo-centroid path's in
     * [[SimilaritySpec]]. */
   private lazy val topkIvfTrained: Q = (s, d) =>
-    topkIvfTrainedFrom(s, sq8Codes(s, d))
+    topkIvfTrainedFrom(s, d, sq8Codes(s, d))
 
-  private def topkIvfTrainedFrom(s: SparkSession, codes: DataFrame): DataFrame = {
+  private def topkIvfTrainedFrom(s: SparkSession, d: String,
+      codes: DataFrame): DataFrame = {
     import s.implicits._
     // the trained centroid table is k rows but its PLAN is the whole
     // 2-round training, and it feeds BOTH the corpus assignment and the
@@ -633,7 +665,7 @@ object Similarity {
     // rebuild a LocalRelation: training runs exactly once, and unlike a
     // localCheckpoint there are no resident blocks to leak on a shared
     // session after the query is consumed
-    val cents = trainedCents(codes, KmeansIters).collect()
+    val cents = trainedCentsCached(s, d, codes).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .toSeq.toDF("cid", "cq")
     val corpus = assignNearest(codes, cents)
