@@ -23,6 +23,21 @@ import java.security.MessageDigest
   */
 object ResultCache {
 
+  /** Per-path build locks (round 10): with shared parents materialized
+    * by MANY declared queries (the kNN graph has six consumers, the
+    * ANN models five), two queries racing on one UNBUILT key would
+    * both see no `_SUCCESS` and write the same directory concurrently —
+    * parquet overwrite is not safe against an interleaved second
+    * writer. A JVM-wide stripe per cache path makes the build
+    * single-flight: the loser blocks, re-checks the marker, and reads
+    * the winner's committed files. (Cross-PROCESS races are out of
+    * scope — the harness is one driver JVM; the `_SUCCESS` protocol
+    * still guarantees a killed writer is rebuilt, never half-read.) */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    buildLocks.computeIfAbsent(path, _ => new Object)
+
   private def fileSnapshot(f: String): String = {
     val p = Paths.get(f.stripPrefix("file:"))
     val (len, mtime) =
@@ -64,8 +79,11 @@ object ResultCache {
     val spark = df.sparkSession
     val key = fingerprint(df)
     val path = s"$cacheDir/$key"
-    val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
-    if (!committed) df.write.mode("overwrite").parquet(path)
+    val committed = lockFor(path).synchronized {
+      val hit = Files.exists(Paths.get(s"$path/_SUCCESS"))
+      if (!hit) df.write.mode("overwrite").parquet(path)
+      hit
+    }
     (spark.read.parquet(path), committed)
   }
 
@@ -101,8 +119,11 @@ object ResultCache {
   def materializeKeyed(name: String, inputs: Seq[DataFrame], cacheDir: String)(
       df: => DataFrame): (String, Boolean) = {
     val path = keyedPath(name, inputs, cacheDir)
-    val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
-    if (!committed) df.write.mode("overwrite").parquet(path)
+    val committed = lockFor(path).synchronized {
+      val hit = Files.exists(Paths.get(s"$path/_SUCCESS"))
+      if (!hit) df.write.mode("overwrite").parquet(path)
+      hit
+    }
     (path, committed)
   }
 
@@ -127,6 +148,12 @@ object ResultCache {
   def materializeKeyedOrdered(name: String, inputs: Seq[DataFrame],
       cacheDir: String)(parts: => Seq[DataFrame]): (String, Boolean) = {
     val path = keyedPath(name, inputs, cacheDir)
+    val committed = lockFor(path).synchronized { buildOrdered(path)(parts) }
+    (path, committed)
+  }
+
+  private def buildOrdered(path: String)(
+      parts: => Seq[DataFrame]): Boolean = {
     val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
     if (!committed) {
       def rm(p: java.io.File): Unit = {
@@ -151,6 +178,6 @@ object ResultCache {
       }
       Files.createFile(Paths.get(s"$path/_SUCCESS"))
     }
-    (path, committed)
+    committed
   }
 }

@@ -57,4 +57,31 @@ class ResultCacheSpec extends SparkSpec {
     assert(!hit)
     assert(r.count() == 5)
   }
+
+  test("racing consumers of one unbuilt key build single-flight") {
+    // shared parents now have many consumers (kNN graph: six, ANN
+    // models: five) — two racing on an unbuilt key must not write the
+    // same directory concurrently; the per-path lock makes the build
+    // single-flight and the loser reads the winner's commit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cache = Files.createTempDirectory("graft-rc-race").toString
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def parent: org.apache.spark.sql.DataFrame = {
+      builds.incrementAndGet()
+      sources.Tables.nation(spark, sfDir).select(col("n_nationkey"))
+    }
+    val inputs = Seq(sources.Tables.nation(spark, sfDir))
+    val futs = (1 to 4).map { _ =>
+      Future(ResultCache.runCachedKeyed("raceParent/v1", inputs, cache)(parent))
+    }
+    val results = Await.result(Future.sequence(futs), 120.seconds)
+    // every racer reads the same committed 25 rows
+    results.foreach { case (df, _) => assert(df.count() == 25) }
+    // exactly one racer constructed the parent; the rest hit
+    assert(builds.get() == 1, s"parent built ${builds.get()} times")
+    assert(results.count(!_._2) == 1,
+      "exactly one racer should report a miss")
+  }
 }
