@@ -375,28 +375,50 @@ object StreamParity {
     * production feed arrives epoched by construction.) */
   private[graft] val SessionEpochs = 4
 
-  /** Global (ts, event_id)-rank cut points for [[SessionEpochs]] epochs:
-    * the quartile ranks AMONG straddle-candidate events (same-user
-    * predecessor < 30 min older), falling back to plain corpus
-    * quartiles if the corpus has too few candidates. Deterministic,
-    * data-derived, driver-side |epochs−1| longs. */
+  /** Global (ts, event_id)-rank cut points for [[SessionEpochs]] epochs,
+    * chosen so the epoch files PROVABLY exercise both cross-batch state
+    * paths: two cuts land at SESSION-straddle candidates (same-user
+    * predecessor < 30 min older — the session state store must merge
+    * partials across the boundary) and one at a JOIN-straddle candidate
+    * (a purchase whose same-user view is strictly earlier but within
+    * the 1-hour attribution window — the interval join's left state
+    * must hold the view across the boundary). Falls back to plain
+    * corpus quartiles on degenerate corpora. Deterministic,
+    * data-derived, driver-side ≤ 3 longs. */
   private[graft] def sessionEpochBounds(base: DataFrame): Seq[Long] = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("ts"), col("event_id"))
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val cand = base
+    val ranked = base
       .withColumn("rn", row_number().over(w))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("us", unix_micros(col("ts")))
+    val sess = ranked
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .where(col("prev_us").isNotNull &&
-        unix_micros(col("ts")) - col("prev_us") < 1800L * 1000000)
-      .select(col("rn"))
-      .withColumn("cr", row_number().over(Window.orderBy(col("rn"))))
-    val n = cand.count()
-    if (n >= SessionEpochs - 1) {
-      val picks = (1 until SessionEpochs).map(k => 1L.max(k * n / SessionEpochs))
-      cand.where(col("cr").isin(picks: _*))
-        .select("rn").collect().map(_.getInt(0).toLong).toSeq.distinct.sorted
-    } else {
+        col("us") - col("prev_us") < 1800L * 1000000)
+      .select("rn")
+    val joins = ranked
+      .withColumn("prev_view_us",
+        max(when(col("event_type") === "view", col("us")))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .where(col("event_type") === "purchase" &&
+        col("prev_view_us").isNotNull &&
+        col("us") - col("prev_view_us") > 0 &&
+        col("us") - col("prev_view_us") <= 3600L * 1000000)
+      .select("rn")
+    def pick(df: DataFrame, q: Double): Option[Long] = {
+      val n = df.count()
+      if (n == 0) None
+      else {
+        val idx = 1L.max((n * q).toLong)
+        Some(df.withColumn("cr", row_number().over(Window.orderBy(col("rn"))))
+          .where(col("cr") === idx).select("rn").head.getInt(0).toLong)
+      }
+    }
+    val cuts = Seq(pick(sess, 0.5), pick(joins, 0.5), pick(sess, 0.75))
+      .flatten.distinct.sorted
+    if (cuts.nonEmpty) cuts
+    else {
       val total = base.count()
       (1 until SessionEpochs).map(k => 1L + k * total / SessionEpochs)
     }
@@ -410,7 +432,7 @@ object StreamParity {
     val cacheDir =
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
     val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
-      s"eventsEpochsSentinel/$SessionEpochs/v2", Seq(base), cacheDir) {
+      s"eventsEpochsSentinel/$SessionEpochs/v3", Seq(base), cacheDir) {
       val bounds = sessionEpochBounds(base)
       val ranked = base
         .withColumn("rn", row_number().over(
@@ -480,10 +502,31 @@ object StreamParity {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** [[intervalJoinParity]] under FORCED MULTI-BATCH epoch arrival:
+    * a view and its attributed purchase can land in DIFFERENT
+    * micro-batches (the epoch cuts deliberately split sessions), so
+    * the join's left-side state store must hold the view across the
+    * batch boundary for the purchase to find — the cross-batch JOIN
+    * STATE path the single-batch run cannot exercise. Time-ordered
+    * epochs make the held side always the view (p_ts ≥ v_ts), and a
+    * view is evictable only once the watermark passes v_ts + 1 h —
+    * by which time no matching purchase can still arrive, so no match
+    * is ever lost to cleanup. Shares `st_interval_join`'s oracle. */
+  val intervalJoinMultiBatchParity: Q = (s, d) => {
+    val ev = streamEventsEpochsWithSentinel(s, d)
+    runToTable(
+      EventStreams.viewPurchaseAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_interval_join_mb")
+      .select("purchase_id", "view_id", "user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessions" -> sessionParity,
     "st_sessions_mb" -> sessionMultiBatchParity,
     "st_interval_join" -> intervalJoinParity,
+    "st_interval_join_mb" -> intervalJoinMultiBatchParity,
     "st_exact_dedup" -> exactDedupParity,
     "st_exact_dedup_mb" -> exactDedupMultiBatchParity,
     "st_exact_dedup_parquet" -> exactDedupParquetParity,
@@ -526,6 +569,16 @@ object StreamParity {
     // must not change the session set
     "st_sessions_mb" -> sessionOracleSql,
     "st_interval_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    // the epoch-sliced run answers the SAME question — cross-batch
+    // join state (a view held for a later batch's purchase) must not
+    // change the matched pair set
+    "st_interval_join_mb" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
            p.user_id AS user_id
          FROM events v JOIN events p

@@ -257,4 +257,41 @@ class MultiBatchParitySpec extends SparkSpec {
     }.sum
     assert(spanning > 0, "no session spans two epoch files; spec is vacuous")
   }
+
+  test("interval-join state carries a view across epoch micro-batches (st_interval_join_mb)") {
+    val (table, batches) = StreamParity.runToTableCounted(
+      EventStreams.viewPurchaseAttribution(
+        StreamParity.streamEventsEpochsWithSentinel(spark, sfDir)
+          .where(col("event_type") === "view"),
+        StreamParity.streamEventsEpochsWithSentinel(spark, sfDir)
+          .where(col("event_type") === "purchase")),
+      "mb_interval")
+    assert(batches >= 2, s"only $batches micro-batches — epoch slicing degraded")
+    val got = table.select("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val want = v.join(p, "user_id")
+      .where(col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // NON-VACUOUS: at least one matched pair must have its view and
+    // purchase in DIFFERENT epoch files — the held-state path
+    val bounds = StreamParity.sessionEpochBounds(
+      graft.sources.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val ranks = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(e => (e._2, e._1)).zipWithIndex
+      .map { case ((id, _), i) => (id, bounds.count(_ <= i + 1)) }.toMap
+    val crossBatch = want.count { case (pid, vid) => ranks(pid) != ranks(vid) }
+    assert(crossBatch > 0, "no matched pair spans two epochs; spec is vacuous")
+  }
 }
