@@ -166,8 +166,12 @@ object ResultCache {
       parts.zipWithIndex.foreach { case (part, k) =>
         val stage = s"$path/_stage_$k"
         part.coalesce(1).write.mode("overwrite").parquet(stage)
-        val f = Files.list(Paths.get(stage))
-          .filter(_.toString.endsWith(".parquet")).iterator().next
+        // Files.list must be CLOSED (unlike listFiles) — each open
+        // stream pins a directory fd for the JVM's lifetime (r10 advice)
+        val listing = Files.list(Paths.get(stage))
+        val f =
+          try listing.filter(_.toString.endsWith(".parquet")).iterator().next
+          finally listing.close()
         val target = Paths.get(s"$path/part_$k.parquet")
         Files.move(f, target,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -261,7 +261,11 @@ object Graph {
   private def mutCached(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
-    graft.ResultCache.runCachedKeyed("mutualKnnGraph/v1", Seq(li), dir)(
+    // the governing constants are IN the key (r10 advice): the cache
+    // dir outlives the process, and a KnnK/CoPartCap change must
+    // invalidate automatically, not wait on a hand-bumped tag
+    graft.ResultCache.runCachedKeyed(
+      s"mutualKnnGraph/k$KnnK/cap$CoPartCap/v1", Seq(li), dir)(
       mutualKnnCore(li.select(col("l_partkey").as("pk"),
         col("l_suppkey").as("sk"))))._1
   }
@@ -537,6 +541,12 @@ object Graph {
       }
       rounds += 1
     }
+    // kcorePeelFix residency discipline at exit (r10 advice): only the
+    // result's direct parent (dist, eagerly materialized by its own
+    // localCheckpoint) may stay resident — drop the doubled edge list
+    // (the query's largest resident object) and the final frontier.
+    graft.Checkpoints.drop(und)
+    if (frontier ne dist) graft.Checkpoints.drop(frontier)
     (dist.select(col("node").as("suppkey"), col("hops")), rounds)
   }
 

@@ -474,13 +474,17 @@ object Similarity {
 
   private def trainedCentsCached(s: SparkSession, d: String,
       codes: => DataFrame): DataFrame =
-    graft.ResultCache.runCachedKeyed(s"sq8TrainedCents/$KmeansIters/v1",
+    // governing constants IN the key (r10 advice): a KmeansK change
+    // must invalidate the persisted model automatically
+    graft.ResultCache.runCachedKeyed(
+      s"sq8TrainedCents/k$KmeansK/i$KmeansIters/v1",
       Seq(Tables.embeddings(s, d)), modelCacheDir)(
       trainedCents(codes, KmeansIters))._1
 
   private def pqCodebooksCached(s: SparkSession, d: String,
       sub: => DataFrame): DataFrame =
-    graft.ResultCache.runCachedKeyed(s"pqCodebooks/$PqIters/v1",
+    graft.ResultCache.runCachedKeyed(
+      s"pqCodebooks/m$PqM/k$PqK/s$PqScale/i$PqIters/v1",
       Seq(Tables.embeddings(s, d)), modelCacheDir)(pqTrain(sub, PqIters))._1
 
   private[graft] def trainedCents(codes: DataFrame, iters: Int): DataFrame = {

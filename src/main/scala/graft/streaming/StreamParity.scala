@@ -45,11 +45,23 @@ object StreamParity {
     * sets 8, and the declared answers are partition-count-invariant —
     * which is exactly what the shared batch oracles pin. */
   private val StatePartitions = 8
-  private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
-  }
+
+  /** Serializes every set/start/restore sequence (round 11, advice):
+    * declared queries run CONCURRENTLY on one shared session, and two
+    * overlapping save/set/restore windows can interleave so that the
+    * second "restore" re-installs the first call's override —
+    * permanently pinning the session at [[StatePartitions]] for every
+    * later batch query. A stream clones its conf inside `start()`, so
+    * holding the lock across `f` (which always includes the `start()`)
+    * is sufficient; `awaitTermination` runs OUTSIDE the caller's `f`,
+    * so the lock is held for milliseconds, not the stream's lifetime. */
+  private val statePartitionsLock = new Object
+  private def withStatePartitions[T](s: SparkSession)(f: => T): T =
+    statePartitionsLock.synchronized {
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+    }
 
   /** documents.parquet as a STREAM: the file source (the continuous-
     * ingest entry point — a crawl drop-directory at scale), with a
@@ -387,10 +399,15 @@ object StreamParity {
     * data-derived, driver-side ≤ 3 longs. */
   private[graft] def sessionEpochBounds(base: DataFrame): Seq[Long] = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("ts"), col("event_id"))
+    // global (ts, event_id) rank via the repo's two-phase distributed
+    // pattern (round-10 verdict item 4: the harness holds the same
+    // no-single-task-sort bar as pl_shuffle_order) — the old
+    // UNPARTITIONED Window.orderBy here ranked the whole events table
+    // through one task
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val ranked = base
-      .withColumn("rn", row_number().over(w))
+    val (ranked0, rankedHandle) =
+      graft.operators.Ranks.globalRank(base, Seq("ts", "event_id"), "rn")
+    val ranked = ranked0
       .withColumn("us", unix_micros(col("ts")))
     val sess = ranked
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
@@ -410,13 +427,19 @@ object StreamParity {
       val n = df.count()
       if (n == 0) None
       else {
+        // q-th candidate by rank — two-phase again (the candidate set
+        // can be a large fraction of the corpus: most events' same-user
+        // predecessor is within the gap), never a one-task sort
         val idx = 1L.max((n * q).toLong)
-        Some(df.withColumn("cr", row_number().over(Window.orderBy(col("rn"))))
-          .where(col("cr") === idx).select("rn").head.getInt(0).toLong)
+        val (cr, h) = graft.operators.Ranks.globalRank(df, Seq("rn"), "cr")
+        val v = cr.where(col("cr") === idx).select("rn").head.getLong(0)
+        graft.Checkpoints.drop(h)
+        Some(v)
       }
     }
     val cuts = Seq(pick(sess, 0.5), pick(joins, 0.5), pick(sess, 0.75))
       .flatten.distinct.sorted
+    graft.Checkpoints.drop(rankedHandle)
     if (cuts.nonEmpty) cuts
     else {
       val total = base.count()
@@ -425,24 +448,30 @@ object StreamParity {
   }
 
   private[graft] def streamEventsEpochsWithSentinel(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = graft.sources.Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val sentinel = flushSentinel(base)
     val cacheDir =
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    // the epoch assignment ranks via the two-phase distributed pattern
+    // (see sessionEpochBounds); the checkpoint handle outlives the
+    // by-name parts closure so the blocks can be released once every
+    // epoch file is committed
+    var rankHandles: Seq[DataFrame] = Nil
     val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
-      s"eventsEpochsSentinel/$SessionEpochs/v3", Seq(base), cacheDir) {
+      s"eventsEpochsSentinel/$SessionEpochs/v4", Seq(base), cacheDir) {
       val bounds = sessionEpochBounds(base)
-      val ranked = base
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("ts"), col("event_id"))))
+      val (ranked0, h) =
+        graft.operators.Ranks.globalRank(base, Seq("ts", "event_id"), "rn")
+      rankHandles = Seq(h)
+      val ranked = ranked0
         .withColumn("epoch", bounds.foldLeft(lit(0)) { (acc, b) =>
           acc + when(col("rn") >= b, 1).otherwise(0) })
         .drop("rn")
       (0 to bounds.length).map(k =>
         ranked.where(col("epoch") === k).drop("epoch")) :+ sentinel
     }
+    rankHandles.foreach(graft.Checkpoints.drop)
     s.readStream.schema(sentinel.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
   }
