@@ -56,12 +56,25 @@ object StreamParity {
     * is sufficient; `awaitTermination` runs OUTSIDE the caller's `f`,
     * so the lock is held for milliseconds, not the stream's lifetime. */
   private val statePartitionsLock = new Object
-  private def withStatePartitions[T](s: SparkSession)(f: => T): T =
+
+  /** Set streaming-scoped session confs around a `start()` under the
+    * shared lock, restoring (or unsetting) the prior values after —
+    * the general form of [[withStatePartitions]], also used to swap
+    * the state-store provider for the RocksDB parity run. */
+  private def withStreamConfs[T](s: SparkSession, confs: (String, String)*)(
+      f: => T): T =
     statePartitionsLock.synchronized {
-      val old = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
-      try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+      val olds = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try f finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     }
+
+  private def withStatePartitions[T](s: SparkSession)(f: => T): T =
+    withStreamConfs(s,
+      "spark.sql.shuffle.partitions" -> StatePartitions.toString)(f)
 
   /** documents.parquet as a STREAM: the file source (the continuous-
     * ingest entry point — a crawl drop-directory at scale), with a
@@ -476,6 +489,86 @@ object StreamParity {
       .option("maxFilesPerTrigger", "1").parquet(dir)
   }
 
+  /** events + a DELIBERATELY LATE third file. Three ordered files ×
+    * `maxFilesPerTrigger=1`:
+    *
+    *  - file 0: the whole corpus — after this batch the engine's
+    *    watermark is `max(ts) − lateness` (ms-truncated: event-time
+    *    stats collect milliseconds);
+    *  - file 1: the last hour bucket replayed once — a benign batch
+    *    whose REAL job is to age the watermark. Spark's late-row
+    *    filter runs against the PREVIOUS batch's watermark, one batch
+    *    behind the eviction watermark (SPARK-40925 watermark
+    *    propagation: `getInputWatermarkForLateEvents(batchId)` reads
+    *    batch `id−1`'s value — verified empirically on 4.1.2: a late
+    *    file in batch 1 is admitted, in batch 2 it is dropped). With
+    *    only two files the drop would never engage;
+    *  - file 2: the LATE batch — first-hour-bucket rows twice each
+    *    (must be DROPPED: window end is ~30 days behind the
+    *    watermark) and last-hour-bucket rows once each (late in
+    *    arrival order but within the allowed lateness: window end >
+    *    max(ts) > watermark, must be ADMITTED).
+    *
+    * WHY TWICE for the dropped set: the declared collapse is
+    * update-mode `max(n)` (counts only grow), and the first bucket's
+    * state is evicted once the watermark passes it — a FAILED drop
+    * would re-aggregate the replants from empty state, so with one
+    * copy the wrong row would carry `n = orig` and the collapse would
+    * mask it. Two copies make any failure emit `2·orig > orig`, which
+    * `max(n)` surfaces and the oracle's hash rejects. The admitted
+    * set needs no multiplier: its window is still live, so a wrong
+    * DROP leaves the last bucket at `2·orig` where the oracle demands
+    * `3·orig` (file 1 + file 2 replays). Both failure directions are
+    * hash-visible.
+    *
+    * Every planted row is a pure function of the corpus (bucket
+    * membership by epoch-aligned hour, all integer micros), so the
+    * DuckDB oracle replays the plant AND the drop rule exactly —
+    * late-data semantics earned under the hash gate, not documented
+    * (round-10 verdict item 1). The 1-second `require` margins keep
+    * the ms-truncated watermark and the oracle's full-precision
+    * `max(ts) − 10 min` on the same side of every window end. */
+  private[graft] def streamEventsWithLatePlant(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val HourUs = 3600L * 1000000
+    val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
+      "eventsLatePlant/w3600/l600/v2", Seq(base), cacheDir) {
+      val mm = base.agg(
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head
+      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+      val b0 = Math.floorDiv(mnUs, HourUs)
+      val bn = Math.floorDiv(mxUs, HourUs)
+      // the watermark in force for the late batch, exactly as Spark
+      // computes it after batches 0–1 (both share the corpus max)
+      val wmUs = (mxUs / 1000L - 600000L) * 1000L
+      require((b0 + 1) * HourUs <= wmUs - 1000000L,
+        "late-plant parity needs a corpus spanning > 1h10m: the first " +
+          "hour's window end must be clearly behind the watermark")
+      require((bn + 1) * HourUs >= wmUs + 1000000L,
+        "last bucket's window end must be clearly past the watermark")
+      val bucket = expr(s"unix_micros(ts) DIV $HourUs")
+      def replant(df: DataFrame, offset: Long): DataFrame =
+        df.select((col("event_id") + offset).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+      val firstTwice = base.where(bucket === b0)
+        .select(explode(expr("array(1L, 2L)")).as("cp"), col("*"))
+        .select((col("event_id") + col("cp") * 10000000000L).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+      val lastBucket = base.where(bucket === bn)
+      Seq(base,
+        replant(lastBucket, 30000000000L),
+        firstTwice.unionByName(replant(lastBucket, 10000000000L)))
+    }
+    s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
   /** Native SESSION WINDOWS ([[EventStreams.sessionCounts]]:
     * `session_window(ts, 30 min)` + watermark) over the real events
     * corpus — the streaming sessionization Spark ships, under the
@@ -551,9 +644,60 @@ object StreamParity {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** Tumbling counts under a LATE-PLANTED second micro-batch
+    * ([[streamEventsWithLatePlant]]): the first batch streams the whole
+    * corpus, the second batch carries rows the watermark must DROP
+    * (first-hour replants, doubled so a failed drop is hash-visible
+    * through the max(n) collapse) and rows it must ADMIT (last-hour
+    * replants). The DuckDB oracle replays the plant and the drop rule —
+    * `window end ≤ max(ts) − lateness` — so watermark late-data
+    * semantics are oracle-exercised, not documented. Same update-mode
+    * max(n) collapse as [[tumblingParity]]. */
+  val tumblingLateParity: Q = (s, d) =>
+    runToTable(EventStreams.tumblingCounts(streamEventsWithLatePlant(s, d)),
+      "st_tumbling_late", mode = "update")
+      .groupBy("bucket", "event_type")
+      .agg(max(col("n")).as("n"))
+
+  /** [[sessionMultiBatchParity]] under the ROCKSDB state-store provider
+    * — the 100 TB streaming-state story: the default
+    * HDFSBackedStateStoreProvider holds every store's state ON-HEAP,
+    * which caps keyed-state cardinality at executor heap; RocksDB
+    * spills state to local SSD with an off-heap block cache, the
+    * provider Spark ships for exactly that scale. Same epoch-sliced
+    * multi-batch session merges, same shared oracle — the provider is
+    * an execution knob, never a semantics knob, and the run REQUIRES
+    * the provider actually engaged (RocksDB custom metrics present in
+    * the query progress) so a silent fallback to the default store
+    * can't make the row vacuous. */
+  val sessionRocksDbParity: Q = (s, d) => {
+    import scala.jdk.CollectionConverters._
+    val df = EventStreams.sessionCounts(streamEventsEpochsWithSentinel(s, d))
+    val qn = s"st_sessions_rocksdb_${runSeq.incrementAndGet()}"
+    val q = withStreamConfs(s,
+      "spark.sql.shuffle.partitions" -> StatePartitions.toString,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      df.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      sys.error(s"streaming query $qn did not terminate within 300 s")
+    }
+    val engaged = q.recentProgress.flatMap(_.stateOperators).exists(
+      _.customMetrics.keySet().asScala.exists(_.toLowerCase.contains("rocksdb")))
+    require(engaged, "RocksDB state store provider did not engage — " +
+      "no rocksdb custom metrics in the query progress")
+    s.table(qn).where(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events")
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessions" -> sessionParity,
     "st_sessions_mb" -> sessionMultiBatchParity,
+    "st_sessions_rocksdb" -> sessionRocksDbParity,
+    "st_tumbling_late" -> tumblingLateParity,
     "st_interval_join" -> intervalJoinParity,
     "st_interval_join_mb" -> intervalJoinMultiBatchParity,
     "st_exact_dedup" -> exactDedupParity,
@@ -597,6 +741,41 @@ object StreamParity {
     // (cross-batch session merges, intermediate watermark emission)
     // must not change the session set
     "st_sessions_mb" -> sessionOracleSql,
+    // the state-store provider is an execution knob, never a semantics
+    // knob: RocksDB-backed session state must produce the identical
+    // session set (the run itself requires the provider engaged)
+    "st_sessions_rocksdb" -> sessionOracleSql,
+    // the watermark drop rule REPLAYED: the plant is a pure function of
+    // the corpus (first-hour rows twice, last-hour rows once, all
+    // epoch-aligned hour buckets), the watermark at the late batch is
+    // max(ts) − 10 min (the whole corpus streamed in batch 0), and a
+    // planted row survives iff its window END is past that watermark —
+    // first-hour replants die, last-hour replants count
+    "st_tumbling_late" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+           b AS (SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS b0,
+                        time_bucket(INTERVAL '1 hour', max(ts)) AS bn
+                 FROM events),
+           planted AS (
+             SELECT ts, event_type, 2 AS copies FROM events, b
+             WHERE time_bucket(INTERVAL '1 hour', ts) = b.b0
+             UNION ALL
+             SELECT ts, event_type, 1 AS copies FROM events, b
+             WHERE time_bucket(INTERVAL '1 hour', ts) = b.bn),
+           kept AS (
+             SELECT ts, event_type, 1 AS copies FROM events
+             UNION ALL
+             -- file 1: the watermark-aging replay of the last bucket,
+             -- admitted unconditionally (nothing in it is late)
+             SELECT ts, event_type, 1 AS copies FROM events, b
+             WHERE time_bucket(INTERVAL '1 hour', ts) = b.bn
+             UNION ALL
+             SELECT p.ts, p.event_type, p.copies FROM planted p, wm
+             WHERE time_bucket(INTERVAL '1 hour', p.ts) + INTERVAL 1 HOUR
+                   > wm.w)
+         SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+                CAST(sum(copies) AS BIGINT) AS n
+         FROM kept GROUP BY 1, 2""",
     "st_interval_join" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
            p.user_id AS user_id
