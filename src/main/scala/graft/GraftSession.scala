@@ -11,7 +11,18 @@ import org.apache.spark.sql.SparkSession
   * so results are reproducible against external oracles.
   */
 object GraftSession {
-  def builder(cores: Int, shufflePartitions: Int): SparkSession.Builder =
+  /** One cache-hygiene sweep per JVM, at session construction — the one
+    * moment no query can be concurrently reading a cache entry (r10
+    * verdict item 7: the result-cache dir grows without bound across
+    * rounds). Budgeted LRU over committed entries + stale-debris
+    * removal; see [[ResultCache.sweep]]. */
+  private lazy val sweepOnce: Unit = {
+    ResultCache.sweep(ResultCache.defaultDir, ResultCache.defaultBudgetBytes)
+    ()
+  }
+
+  def builder(cores: Int, shufflePartitions: Int): SparkSession.Builder = {
+    sweepOnce
     SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
@@ -27,6 +38,7 @@ object GraftSession {
       // rejects by default; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def local(cores: Int = 4): SparkSession = {
     val s = builder(cores, cores).getOrCreate()

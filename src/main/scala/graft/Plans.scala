@@ -99,7 +99,8 @@ through `ResultCache` first.
 | Events st/ev lift & per-type stats | per-split / per-event-type | group-cardinality-bounded | BOUNDED |
 | Similarity (all 12 sites) | query set (50 ids), centroids (k), PQ LUT (k·256), truth top-k | fixed by query-count / k — never corpus-sized | BOUNDED |
 | Advanced frequent items | freqItems candidates + 1-row total | ≤ 1/support candidates | BOUNDED |
-| Advanced/Relational dims (customer, part, supplier, nation, region) | TPC-H dims | nation/region fixed; customer/part/supplier grow with SF — at 100 TB these exceed any driver, so the hints there are SCALE-DOCUMENTED: the declared plans follow the standard TPC-H broadcast shape at bench scale, and the production knob is the same `broadcastIfSmall` wrapper (plans stay correct unhinted — Catalyst picks sort-merge) | DOCUMENTED |
+| Relational dims: nation, region (+ Advanced) | TPC-H fixed dims | 25 / 5 rows by spec — fixed at every SF | BOUNDED |
+| Relational dims: customer, part, supplier (9 sites: q03, q05, q09, q10, q24 ×2, q26, q27, q28) | TPC-H scaling dims | grow with SF — at 100 TB these exceed any driver | GUARDED (round 11): every hint wrapped in `Skew.broadcastIfSmall`; the guard grants at bench scale (plans below unchanged — raw-parquet estimates are pruned-schema-scaled file bytes, well under the threshold at sf0.1), withholds at production scale where Catalyst picks sort-merge on the same keys |
 
 Spec coverage: `PipelineSpec` "broadcastIfSmall: grants under / withholds
 above", "apply_cdc: guarded fallback shuffles and answers identically",

@@ -30,13 +30,59 @@ object ResultCache {
     * parquet overwrite is not safe against an interleaved second
     * writer. A JVM-wide stripe per cache path makes the build
     * single-flight: the loser blocks, re-checks the marker, and reads
-    * the winner's committed files. (Cross-PROCESS races are out of
-    * scope — the harness is one driver JVM; the `_SUCCESS` protocol
-    * still guarantees a killed writer is rebuilt, never half-read.) */
+    * the winner's committed files. */
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(path: String): Object =
     buildLocks.computeIfAbsent(path, _ => new Object)
+
+  /** Cross-PROCESS single-flight (round 11, r10 verdict item 7): the
+    * cache dir is shared across driver JVMs (bench + verify + tests can
+    * overlap on one machine), so the JVM stripe alone leaves an
+    * interleaved-second-writer window between processes. An O_EXCL
+    * `.lock` marker next to the entry closes it: `Files.createFile` is
+    * atomic on POSIX, the loser polls until the marker clears (then
+    * re-checks `_SUCCESS` — normally a free hit on the winner's
+    * commit), and a marker older than [[StaleLockMs]] is presumed
+    * orphaned by a killed builder and stolen. The `_SUCCESS` protocol
+    * stays the correctness backstop: even a mis-stolen lock can at
+    * worst rebuild, never half-read. */
+  private val StaleLockMs = 30L * 60 * 1000
+  private def crossProcessLocked[T](path: String)(f: => T): T = {
+    val lock = Paths.get(path + ".lock")
+    Files.createDirectories(lock.getParent)
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.io.IOException => 0L } // vanished: retry
+          if (age > StaleLockMs) Files.deleteIfExists(lock)
+          else Thread.sleep(100)
+      }
+    }
+    try f finally Files.deleteIfExists(lock)
+  }
+
+  /** The single-flight build protocol shared by every entry point:
+    * JVM stripe → cross-process marker → `_SUCCESS` re-check → build or
+    * touch. On a hit the marker's mtime is refreshed so [[sweep]]'s
+    * LRU order tracks USE, not creation. Returns whether the entry was
+    * already committed. */
+  private def buildCommitted(path: String)(build: => Unit): Boolean =
+    lockFor(path).synchronized {
+      crossProcessLocked(path) {
+        val marker = Paths.get(s"$path/_SUCCESS")
+        val hit = Files.exists(marker)
+        if (!hit) build
+        else Files.setLastModifiedTime(marker,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
+        hit
+      }
+    }
 
   private def fileSnapshot(f: String): String = {
     val p = Paths.get(f.stripPrefix("file:"))
@@ -79,11 +125,8 @@ object ResultCache {
     val spark = df.sparkSession
     val key = fingerprint(df)
     val path = s"$cacheDir/$key"
-    val committed = lockFor(path).synchronized {
-      val hit = Files.exists(Paths.get(s"$path/_SUCCESS"))
-      if (!hit) df.write.mode("overwrite").parquet(path)
-      hit
-    }
+    val committed =
+      buildCommitted(path)(df.write.mode("overwrite").parquet(path))
     (spark.read.parquet(path), committed)
   }
 
@@ -93,9 +136,9 @@ object ResultCache {
     * EAGERLY and leave only an identityless `LogicalRDD`; see
     * [[fingerprint]]'s collision guard). The caller declares
     *
-    *  - `name`: the computation's identity INCLUDING a version tag
-    *    (e.g. "textDropIds/v1") — bump it when the logic changes, the
-    *    key cannot see code;
+    *  - `name`: the computation's identity INCLUDING its governing
+    *    constants and a version tag (e.g. "textDropIds/v1") — bump the
+    *    tag when the LOGIC changes, the key cannot see code;
     *  - `inputs`: the source relations the computation reads — their
     *    file snapshots invalidate the entry when data changes, same
     *    contract as [[runCached]];
@@ -119,11 +162,22 @@ object ResultCache {
   def materializeKeyed(name: String, inputs: Seq[DataFrame], cacheDir: String)(
       df: => DataFrame): (String, Boolean) = {
     val path = keyedPath(name, inputs, cacheDir)
-    val committed = lockFor(path).synchronized {
-      val hit = Files.exists(Paths.get(s"$path/_SUCCESS"))
-      if (!hit) df.write.mode("overwrite").parquet(path)
-      hit
-    }
+    val committed =
+      buildCommitted(path)(df.write.mode("overwrite").parquet(path))
+    (path, committed)
+  }
+
+  /** [[materializeKeyed]] with HIVE-partitioned layout: the committed
+    * entry is `partitionCols`-partitioned parquet, so consumers that
+    * filter on a partition column read only its directories (the
+    * lenient-CSV quarantine split's shape: valid and corrupt halves
+    * prunable without caching the feed). */
+  def materializeKeyedPartitioned(name: String, inputs: Seq[DataFrame],
+      cacheDir: String, partitionCols: Seq[String])(
+      df: => DataFrame): (String, Boolean) = {
+    val path = keyedPath(name, inputs, cacheDir)
+    val committed = buildCommitted(path)(
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path))
     (path, committed)
   }
 
@@ -148,40 +202,86 @@ object ResultCache {
   def materializeKeyedOrdered(name: String, inputs: Seq[DataFrame],
       cacheDir: String)(parts: => Seq[DataFrame]): (String, Boolean) = {
     val path = keyedPath(name, inputs, cacheDir)
-    val committed = lockFor(path).synchronized { buildOrdered(path)(parts) }
+    val committed = buildCommitted(path)(buildOrdered(path)(parts))
     (path, committed)
   }
 
-  private def buildOrdered(path: String)(
-      parts: => Seq[DataFrame]): Boolean = {
-    val committed = Files.exists(Paths.get(s"$path/_SUCCESS"))
-    if (!committed) {
-      def rm(p: java.io.File): Unit = {
-        if (p.isDirectory && !Files.isSymbolicLink(p.toPath))
-          Option(p.listFiles).foreach(_.foreach(rm))
-        p.delete(); ()
-      }
-      rm(new java.io.File(path))
-      Files.createDirectories(Paths.get(path))
-      parts.zipWithIndex.foreach { case (part, k) =>
-        val stage = s"$path/_stage_$k"
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        // Files.list must be CLOSED (unlike listFiles) — each open
-        // stream pins a directory fd for the JVM's lifetime (r10 advice)
-        val listing = Files.list(Paths.get(stage))
-        val f =
-          try listing.filter(_.toString.endsWith(".parquet")).iterator().next
-          finally listing.close()
-        val target = Paths.get(s"$path/part_$k.parquet")
-        Files.move(f, target,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1700000000000L + k * 60000L))
-        rm(new java.io.File(stage))
-      }
-      Files.createFile(Paths.get(s"$path/_SUCCESS"))
-    }
-    committed
+  private def rmTree(p: java.io.File): Unit = {
+    if (p.isDirectory && !Files.isSymbolicLink(p.toPath))
+      Option(p.listFiles).foreach(_.foreach(rmTree))
+    p.delete(); ()
   }
+
+  private def buildOrdered(path: String)(parts: => Seq[DataFrame]): Unit = {
+    rmTree(new java.io.File(path))
+    Files.createDirectories(Paths.get(path))
+    parts.zipWithIndex.foreach { case (part, k) =>
+      val stage = s"$path/_stage_$k"
+      part.coalesce(1).write.mode("overwrite").parquet(stage)
+      // Files.list must be CLOSED (unlike listFiles) — each open
+      // stream pins a directory fd for the JVM's lifetime (r10 advice)
+      val listing = Files.list(Paths.get(stage))
+      val f =
+        try listing.filter(_.toString.endsWith(".parquet")).iterator().next
+        finally listing.close()
+      val target = Paths.get(s"$path/part_$k.parquet")
+      Files.move(f, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + k * 60000L))
+      rmTree(new java.io.File(stage))
+    }
+    Files.createFile(Paths.get(s"$path/_SUCCESS"))
+    ()
+  }
+
+  /** Byte-budget LRU sweep (round 11, r10 verdict item 7): the cache
+    * dir accretes kNN graphs, ANN models, drop lists, and epoch files
+    * across rounds with nothing ever deleting them. Keeps the
+    * most-recently-USED committed entries (LRU order = `_SUCCESS`
+    * mtime, which [[buildCommitted]] refreshes on every hit) up to
+    * `maxBytes`; evicts the rest, plus any UNCOMMITTED debris older
+    * than [[StaleLockMs]] (a dead builder's half-write — younger ones
+    * may be builds in flight and are left alone). Evicting a LIVE
+    * entry is safe for correctness (the next consumer rebuilds — the
+    * memoization contract is reuse-or-recompute, never
+    * required-presence) but not for a concurrently READING query, so
+    * run it between query batches: [[GraftSession]] sweeps once at
+    * session construction. Returns the evicted entry paths. */
+  def sweep(cacheDir: String, maxBytes: Long): Seq[String] = {
+    def du(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+      else f.length
+    val root = new java.io.File(cacheDir)
+    val entries = Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+    val now = System.currentTimeMillis
+    case class E(dir: java.io.File, bytes: Long, mtime: Long, committed: Boolean)
+    val scanned = entries.map { d =>
+      val succ = new java.io.File(d, "_SUCCESS")
+      E(d, du(d), if (succ.exists) succ.lastModified else d.lastModified,
+        succ.exists)
+    }
+    val (committed, debris) = scanned.partition(_.committed)
+    val staleDebris = debris.filter(now - _.mtime > StaleLockMs)
+    var budget = maxBytes
+    val evicted = committed.sortBy(-_.mtime).flatMap { e =>
+      if (e.bytes <= budget) { budget -= e.bytes; None } else Some(e)
+    }
+    (evicted ++ staleDebris).map { e =>
+      lockFor(e.dir.getPath).synchronized {
+        crossProcessLocked(e.dir.getPath)(rmTree(e.dir))
+      }
+      e.dir.getPath
+    }.toSeq
+  }
+
+  /** The default on-disk location + budget, shared by every caller that
+    * doesn't name its own (sys-prop overridable). */
+  def defaultDir: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+  def defaultBudgetBytes: Long =
+    sys.props.get("graft.cache.maxBytes").map(_.toLong).getOrElse(8L << 30)
 }

@@ -55,7 +55,7 @@ object Relational {
     val l = Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(Skew.broadcastIfSmall(c), o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
@@ -80,7 +80,7 @@ object Relational {
     val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     val n  = Tables.nation(s, d).select("n_nationkey", "n_regionkey", "n_name")
     val r  = Tables.region(s, d).select("r_regionkey", "r_name")
-    l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+    l.join(Skew.broadcastIfSmall(su), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -116,7 +116,7 @@ object Relational {
   private val q09: Q = (s, d) => {
     val p = Tables.part(s, d).select("p_partkey", "p_brand")
     Tables.lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Skew.broadcastIfSmall(p), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
@@ -129,7 +129,7 @@ object Relational {
   private val q10: Q = (s, d) => {
     val c = Tables.customer(s, d).select("c_custkey", "c_name")
     Tables.orders(s, d).select("o_custkey", "o_totalprice")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Skew.broadcastIfSmall(c), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
       .orderBy(col("total_spent").desc, col("c_custkey"))
@@ -231,8 +231,8 @@ object Relational {
     val n1 = Tables.nation(s, d).select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, d).select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(Skew.broadcastIfSmall(c), col("o_custkey") === col("c_custkey"))
+      .join(Skew.broadcastIfSmall(su), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("snk"))
       .join(broadcast(n2), col("c_nationkey") === col("cnk"))
       .where(col("supp_nation") < col("cust_nation"))
@@ -258,7 +258,7 @@ object Relational {
   private val q26: Q = (s, d) => {
     val p = Tables.part(s, d).select("p_partkey", "p_type")
     Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Skew.broadcastIfSmall(p), col("l_partkey") === col("p_partkey"))
       .agg((
         sum(when(col("p_type").contains("brushed"),
             (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
@@ -273,7 +273,7 @@ object Relational {
     val p = Tables.part(s, d).where(col("p_brand") =!= "Brand#11")
       .select("p_partkey", "p_brand", "p_size")
     Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Skew.broadcastIfSmall(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), (col("p_size") % 5).as("size_band"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -283,7 +283,7 @@ object Relational {
   private val q28: Q = (s, d) => {
     val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
     Tables.lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Skew.broadcastIfSmall(p), col("l_partkey") === col("p_partkey"))
       .where(
         (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
         (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||

@@ -93,27 +93,38 @@ object Tables {
     * pipeline wants (clean rows, quarantine rows) from ONE pass, not a
     * crashed 10-hour job. Callers split on `_corrupt IS NULL`.
     *
-    * The frame is returned CACHED (lazily — nothing materializes until
-    * an action), for a correctness reason, not a performance one: since
+    * The parse is WRITTEN OUT once and read back (round 11 — replacing
+    * the r9/r10 `.cache()` workaround, which held the whole feed in
+    * executor memory). The reasons are correctness AND scale: since
     * Spark 2.3, a query over raw CSV that references ONLY the
     * corrupt-record column (e.g. `df.where($"_corrupt".isNull).count()`)
-    * throws `AnalysisException` unless the parsed frame is persisted
-    * first, and column pruning can leave `_corrupt` unpopulated when no
-    * data column is selected alongside it. Caching pins the fully-parsed
-    * rows, making both halves of the split valid and single-read.
-    * Callers `unpersist()` when done with the split; for feeds too big
-    * to cache, write the split out once instead (one pass,
-    * `partitionBy` on a `_corrupt IS NULL` validity flag) rather than
-    * holding the feed in memory. */
+    * throws `AnalysisException`, and column pruning can leave
+    * `_corrupt` unpopulated when no data column is selected alongside
+    * it. One full-width pass through
+    * [[graft.ResultCache.materializeKeyedPartitioned]] parses every
+    * line exactly once, commits the split as `_valid`-partitioned
+    * parquet (valid and quarantine halves directory-prunable), and the
+    * returned frame is a plain parquet relation with none of the raw-
+    * CSV restrictions — and none of the feed resident in memory. The
+    * snapshot key re-parses the moment the feed file changes. */
   def csvTableLenient(spark: SparkSession, path: String,
-                      schemaDdl: String): DataFrame =
-    spark.read
+                      schemaDdl: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val parsed = spark.read
       .schema(schemaDdl + ", _corrupt STRING")
       .option("header", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
-      .cache()
+    val keyDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$path|$schemaDdl".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val (dir, _) = graft.ResultCache.materializeKeyedPartitioned(
+      s"lenientCsv/$keyDigest/v1", Seq(parsed), graft.ResultCache.defaultDir,
+      Seq("_valid"))(
+      parsed.withColumn("_valid", col("_corrupt").isNull))
+    spark.read.option("basePath", dir).parquet(dir).drop("_valid")
+  }
 
   /** XML reader (Spark 4 built-in source): `rowTag` selects the repeated
     * record element; schema declared for the same

@@ -84,4 +84,101 @@ class ResultCacheSpec extends SparkSpec {
     assert(results.count(!_._2) == 1,
       "exactly one racer should report a miss")
   }
+
+  test("a foreign process's build lock blocks until released, then hits the commit") {
+    // cross-PROCESS single-flight (round 11): simulate another JVM
+    // holding the O_EXCL marker — the caller must WAIT (not build
+    // concurrently), and once the 'other process' commits and releases,
+    // it must read the committed entry as a hit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cache = Files.createTempDirectory("graft-rc-xproc").toString
+    val inputs = Seq(sources.Tables.nation(spark, sfDir))
+    // learn the entry path by building once in a scratch dir layout:
+    // same name+inputs → same key under any cacheDir
+    val (probePath, _) = ResultCache.materializeKeyed(
+      "xprocParent/v1", inputs, cache)(
+      sources.Tables.nation(spark, sfDir).select(col("n_nationkey")))
+    // wipe to unbuilt state, then hold the lock like a foreign process
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+      p.delete(); ()
+    }
+    rm(new java.io.File(probePath))
+    Files.createFile(Paths.get(probePath + ".lock"))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fut = Future(ResultCache.runCachedKeyed("xprocParent/v1", inputs, cache) {
+      builds.incrementAndGet()
+      sources.Tables.nation(spark, sfDir).select(col("n_nationkey"))
+    })
+    Thread.sleep(500)
+    assert(!fut.isCompleted, "caller must block on the foreign lock")
+    assert(builds.get() == 0, "caller must not build while the lock is held")
+    // the 'foreign process' commits and releases
+    Files.createDirectories(Paths.get(probePath))
+    sources.Tables.nation(spark, sfDir).select(col("n_nationkey"))
+      .write.mode("overwrite").parquet(probePath)
+    Files.deleteIfExists(Paths.get(probePath + ".lock"))
+    val (df, hit) = Await.result(fut, 60.seconds)
+    assert(hit, "the foreign commit must be read as a hit")
+    assert(builds.get() == 0)
+    assert(df.count() == 25)
+  }
+
+  test("sweep: LRU byte budget keeps recently-used entries, evicts the rest and stale debris") {
+    val cache = Files.createTempDirectory("graft-rc-sweep").toString
+    val inputs = Seq(sources.Tables.nation(spark, sfDir))
+    def build(name: String): String =
+      ResultCache.materializeKeyed(name, inputs, cache)(
+        sources.Tables.nation(spark, sfDir))._1
+    val old1 = build("sweepA/v1")
+    val old2 = build("sweepB/v1")
+    Thread.sleep(1100) // distinct _SUCCESS mtimes at fs granularity
+    val fresh = build("sweepC/v1")
+    // a USE refreshes LRU order: re-touch old1 via a hit
+    Thread.sleep(1100)
+    val (_, hitOld1) = ResultCache.materializeKeyed("sweepA/v1", inputs, cache)(
+      sys.error("must hit"))
+    assert(hitOld1)
+    // stale uncommitted debris (dead builder): dir, no _SUCCESS, old mtime
+    val debris = Paths.get(s"$cache/deadbeef00000000")
+    Files.createDirectories(debris)
+    Files.setLastModifiedTime(debris,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 3L * 3600 * 1000))
+    val entryBytes = {
+      def du(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
+        else f.length
+      du(new java.io.File(fresh))
+    }
+    // budget fits TWO entries: survivors must be the two most recently
+    // USED (old1 — just touched — and fresh), evictee the untouched old2
+    val evicted = ResultCache.sweep(cache, 2 * entryBytes + entryBytes / 2)
+    assert(evicted.toSet.contains(old2), s"old2 should be evicted, got $evicted")
+    assert(evicted.toSet.contains(debris.toString), "stale debris swept")
+    assert(!Files.exists(Paths.get(old2)))
+    assert(Files.exists(Paths.get(s"$old1/_SUCCESS")), "touched entry survives")
+    assert(Files.exists(Paths.get(s"$fresh/_SUCCESS")), "fresh entry survives")
+    // an evicted entry is rebuilt on next use — reuse-or-recompute
+    val (df, hit) = ResultCache.runCachedKeyed("sweepB/v1", inputs, cache)(
+      sources.Tables.nation(spark, sfDir))
+    assert(!hit)
+    assert(df.count() == 25)
+  }
+
+  test("partitioned materialization: split halves land in prunable directories") {
+    val cache = Files.createTempDirectory("graft-rc-part").toString
+    val inputs = Seq(sources.Tables.nation(spark, sfDir))
+    val (dir, _) = ResultCache.materializeKeyedPartitioned(
+      "partSplit/v1", inputs, cache, Seq("_valid"))(
+      sources.Tables.nation(spark, sfDir)
+        .withColumn("_valid", col("n_nationkey") % 2 === 0))
+    assert(Files.exists(Paths.get(s"$dir/_valid=true")))
+    assert(Files.exists(Paths.get(s"$dir/_valid=false")))
+    val back = spark.read.option("basePath", dir).parquet(dir)
+    assert(back.count() == 25)
+    assert(back.where(col("_valid") === true).count() == 13)
+  }
 }

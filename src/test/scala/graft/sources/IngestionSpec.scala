@@ -57,9 +57,13 @@ class IngestionSpec extends SparkSpec {
     Files.write(Paths.get(dir, "feed.csv"),
       "1,alpha,10\n2,beta,not_a_number\n3,gamma,30\nbroken line\n4,delta,40\n"
         .getBytes("UTF-8"))
-    // the helper caches internally (required for corrupt-only queries)
+    // the helper writes the parsed split out once (no .cache() — the
+    // feed is never held in memory) and returns a plain parquet
+    // relation, so even corrupt-COLUMN-only queries are legal
     val df = graft.sources.Tables.csvTableLenient(
       spark, s"$dir/feed.csv", "id LONG, name STRING, n LONG")
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "write-out split must not cache the feed")
     val clean = df.where(col("_corrupt").isNull)
     val quarantined = df.where(col("_corrupt").isNotNull)
     assert(clean.count() === 3)
@@ -67,7 +71,17 @@ class IngestionSpec extends SparkSpec {
     assert(clean.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
     assert(quarantined.select("_corrupt").collect().map(_.getString(0)).toSet ==
       Set("2,beta,not_a_number", "broken line"))
-    df.unpersist()
+    // the raw-CSV restriction this used to work around: a query that
+    // references ONLY _corrupt must work (and see the quarantine rows)
+    assert(df.select("_corrupt").where(col("_corrupt").isNotNull).count() === 2)
+    // a changed feed re-parses (snapshot key), never serves stale rows
+    Thread.sleep(1100) // mtime granularity
+    Files.write(Paths.get(dir, "feed.csv"),
+      "1,alpha,10\nbroken line\n".getBytes("UTF-8"))
+    val df2 = graft.sources.Tables.csvTableLenient(
+      spark, s"$dir/feed.csv", "id LONG, name STRING, n LONG")
+    assert(df2.count() === 2)
+    assert(df2.where(col("_corrupt").isNotNull).count() === 1)
   }
 
   test("text file → textRecords → word count (S1 end-to-end)") {
