@@ -644,6 +644,57 @@ object StreamParity {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** events + late plants for the SESSION-WINDOW path, four ordered
+    * files: the whole corpus, a watermark-aging replay of the last
+    * hour bucket (the [[streamEventsWithLatePlant]] one-batch-lag
+    * discipline), the LATE batch — first-hour-bucket replants whose
+    * session windows `[ts, ts+gap)` end ~30 days behind the watermark
+    * (must be DROPPED; a failed drop creates a NEW session for that
+    * user, emitted at the flush — an extra output row the hash
+    * rejects, since the original session closed and emitted long ago)
+    * and last-hour-bucket replants (late in arrival, within the
+    * horizon: must be ADMITTED and MERGE into the still-open sessions,
+    * raising their n_events — a wrong drop leaves the count low) —
+    * then the flush sentinel. Append-mode session state is the one
+    * stateful shape where a late row can do more than re-count: it can
+    * fabricate or fatten a SESSION, so both failure directions change
+    * the declared session set itself. */
+  private[graft] def streamEventsWithSessionLatePlant(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinel = flushSentinel(base)
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val HourUs = 3600L * 1000000
+    val GapUs = 1800L * 1000000
+    val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
+      "eventsSessionLatePlant/g1800/l600/v1", Seq(base), cacheDir) {
+      val mm = base.agg(
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head
+      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+      val b0 = Math.floorDiv(mnUs, HourUs)
+      val bn = Math.floorDiv(mxUs, HourUs)
+      val wmUs = (mxUs / 1000L - 600000L) * 1000L
+      require((b0 + 1) * HourUs + GapUs <= wmUs - 1000000L,
+        "session late-plant needs the first hour's session windows " +
+          "clearly behind the watermark")
+      val bucket = expr(s"unix_micros(ts) DIV $HourUs")
+      def replant(df: DataFrame, offset: Long): DataFrame =
+        df.select((col("event_id") + offset).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+      val first = base.where(bucket === b0)
+      val last = base.where(bucket === bn)
+      Seq(base,
+        replant(last, 10000000000L),
+        replant(first, 20000000000L).unionByName(replant(last, 30000000000L)),
+        sentinel)
+    }
+    s.readStream.schema(sentinel.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
   /** Tumbling counts under a LATE-PLANTED second micro-batch
     * ([[streamEventsWithLatePlant]]): the first batch streams the whole
     * corpus, the second batch carries rows the watermark must DROP
@@ -658,6 +709,23 @@ object StreamParity {
       "st_tumbling_late", mode = "update")
       .groupBy("bucket", "event_type")
       .agg(max(col("n")).as("n"))
+
+  /** Session windows under the LATE-PLANTED arrival
+    * ([[streamEventsWithSessionLatePlant]]): the watermark must drop
+    * the stale replants (whose wrong admission would FABRICATE
+    * sessions — their originals closed and emitted batches ago) and
+    * admit the in-horizon replants (which must MERGE into still-open
+    * sessions and raise their counts). The DuckDB oracle replays the
+    * plant and the session drop rule — a planted row survives iff its
+    * per-event window end `ts + gap` is past `max(ts) − lateness` —
+    * then sessionizes the kept multiset. Late-data semantics for the
+    * APPEND-mode stateful path, complementing `st_tumbling_late`'s
+    * update-mode aggregation. */
+  val sessionLateParity: Q = (s, d) =>
+    runToTable(EventStreams.sessionCounts(
+        streamEventsWithSessionLatePlant(s, d)), "st_sessions_late")
+      .where(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events")
 
   /** [[sessionMultiBatchParity]] under the ROCKSDB state-store provider
     * — the 100 TB streaming-state story: the default
@@ -697,6 +765,7 @@ object StreamParity {
     "st_sessions" -> sessionParity,
     "st_sessions_mb" -> sessionMultiBatchParity,
     "st_sessions_rocksdb" -> sessionRocksDbParity,
+    "st_sessions_late" -> sessionLateParity,
     "st_tumbling_late" -> tumblingLateParity,
     "st_interval_join" -> intervalJoinParity,
     "st_interval_join_mb" -> intervalJoinMultiBatchParity,
@@ -745,6 +814,47 @@ object StreamParity {
     // knob: RocksDB-backed session state must produce the identical
     // session set (the run itself requires the provider engaged)
     "st_sessions_rocksdb" -> sessionOracleSql,
+    // the session drop rule REPLAYED over the planted multiset: the
+    // aging replay (file 1) is always kept, the late batch's rows
+    // survive iff ts + gap is past max(ts) − lateness (first-bucket
+    // replants die, last-bucket replants merge), then the same strict-
+    // boundary sessionization as st_sessions runs over what was kept
+    "st_sessions_late" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+           b AS (SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS b0,
+                        time_bucket(INTERVAL '1 hour', max(ts)) AS bn
+                 FROM events),
+           kept AS (
+             SELECT user_id, ts, event_id FROM events
+             UNION ALL
+             SELECT user_id, ts, event_id + 10000000000 FROM events, b
+             WHERE time_bucket(INTERVAL '1 hour', ts) = b.bn
+             UNION ALL
+             SELECT user_id, ts, event_id + 20000000000 FROM events, b, wm
+             WHERE time_bucket(INTERVAL '1 hour', ts) = b.b0
+               AND ts + INTERVAL 30 MINUTE > wm.w
+             UNION ALL
+             SELECT user_id, ts, event_id + 30000000000 FROM events, b, wm
+             WHERE time_bucket(INTERVAL '1 hour', ts) = b.bn
+               AND ts + INTERVAL 30 MINUTE > wm.w),
+           marked AS (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+             FROM kept
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           numbered AS (
+             SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM marked)
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+         FROM numbered GROUP BY user_id, sid""",
     // the watermark drop rule REPLAYED: the plant is a pure function of
     // the corpus (first-hour rows twice, last-hour rows once, all
     // epoch-aligned hour buckets), the watermark at the late batch is

@@ -61,6 +61,44 @@ class LateDataSpec extends SparkSpec {
         "never engages")
   }
 
+  test("st_sessions_late: stale replants fabricate no sessions, in-horizon replants fatten theirs") {
+    val base = StreamParity.queries("st_sessions")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val late = StreamParity.queries("st_sessions_late")(spark, sfDir)
+    val lateRows = late.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+    // DROP engaged: no session exists in the late run that doesn't
+    // exist in the plain run — a wrongly-admitted stale replant would
+    // fabricate a (user, start) pair the closed original can't have
+    val lateStarts = lateRows.map(t => (t._1, t._2)).toSet
+    assert(lateStarts === base,
+      "the session (user, start) set must be unchanged by late plants")
+    // ADMISSION engaged: total event count grows by exactly the two
+    // admitted last-bucket replays (aging file + late file)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val total = ev.count()
+    val mm = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val hourUs = 3600L * 1000000
+    val bn = Math.floorDiv(
+      mm.getTime / 1000 * 1000000 + mm.getNanos / 1000, hourUs)
+    val lastBucket = ev.where(
+      expr(s"unix_micros(ts) DIV $hourUs") === bn).count()
+    assert(lastBucket > 0, "degenerate corpus: empty last bucket")
+    assert(lateRows.map(_._3).sum === total + 2 * lastBucket,
+      "admitted replants must raise session counts by exactly 2x the " +
+        "last bucket")
+  }
+
+  test("session late plant arrives over >=4 real micro-batches") {
+    val (_, batches) = StreamParity.runToTableCounted(
+      EventStreams.sessionCounts(
+        StreamParity.streamEventsWithSessionLatePlant(spark, sfDir)),
+      "session_late_batches_spec")
+    assert(batches >= 4,
+      s"expected >=4 data micro-batches (corpus, aging, late, sentinel), " +
+        s"got $batches")
+  }
+
   test("st_sessions_rocksdb: RocksDB provider engages and the session set equals the HDFS-backed run") {
     val rocks = StreamParity.queries("st_sessions_rocksdb")(spark, sfDir)
       .collect().map(_.toSeq).toSet
