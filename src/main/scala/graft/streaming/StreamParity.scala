@@ -695,6 +695,76 @@ object StreamParity {
       .option("maxFilesPerTrigger", "1").parquet(dir)
   }
 
+  /** events + late plants for the STREAM-STREAM JOIN path, three
+    * ordered files: the corpus, a watermark-aging single VIEW row
+    * (creates no inner-join output; its only job is the one-batch-lag
+    * discipline), then the LATE batch — a SYNTHESIZED attribution
+    * pair per source event (a 'view' at `ts − 30 min` and a
+    * 'purchase' at `ts`, both keyed by the reserved negative user
+    * `−(event_id + 1,000,000)` so each pair joins exactly itself and
+    * NOTHING in the corpus): source events from the corpus's FIRST
+    * 24 HOURS build pairs the late filter must DROP (a wrong
+    * admission emits |first-day| extra pairs), source events from the
+    * LAST 24 HOURS build pairs it must ADMIT (their attributions all
+    * emit within the late batch; a wrong drop leaves them missing).
+    *
+    * The query declares `lateness = 48 hours` — the allowed-lateness
+    * horizon is a per-deployment knob, and a feed attributing
+    * purchases to views genuinely accepts day-scale lateness; the
+    * wide horizon is also what gives both plant windows 20-hour-plus
+    * margins from the watermark, so the ms-floored engine watermark
+    * and the oracle's exact `max(ts) − 48 h` can never disagree on a
+    * row. The reserved-user shift keeps the oracle exact a second
+    * way: planted rows never probe corpus-side join state, so the
+    * replay is independent of which corpus rows the engine has
+    * evicted by the late batch. */
+  private[graft] val JoinLateLateness = "48 hours"
+  private[graft] def streamEventsWithJoinLatePlant(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val DayUs = 24L * 3600 * 1000000
+    val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
+      "eventsJoinLatePlant/l48h/pair30m/v2", Seq(base), cacheDir) {
+      val mm = base.agg(
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"),
+        min(col("user_id")).as("minUid")).head
+      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+      require(mm.getLong(2) >= 0L,
+        "join late-plant reserves negative user ids for planted rows")
+      // ms-flooring of the engine watermark is sub-millisecond — far
+      // inside the 1-second require margins, so the exact form serves
+      val wmUs = mxUs - 48L * 3600 * 1000000
+      // dropped pairs: even the view leg (ts − 30 min) of the first
+      // day must sit clearly behind the watermark; admitted pairs:
+      // the view leg of the last day must sit clearly past it
+      require(mnUs + DayUs <= wmUs - 1000000L,
+        "join late-plant needs the first day clearly behind the 48 h watermark")
+      require(mxUs - DayUs - 1800L * 1000000 >= wmUs + 1000000L,
+        "join late-plant needs the last day clearly past the 48 h watermark")
+      val aging = base.orderBy(col("ts").desc, col("event_id")).limit(1)
+        .select(col("event_id"), col("ts"), lit(-999L).as("user_id"),
+          lit("view").as("event_type"), col("value"), col("props"))
+      val src = base.where(
+        unix_micros(col("ts")) < mnUs + DayUs ||
+        unix_micros(col("ts")) > mxUs - DayUs)
+      val views = src.select(
+        (col("event_id") + 10000000000L).as("event_id"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("ts"),
+        (-(col("event_id") + 1000000L)).as("user_id"),
+        lit("view").as("event_type"), col("value"), col("props"))
+      val purchases = src.select(
+        (col("event_id") + 20000000000L).as("event_id"), col("ts"),
+        (-(col("event_id") + 1000000L)).as("user_id"),
+        lit("purchase").as("event_type"), col("value"), col("props"))
+      Seq(base, aging, views.unionByName(purchases))
+    }
+    s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
   /** Tumbling counts under a LATE-PLANTED second micro-batch
     * ([[streamEventsWithLatePlant]]): the first batch streams the whole
     * corpus, the second batch carries rows the watermark must DROP
@@ -761,6 +831,28 @@ object StreamParity {
       .select("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Stream-stream interval join under the LATE-PLANTED arrival
+    * ([[streamEventsWithJoinLatePlant]]): each join side's late filter
+    * must DROP the stale replants (whose wrong admission would let
+    * them match each other and emit pairs the original run already
+    * closed the books on) and ADMIT the in-horizon replants, whose
+    * view→purchase attributions must all emit within the late batch.
+    * The DuckDB oracle replays the plant, the per-side drop rule
+    * (`ts > max(ts) − lateness`), and the attribution join among the
+    * admitted rows — late-data semantics for the JOIN-state path,
+    * completing the trilogy with `st_tumbling_late` (update-mode agg)
+    * and `st_sessions_late` (append-mode sessions). */
+  val intervalJoinLateParity: Q = (s, d) => {
+    val ev = streamEventsWithJoinLatePlant(s, d)
+    runToTable(
+      EventStreams.viewPurchaseAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        lateness = JoinLateLateness),
+      "st_interval_join_late")
+      .select("purchase_id", "view_id", "user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessions" -> sessionParity,
     "st_sessions_mb" -> sessionMultiBatchParity,
@@ -769,6 +861,7 @@ object StreamParity {
     "st_tumbling_late" -> tumblingLateParity,
     "st_interval_join" -> intervalJoinParity,
     "st_interval_join_mb" -> intervalJoinMultiBatchParity,
+    "st_interval_join_late" -> intervalJoinLateParity,
     "st_exact_dedup" -> exactDedupParity,
     "st_exact_dedup_mb" -> exactDedupMultiBatchParity,
     "st_exact_dedup_parquet" -> exactDedupParquetParity,
@@ -890,6 +983,43 @@ object StreamParity {
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
            p.user_id AS user_id
          FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    // the join drop rule REPLAYED: the plant synthesizes one
+    // attribution pair per first-day/last-day source event (view at
+    // ts − 30 min, purchase at ts, reserved negative user per pair so
+    // planted rows join only each other); a planted row survives each
+    // side's late filter iff ts is past max(ts) − 48 h lateness, and
+    // the admitted survivors' attributions all emit
+    "st_interval_join_late" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 48 HOUR AS w FROM events),
+           bounds AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+           src AS (
+             SELECT event_id, ts FROM events, bounds
+             WHERE ts < bounds.mn + INTERVAL 24 HOUR
+                OR ts > bounds.mx - INTERVAL 24 HOUR),
+           planted AS (
+             SELECT -(event_id + 1000000) AS user_id,
+               ts - INTERVAL 30 MINUTE AS ts,
+               event_id + 10000000000 AS event_id, 'view' AS event_type
+             FROM src
+             UNION ALL
+             SELECT -(event_id + 1000000), ts,
+               event_id + 20000000000, 'purchase'
+             FROM src),
+           admitted AS (
+             SELECT p.* FROM planted p, wm WHERE p.ts > wm.w)
+         SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         UNION ALL
+         SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+         FROM admitted v JOIN admitted p
            ON v.user_id = p.user_id
           AND v.event_type = 'view' AND p.event_type = 'purchase'
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",

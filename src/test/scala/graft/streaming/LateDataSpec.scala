@@ -99,6 +99,36 @@ class LateDataSpec extends SparkSpec {
         s"got $batches")
   }
 
+  test("st_interval_join_late: stale pairs dropped by both join sides, in-horizon pairs all attributed") {
+    val res = StreamParity.queries("st_interval_join_late")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = res.filter(_._3 < -1000L)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head
+    val dayUs = 24L * 3600 * 1000000
+    val lastDay = ev.where(unix_micros(col("ts")) > mm.getLong(1) - dayUs)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val firstDay = ev.where(unix_micros(col("ts")) < mm.getLong(0) + dayUs)
+      .count()
+    assert(firstDay > 0 && lastDay.nonEmpty, "degenerate corpus")
+    // ADMITTED: one self-pair per last-day source event, exactly
+    assert(planted.length === lastDay.size,
+      s"expected ${lastDay.size} admitted planted pairs, got ${planted.length}")
+    assert(planted.forall { case (pid, vid, uid) =>
+      val src = pid - 20000000000L
+      lastDay.contains(src) && vid == src + 10000000000L &&
+        uid == -(src + 1000000L)
+    }, "every admitted pair must be a last-day self-pair")
+    // DROPPED: no pair traces to a first-day source event
+    assert(planted.forall(p => lastDay.contains(p._1 - 20000000000L)),
+      "no stale (first-day) planted pair may survive the late filter")
+    // the corpus-side pair set is untouched by the plant
+    val basePairs = StreamParity.queries("st_interval_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res.filter(_._3 >= 0).toSet === basePairs)
+  }
+
   test("st_sessions_rocksdb: RocksDB provider engages and the session set equals the HDFS-backed run") {
     val rocks = StreamParity.queries("st_sessions_rocksdb")(spark, sfDir)
       .collect().map(_.toSeq).toSet
