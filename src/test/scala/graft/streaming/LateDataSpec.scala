@@ -140,6 +140,44 @@ class LateDataSpec extends SparkSpec {
     assert(rocks.nonEmpty)
   }
 
+  test("RocksDB changelog checkpointing: same session set as the snapshot-checkpoint run") {
+    // the production restart-cost knob: changelog checkpointing ships
+    // per-batch deltas instead of full RocksDB snapshots. Like the
+    // provider itself, it must be an execution knob only — the
+    // declared session oracle's answer cannot move
+    val df = EventStreams.sessionCounts(
+      StreamParity.streamEventsEpochsWithSentinel(spark, sfDir))
+    val qn = "rocksdb_changelog_spec"
+    val olds = Seq(
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("rocks-changelog").toString)
+        .start()
+      assert(q.awaitTermination(300000L))
+      val got = spark.table(qn).where(col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      val base = StreamParity.queries("st_sessions")(spark, sfDir)
+        .collect().map(_.toSeq).toSet
+      assert(got === base)
+      assert(got.nonEmpty)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("RocksDB provider reports state-store memory metrics in query progress") {
     val df = EventStreams.sessionCounts(
       StreamParity.streamEventsEpochsWithSentinel(spark, sfDir))
