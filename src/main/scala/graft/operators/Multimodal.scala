@@ -396,6 +396,77 @@ object Multimodal {
     }.toDF("doc_id", "frame_no", "ahash")
   }
 
+  /** REAL-CODEC roundtrip UNDER THE HASH GATE (round 11): the PNG/GIF
+    * decode path was spec-only (the driver corpus carries no real
+    * media), so the driver's oracle never touched it. This query
+    * closes that: per document, an 8×4 black/white image is drawn from
+    * a deterministic bit pattern of `doc_id` (the `sampleHashExpr`
+    * multiplicative mix; pixel j is white iff bit j is set, pixel 0
+    * forced black so the all-white degenerate hash can't occur),
+    * ENCODED with a real codec — animated-GIF writer for even ids, PNG
+    * for odd — then DECODED back through [[ImageFrameDecoder]]'s
+    * magic-byte dispatch and perceptually hashed with
+    * [[averageHash64]]. Both codecs are lossless on a 2-color palette,
+    * so the decoded pixels are exact and the aHash is an ANALYTIC
+    * function of the bit pattern (white pixel j ⇒ hash bit 2j; odd
+    * bits empty-bucket zero) that the DuckDB oracle computes with pure
+    * integer bit arithmetic — a wrong decode, a palette drift, a
+    * packArgb layout change, or a broken dispatch each lands on a
+    * different hash.
+    *
+    * 100 TB shape: one narrow mapPartitions, encoder + decoder
+    * initialized once per task ([[FrameDecoder]] lifecycle), ~60-byte
+    * payloads never shuffled — output is (id, codec, 8-byte hash). */
+  private val codecRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      val dec = new ImageFrameDecoder
+      dec.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      val gifWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => gifWriter.dispose()))
+      it.map { id =>
+        val h = (id & 1073741823L) * 2654435761L
+        val img = new java.awt.image.BufferedImage(
+          8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // pixels 0 and 31 forced black: pixel j lands in aHash bucket
+        // 2j+1 (32 pixels over 64 buckets, integer-division bounds),
+        // so pixel 31 would set SIGN bit 63 — keeping it black keeps
+        // the declared hash positive on both engines, and pixel 0
+        // black rules out the all-white degenerate zero-hash
+        var j = 0
+        while (j < 32) {
+          val white = j != 0 && j != 31 && ((h >> j) & 1L) == 1L
+          img.setRGB(j % 8, j / 8, if (white) 0xFFFFFF else 0x000000)
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        if (id % 2 == 0) {
+          // non-interlaced explicitly: the JDK GIF writer's interlace
+          // round-trip is wrong for heights < 8 (see GifCodecSpec)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          gifWriter.setOutput(ios)
+          val param = gifWriter.getDefaultWriteParam
+          param.setProgressiveMode(
+            javax.imageio.ImageWriteParam.MODE_DISABLED)
+          gifWriter.write(null,
+            new javax.imageio.IIOImage(img, null, null), param)
+          ios.close()
+        } else {
+          javax.imageio.ImageIO.write(img, "png", bos)
+        }
+        val frames = dec.frames(bos.toByteArray).toArray
+        require(frames.length == 1 && frames.head._2.length == 8 * 4 * 4,
+          s"doc $id: roundtrip decoded ${frames.length} frames")
+        (id, if (id % 2 == 0) "gif" else "png", averageHash64(frames.head._2))
+      }
+    }.toDF("doc_id", "codec", "ahash")
+  }
+
   /** Features as a declared query — hash-verified: the stub decoder is
     * md5-derived, so the oracle recomputes the exact lane values;
     * MultimodalSpec additionally pins determinism + shape. */
@@ -502,9 +573,30 @@ object Multimodal {
     "mm_frame_sample" -> frameSample,
     "mm_frame_dupes" -> frameDupes,
     "mm_resize" -> resizeQ,
+    "mm_codec_roundtrip" -> codecRoundtrip,
   )
 
   val oracle: Map[String, String] = Map(
+    // the analytic aHash of the drawn bit pattern: white pixel j sets
+    // hash bit 2j+1 (n=32 pixels over 64 buckets with integer-division
+    // bounds → bucket 2j+1 = {pixel j}, even buckets empty; a white
+    // pixel's luminance 255 exceeds the mean iff any pixel is black,
+    // guaranteed by the forced-black pixels 0 and 31 — 31 also keeps
+    // the sign bit clear). Pure integer bit arithmetic — any decode/
+    // palette/layout/dispatch defect in the REAL codec path lands on a
+    // different hash.
+    "mm_codec_roundtrip" ->
+      """WITH base AS (
+           SELECT doc_id, (doc_id & 1073741823) * 2654435761 AS h
+           FROM documents),
+         bits AS (
+           SELECT doc_id, h, unnest(range(1, 31)) AS j FROM base)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'png' END AS codec,
+           CAST(coalesce(sum(CASE WHEN ((h >> j) & 1) = 1
+                  THEN (CAST(1 AS BIGINT) << (2 * j + 1)) ELSE 0 END), 0)
+                AS BIGINT) AS ahash
+         FROM bits GROUP BY doc_id, h""",
     // octet_length(encode(..)) = UTF-8 BYTE count, matching Spark's
     // length(CAST(text AS BINARY)) on any corpus (DuckDB length(text)
     // counts CHARACTERS and diverges on non-ASCII).

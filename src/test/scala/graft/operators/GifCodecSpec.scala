@@ -81,6 +81,21 @@ class GifCodecSpec extends SparkSpec {
     assert(hashes(1L) !== 0L, "a two-tone frame must not hash to the trivial 0")
   }
 
+  test("mm_codec_roundtrip: both real codecs decode to the analytic hash, deterministically") {
+    val run1 = Multimodal.queries("mm_codec_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val run2 = Multimodal.queries("mm_codec_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(run1.sortBy(_._1).sameElements(run2.sortBy(_._1)),
+      "encode→decode→hash must be bit-deterministic")
+    val byCodec = run1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCodec.keySet === Set("gif", "png"),
+      "both real codecs must be exercised")
+    assert(run1.forall(_._3 >= 0L), "forced-black pixel 31 keeps hashes positive")
+    assert(run1.map(_._3).distinct.length > run1.length / 2,
+      "hashes must vary with the per-doc bit pattern")
+  }
+
   test("mixed-codec corpus: frame dedup finds the cross-codec duplicate, thumbnails keep geometry") {
     import spark.implicits._
     val shared = frame(Red, Black)
