@@ -66,6 +66,7 @@ object Plans {
     "pl_apply_cdc",         // size-guarded broadcast anti join (MERGE shape)
     "st_sessions",          // native session_window + flush-sentinel drain
     "st_interval_join",     // stream-stream event-time-bounded join
+    "mm_codec_roundtrip",   // real encode→decode→hash, narrow zero-shuffle pass
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,
@@ -106,6 +107,33 @@ Spec coverage: `PipelineSpec` "broadcastIfSmall: grants under / withholds
 above", "apply_cdc: guarded fallback shuffles and answers identically",
 "contamination: guard grants at test scale"; the dedup-signals combine spec
 pins BroadcastHashJoin presence at test scale.
+
+## Streaming state audit (round 11)
+
+Every stateful streaming operator behind a declared `st_*` query,
+adjudicated by what bounds its state store and what evicts entries. The
+store itself is a provider knob: the default HDFSBacked provider holds
+state on-heap; `st_sessions_rocksdb` runs the same session machine under
+RocksDB (off-heap block cache + local-SSD spill, engagement-required),
+and `LateDataSpec` additionally pins changelog checkpointing — both are
+execution knobs only, sharing the session oracle.
+
+| Operator (queries) | State keyed by | Bound | Eviction |
+|---|---|---|---|
+| `tumblingCounts` (st_tumbling, st_tumbling_late) | (1 h window, event_type) | types × (lateness horizon / 1 h) windows — O(1) per key | window end ≤ watermark; late input dropped by the same rule (oracle-exercised in st_tumbling_late) |
+| `slidingCounts` (st_sliding) | (1 h window every 15 min) | 4× tumbling's window count, same horizon bound | same watermark rule |
+| `session_window` (st_sessions, _mb, _rocksdb, _late) | (user, open session) | users ACTIVE within gap+lateness — not corpus users | session emitted + dropped when watermark passes its end (append); late input dropped by window-end rule (oracle-exercised in st_sessions_late) |
+| `dropDuplicatesWithinWatermark` (st_exact_dedup ×3, st_cross_dedup) | content fingerprint | fps seen within the lateness horizon — the watermark IS the bound (an unbounded dedup would OOM; the horizon is the declared trade) | key dropped when watermark passes its event time |
+| stream-stream interval join (st_interval_join, _mb, _late) | per-side rows by user | 1 h (join bound) + lateness of rows per side; the _late variant declares a 48 h horizon — wider lateness buys tolerance with linearly more state, the per-deployment trade priced explicitly | row dropped when watermark passes its joinable window (cross-batch hold oracle-exercised in _mb; late input drop in _late) |
+| `mapGroupsWithState` funnel/EWMA (st_funnel, st_ewma) | user | O(1) VALUE per user (an Int / a 3-field fold), but KEY set = all users ever seen — `GroupStateTimeout.NoTimeout` never evicts. Honest adjudication: at 100 TB user cardinality this is the one store that grows with corpus lifetime; the production knob is `ProcessingTimeTimeout`/`EventTimeTimeout` on inactive keys (same API, state dropped + re-folded on return), not a different engine | none by declaration (see left) |
+| `contaminated` stream-static semi join (st_contaminated) | per-doc collapse within horizon | watermark-bounded docs; the static dictionary side is a broadcast read, never state | watermark |
+
+The late-data drop rule itself is oracle-exercised in all three stateful
+shapes (update-mode aggregation, append-mode sessions, join state) via
+the `*_late` trilogy — including the empirical one-batch-lag contract
+(the late filter runs against the PREVIOUS batch's watermark,
+SPARK-40925), which every plant accounts for with a watermark-aging
+middle file.
 """
 
   def main(args: Array[String]): Unit = {
