@@ -467,6 +467,74 @@ object Multimodal {
     }.toDF("doc_id", "codec", "ahash")
   }
 
+  /** REAL-AUDIO roundtrip UNDER THE HASH GATE (round 11, the audio
+    * sibling of [[codecRoundtrip]]): per document, a square wave with
+    * doc-derived half-period and amplitude is synthesized as 16-bit
+    * mono PCM, ENCODED into a real WAV container
+    * (`javax.sound.sampled.AudioSystem` — pure JVM, headless-safe),
+    * DECODED back through the real parser (`getAudioInputStream`
+    * negotiates the container header and PCM format), and reduced to
+    * integer features — sample count, zero crossings, total absolute
+    * amplitude — that are ANALYTIC functions of the generating
+    * parameters, which the DuckDB oracle computes with integer
+    * arithmetic: a header mis-parse, endianness flip, channel/width
+    * drift, or sample corruption each lands on different numbers.
+    * WAV PCM is lossless, so the roundtrip is exact by construction.
+    *
+    * 100 TB shape: identical to [[codecRoundtrip]] — one narrow
+    * mapPartitions, ~2 KB payloads born and consumed inside the task,
+    * only (id, 3 longs) ever shuffled. */
+  private val audioRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val h = (id & 1073741823L) * 2654435761L
+        val halfp = (4L + h % 13).toInt
+        val amp = (1000L + h % 9000).toInt
+        val n = (800L + id % 7 * 160).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = if ((i / halfp) % 2 == 0) amp else -amp
+          pcm(2 * i) = (v & 0xFF).toByte            // little-endian 16-bit
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val src = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(src,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        src.close()
+        // decode through the REAL container parser
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val df = in.getFormat
+        require(df.getSampleSizeInBits == 16 && df.getChannels == 1 &&
+          !df.isBigEndian, s"doc $id: WAV decoded to unexpected format $df")
+        val dec = in.readAllBytes()
+        in.close()
+        val m = dec.length / 2
+        var zc = 0L
+        var sumAbs = 0L
+        var prev = 0
+        var j = 0
+        while (j < m) {
+          val v = (((dec(2 * j + 1) & 0xFF) << 8) | (dec(2 * j) & 0xFF))
+            .toShort.toInt
+          if (j > 0 && v.toLong * prev < 0) zc += 1
+          sumAbs += math.abs(v)
+          prev = v
+          j += 1
+        }
+        (id, m.toLong, zc, sumAbs)
+      }
+    }.toDF("doc_id", "n_samples", "zero_crossings", "sum_abs")
+  }
+
   /** Features as a declared query — hash-verified: the stub decoder is
     * md5-derived, so the oracle recomputes the exact lane values;
     * MultimodalSpec additionally pins determinism + shape. */
@@ -574,9 +642,25 @@ object Multimodal {
     "mm_frame_dupes" -> frameDupes,
     "mm_resize" -> resizeQ,
     "mm_codec_roundtrip" -> codecRoundtrip,
+    "mm_audio_roundtrip" -> audioRoundtrip,
   )
 
   val oracle: Map[String, String] = Map(
+    // the analytic features of the synthesized square wave: n samples
+    // survive the WAV roundtrip exactly; the sign flips at every
+    // multiple of the half-period in [1, n) — (n−1) DIV halfp
+    // crossings; every sample's magnitude is the amplitude
+    "mm_audio_roundtrip" ->
+      """WITH base AS (
+           SELECT doc_id, (doc_id & 1073741823) * 2654435761 AS h
+           FROM documents)
+         SELECT doc_id,
+           CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_samples,
+           CAST((800 + (doc_id % 7) * 160 - 1) // (4 + h % 13)
+                AS BIGINT) AS zero_crossings,
+           CAST((800 + (doc_id % 7) * 160) * (1000 + h % 9000)
+                AS BIGINT) AS sum_abs
+         FROM base""",
     // the analytic aHash of the drawn bit pattern: white pixel j sets
     // hash bit 2j+1 (n=32 pixels over 64 buckets with integer-division
     // bounds → bucket 2j+1 = {pixel j}, even buckets empty; a white

@@ -6,6 +6,29 @@ import graft.SparkSpec
   * metadata-only pruning. */
 class MultimodalSpec extends SparkSpec {
 
+  test("mm_audio_roundtrip: WAV encode→parse→features is exact and deterministic") {
+    import org.apache.spark.sql.functions.col
+    val run1 = Multimodal.queries("mm_audio_roundtrip")(spark, sfDir)
+    val rows = run1.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the features are analytic in the generating parameters — replay
+    // them here (the same arithmetic the DuckDB oracle runs)
+    rows.foreach { case (id, n, zc, sumAbs) =>
+      val h = (id & 1073741823L) * 2654435761L
+      val halfp = 4L + h % 13
+      val amp = 1000L + h % 9000
+      val expN = 800L + id % 7 * 160
+      assert(n === expN, s"doc $id sample count")
+      assert(zc === (expN - 1) / halfp, s"doc $id zero crossings")
+      assert(sumAbs === expN * amp, s"doc $id absolute sum")
+    }
+    val again = Multimodal.queries("mm_audio_roundtrip")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { case (id, _, _, sumAbs) => assert(again(id) === sumAbs) }
+    assert(run1.select(col("doc_id")).distinct().count() === rows.length.toLong)
+  }
+
   test("feature extraction: fixed shape, deterministic, batch-mapped") {
     val feats = Multimodal.extractFeatures(Multimodal.media(spark, sfDir))
     val rows = feats.collect()
