@@ -29,6 +29,26 @@ class ConcurrencySpec extends SparkSpec {
     }
   }
 
+  test("racing streaming parity queries keep their answers under the serialized conf override") {
+    // the round-11 monitor fix: overlapping streaming starts save/set/
+    // restore the shared session's shuffle-partition conf under one
+    // lock — raced batch+stream queries must neither deadlock nor
+    // drift, and the conf must come back to its original value
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val names = Seq("st_exact_dedup", "st_tumbling", "ev_sessions")
+    val expected = names.map { n =>
+      n -> graft.SparkEntry.queries(n)(spark, sfDir).count()
+    }.toMap
+    val futs = names.map { n =>
+      Future(n -> graft.SparkEntry.queries(n)(spark, sfDir).count())
+    }
+    Await.result(Future.sequence(futs), 300.seconds).foreach { case (n, c) =>
+      assert(c === expected(n), s"$n drifted under concurrency")
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "state-partition override leaked into the shared session")
+  }
+
   test("racing iterative operators never evict each other's checkpoints") {
     // pageRank and connectedComponents both localCheckpoint per round
     // (lineage TRUNCATED — an evicted block is unrecoverable, so a
