@@ -173,7 +173,12 @@ object Multimodal {
         val img = {
           var in: javax.imageio.stream.ImageInputStream = null
           try {
-            in = javax.imageio.ImageIO.createImageInputStream(
+            // MEMORY-cached explicitly: ImageIO.createImageInputStream
+            // defaults to a DISK cache file per stream (one temp-file
+            // create/delete per frame — measured as bimodal 4× rep
+            // noise in the roundtrip bench); the payload is already
+            // in memory, so the disk detour is pure overhead
+            in = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(p.slice(off, end)))
             reader.setInput(in, true, true)
             Option(reader.read(0))
@@ -229,7 +234,8 @@ object Multimodal {
     def frames(p: Array[Byte]): Iterator[(Int, Array[Byte])] = {
       var in: javax.imageio.stream.ImageInputStream = null
       try {
-        in = javax.imageio.ImageIO.createImageInputStream(
+        // memory-cached for the same no-temp-file reason as the PNG path
+        in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(p))
         reader.setInput(in, false, true)
         val n = try reader.getNumImages(true) catch { case _: Exception => 0 }
@@ -448,7 +454,8 @@ object Multimodal {
         if (id % 2 == 0) {
           // non-interlaced explicitly: the JDK GIF writer's interlace
           // round-trip is wrong for heights < 8 (see GifCodecSpec)
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val ios =
+            new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
           gifWriter.setOutput(ios)
           val param = gifWriter.getDefaultWriteParam
           param.setProgressiveMode(
