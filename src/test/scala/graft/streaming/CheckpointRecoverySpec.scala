@@ -335,4 +335,67 @@ class CheckpointRecoverySpec extends SparkSpec {
     // across the three separate query incarnations
     assert(result == Map(0L -> 30L, 1L -> 30L, 2L -> 30L), result.toString)
   }
+
+  test("windowed aggregation survives kill/restart under the RocksDB store with changelog checkpointing") {
+    // the 100 TB recovery story end-to-end: RocksDB state (off-heap,
+    // local-SSD) + changelog checkpointing (per-batch deltas shipped
+    // to the checkpoint instead of full snapshots) must restore the
+    // same aggregation state across THREE query incarnations — the
+    // restart path is where a changelog bug would corrupt counts
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = Files.createTempDirectory("graft-rocks-ckpt")
+      val src = s"$dir/in"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+      new java.io.File(src).mkdirs()
+      def writeChunk(ids: Range, hour: Int): Unit =
+        ids.map(i => Event(i.toLong,
+            java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00"), i % 3L,
+            "click", 1.0, "{}"))
+          .toDF().coalesce(1).write.mode("append").parquet(src)
+      val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+      def start() =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("bucket"), col("user_id"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      writeChunk(0 until 30, hour = 10)
+      writeChunk(30 until 60, hour = 10)
+      val q1 = start(); q1.awaitTermination(60000); q1.stop()
+      writeChunk(60 until 90, hour = 10)
+      writeChunk(90 until 93, hour = 12)
+      val q2 = start(); q2.awaitTermination(60000); q2.stop()
+      writeChunk(93 until 94, hour = 14)
+      val q3 = start(); q3.awaitTermination(60000)
+      // the provider must have actually engaged in the final incarnation
+      import scala.jdk.CollectionConverters._
+      val engaged = q3.recentProgress.flatMap(_.stateOperators).exists(
+        _.customMetrics.keySet().asScala.exists(
+          _.toLowerCase.contains("rocksdb")))
+      q3.stop()
+      assert(engaged, "RocksDB provider did not engage across restarts")
+      val result = spark.read.parquet(out)
+        .where(col("bucket") === "2024-01-01 10:00:00")
+        .groupBy("user_id").agg(sum("n").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(result == Map(0L -> 30L, 1L -> 30L, 2L -> 30L), result.toString)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
