@@ -121,6 +121,30 @@ object Bench {
       s
     }
 
+    // SWEEP-ORDER RANDOMIZATION (round 12, r11 verdict item 7): the r11
+    // sweep carried a 2-2.9x regression burst across four ta_* queries
+    // that are CONTIGUOUS in sorted order — the signature of a
+    // time-local box stall, which an alphabetical sweep converts into a
+    // family-shaped "regression" the protocol cannot distinguish from a
+    // real one. Per-rep-session reps are independent draws, so the
+    // sweep may visit queries in ANY order: each rep PASS visits every
+    // query once in a deterministically seeded shuffle (seed + pass
+    // index), making consecutive visits unrelated names and the three
+    // reps of one query far apart in time — a stall now lands as
+    // uncorrelated single-rep noise (which the median and stall guard
+    // already absorb) instead of a correlated family burst. The
+    // executed order is logged in the artifact ("order": permutation
+    // indices into the sorted name list, one array per pass) so any
+    // future burst can be read against WHEN each rep actually ran.
+    // Fixed default seed: reproducible across rounds; override via
+    // SPARK_GRAFT_ORDER_SEED for A/B on the order itself.
+    val orderSeed = sys.env.getOrElse("SPARK_GRAFT_ORDER_SEED", "12").toLong
+    val passOrders: Seq[Vector[Int]] =
+      if (!repSessions) Seq.empty
+      else (0 until reps).map { r =>
+        new scala.util.Random(orderSeed + r).shuffle(ordered.indices.toVector)
+      }
+
     val results = if (repSessions) {
       // per-rep isolation: session create/stop lands OUTSIDE the timed
       // region; each rep re-plans from the loader in a clean context.
@@ -140,55 +164,72 @@ object Bench {
       // drops the warm-up's explicit blocks synchronously, outside the
       // clock, so the timed rep starts from clean BLOCK state in a warm
       // JVM — an independent warm draw, which is what a median wants.
-      ordered.map { case (name, fn) =>
-        val gc0 = gcSecs
-        var warmFails = 0
-        def runOnce(): Option[Double] = {
-          val spark = freshSession()
-          // NonFatal only (advice r9): an OOM/fatal JVM error in the
-          // warm-up must propagate, not leave a wounded JVM that the
-          // timed run then "measures"; a non-fatal warm-up failure is
-          // counted so a cold-timed query is visible in the artifact
-          try { fn(spark, sfDir).count() }
-          catch { case scala.util.control.NonFatal(_) => warmFails += 1 }
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
-          // the streaming-parity queries leave their memory-sink
-          // result registered as a temp view (the view's plan pins the
-          // sink's rows) — drop the warm-up's views so the timed rep
-          // doesn't run with the warm-up's whole output resident
-          try spark.catalog.listTables().collect()
-            .filter(_.isTemporary)
-            .foreach(t => spark.catalog.dropTempView(t.name))
-          catch { case scala.util.control.NonFatal(_) => }
-          StateDrain(spark)
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case scala.util.control.NonFatal(_) => false }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          spark.stop()
-          if (ok) Some(elapsed) else None
-        }
-        var times = (1 to reps).flatMap(_ => runOnce()).toVector
-        // STALL GUARD (round 10, verdict item 1): the r9 committed
-        // artifact had reps like ev_sessions [0.39, 5.38, 6.25] — one
-        // environment stall during reps 2-3 set the committed median to
-        // 13x the query's true cost. A rep >3x the rep minimum is (by
-        // the per-rep-session design) not a plan property — every rep
-        // is an independent draw — so it is environmental; run up to 2
-        // EXTRA reps to dilute it. Extra reps are APPENDED, never
-        // replace the outlier: the full chronological array stays in
-        // the artifact, so a genuinely degraded window is still visible
-        // (all reps high -> guard fires, retries land high too, median
-        // honestly reports the window), while one stalled rep among
-        // sane ones can no longer set the committed median.
+      final class Acc {
+        var times: Vector[Double] = Vector.empty
+        var gc = 0.0
         var extra = 0
-        while (times.nonEmpty && extra < 2 && times.max > 3 * times.min) {
-          runOnce().foreach(t => times = times :+ t)
-          extra += 1
+        var warmFails = 0
+      }
+      val acc = ordered.map { case (n, _) => n -> new Acc }.toMap
+      def runOnce(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+        val a = acc(name)
+        val gc0 = gcSecs
+        val spark = freshSession()
+        // NonFatal only (advice r9): an OOM/fatal JVM error in the
+        // warm-up must propagate, not leave a wounded JVM that the
+        // timed run then "measures"; a non-fatal warm-up failure is
+        // counted so a cold-timed query is visible in the artifact
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(_) => a.warmFails += 1 }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        // the streaming-parity queries leave their memory-sink
+        // result registered as a temp view (the view's plan pins the
+        // sink's rows) — drop the warm-up's views so the timed rep
+        // doesn't run with the warm-up's whole output resident
+        try spark.catalog.listTables().collect()
+          .filter(_.isTemporary)
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        catch { case scala.util.control.NonFatal(_) => }
+        StateDrain(spark)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case scala.util.control.NonFatal(_) => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.stop()
+        a.gc += gcSecs - gc0
+        if (ok) a.times = a.times :+ elapsed
+      }
+      passOrders.foreach(_.foreach(i => runOnce(ordered(i)._1, ordered(i)._2)))
+      // STALL GUARD (round 10, verdict item 1): the r9 committed
+      // artifact had reps like ev_sessions [0.39, 5.38, 6.25] — one
+      // environment stall during reps 2-3 set the committed median to
+      // 13x the query's true cost. A rep >3x the rep minimum is (by
+      // the per-rep-session design) not a plan property — every rep
+      // is an independent draw — so it is environmental; run up to 2
+      // EXTRA reps to dilute it. Extra reps are APPENDED, never
+      // replace the outlier: the full chronological array stays in
+      // the artifact, so a genuinely degraded window is still visible
+      // (all reps high -> guard fires, retries land high too, median
+      // honestly reports the window), while one stalled rep among
+      // sane ones can no longer set the committed median. Retries run
+      // as a final pass, so they are also time-decorrelated from the
+      // rep that tripped them.
+      ordered.foreach { case (name, fn) =>
+        val a = acc(name)
+        while (a.times.nonEmpty && a.extra < 2 &&
+            a.times.max > 3 * a.times.min) {
+          val before = a.times.length
+          runOnce(name, fn)
+          a.extra += 1
+          if (a.times.length == before) () // failed retry: counted, no time
         }
-        (name, times, gcSecs - gc0, extra, warmFails)
+      }
+      ordered.map { case (name, _) =>
+        val a = acc(name)
+        (name, a.times, a.gc, a.extra, a.warmFails)
       }
     } else chunks.flatMap { chunk =>
       val spark = GraftSession.builder(cpus, cpus).getOrCreate()
@@ -295,7 +336,13 @@ object Bench {
     val total = r3(medians.map(_._2).filter(_ >= 0).sum)
     // key order matters: a tail-only capture must still see the total and
     // the medians, so diagnostics come first and "value" is last
+    // the executed visit order: one permutation (indices into the
+    // sorted "queries" key list) per rep pass — empty in the
+    // shared-session A/B branch, which keeps sorted order
+    val orderJson = passOrders
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_reps":$reps,""" +
+      s""""order_seed":$orderSeed,"order":$orderJson,""" +
       // drain_ok is only meaningful when the shared-session branch ran
       // StateDrain; in the default per-rep mode the drain never
       // executes, and asserting its health would be unfalsifiable —

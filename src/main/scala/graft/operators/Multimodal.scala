@@ -642,11 +642,99 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared_frames"))
   }
 
+  /** Draw the 8×4 two-tone frame for `seed`: pixel j white iff bit j of
+    * the multiplicative mix is set, pixels 0 and 31 forced black (the
+    * [[codecRoundtrip]] arithmetic — keeps the aHash analytic, nonzero
+    * mean, and sign-bit-clear). */
+  private def drawPatternFrame(seed: Long): java.awt.image.BufferedImage = {
+    val h = (seed & 1073741823L) * 2654435761L
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var j = 0
+    while (j < 32) {
+      val white = j != 0 && j != 31 && ((h >> j) & 1L) == 1L
+      img.setRGB(j % 8, j / 8, if (white) 0xFFFFFF else 0x000000)
+      j += 1
+    }
+    img
+  }
+
+  /** REAL-DECODER frame dedup UNDER THE HASH GATE (round 12, r11
+    * verdict item 3): [[frameDupes]] declares the stride STUB as its
+    * decoder (the driver corpus carries no real media), so the real
+    * PNG/GIF paths were hash-gated only via the single-frame
+    * roundtrips. This query runs the full dedup pipeline over REAL
+    * MULTI-FRAME containers: per document, TWO 8×4 frames are drawn
+    * from deterministic bit patterns — frame 0 from a per-doc seed
+    * (`2·id + 1`), frame 1 from a PAIR-shared seed (`4·(id DIV 2) + 2`,
+    * identical for ids 2k and 2k+1; the odd/even seed spaces are
+    * disjoint so a planted frame-0 never equals a planted frame-1 by
+    * seed) — encoded as one ANIMATED GIF for even ids and CONCATENATED
+    * PNGs for odd ids, decoded back through [[ImageFrameDecoder]]'s
+    * magic dispatch, perceptually hashed with [[averageHash64]], and
+    * joined with [[frameDupePairs]]'s df-capped inverted-index
+    * discipline. Every planted pair is therefore a CROSS-CODEC match
+    * (2k is GIF, 2k+1 is PNG): the query hash-verifies multi-frame
+    * container iteration, magic dispatch, [[packArgb]] codec-blindness,
+    * and the dedup join in one row, with the DuckDB oracle computing
+    * every frame hash from the same integer bit arithmetic as
+    * `mm_codec_roundtrip` and replaying the capped pair join.
+    *
+    * 100 TB shape: identical to [[frameDupes]] — decode and hash fused
+    * in one narrow pass (pixels never shuffle, only (id, 8-byte hash)),
+    * then the capped hash-bucket self-join. The stub queries remain
+    * declared as the plumbing differential. */
+  private val frameDupesReal: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    val hashes = ids.mapPartitions { it =>
+      val dec = new ImageFrameDecoder
+      dec.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
+      val gifWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => gifWriter.dispose()))
+      it.flatMap { id =>
+        val fs = Seq(drawPatternFrame(2 * id + 1),
+          drawPatternFrame(4 * (id / 2) + 2))
+        val bos = new java.io.ByteArrayOutputStream()
+        if (id % 2 == 0) { // one true multi-frame animated-GIF container
+          val ios =
+            new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          gifWriter.setOutput(ios)
+          val param = gifWriter.getDefaultWriteParam
+          // non-interlaced: the JDK writer's interlace roundtrip is
+          // wrong for heights < 8 (GifCodecSpec)
+          param.setProgressiveMode(
+            javax.imageio.ImageWriteParam.MODE_DISABLED)
+          gifWriter.prepareWriteSequence(null)
+          fs.foreach(f => gifWriter.writeToSequence(
+            new javax.imageio.IIOImage(f, null, null), param))
+          gifWriter.endWriteSequence()
+          ios.close()
+        } else { // concatenated single-frame PNGs
+          fs.foreach(f => javax.imageio.ImageIO.write(f, "png", bos))
+        }
+        val frames = dec.frames(bos.toByteArray).toArray
+        require(frames.length == 2 && frames.forall(_._2.length == 8 * 4 * 4),
+          s"doc $id: planted 2-frame container decoded ${frames.length} frames")
+        frames.iterator.map { case (_, b) => (id, averageHash64(b)) }
+      }
+    }.toDF("doc_id", "ahash")
+    frameDupePairs(
+      hashes.select(col("doc_id"),
+        format_string("%d", col("ahash")).as("frame_md5")).distinct(),
+      FrameDfCap)
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_metadata" -> metadata,
     "mm_features" -> features,
     "mm_frame_sample" -> frameSample,
     "mm_frame_dupes" -> frameDupes,
+    "mm_frame_dupes_real" -> frameDupesReal,
     "mm_resize" -> resizeQ,
     "mm_codec_roundtrip" -> codecRoundtrip,
     "mm_audio_roundtrip" -> audioRoundtrip,
@@ -714,6 +802,36 @@ object Multimodal {
           ${lane(7)} AS f7
           FROM documents"""
     },
+    // every planted frame's aHash from the same integer bit arithmetic
+    // as mm_codec_roundtrip (white pixel j ⇒ hash bit 2j+1), over the
+    // two seeds per doc (frame 0: 2·id+1, frame 1: pair-shared
+    // 4·(id DIV 2)+2), then the identical df-capped pair join as
+    // mm_frame_dupes — the codec layer is invisible by design, so the
+    // oracle needs no pixels, only the generating parameters
+    "mm_frame_dupes_real" ->
+      s"""WITH seeds AS (
+            SELECT doc_id, doc_id * 2 + 1 AS seed FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id // 2) * 4 + 2 FROM documents),
+          bits AS (
+            SELECT doc_id, (seed & 1073741823) * 2654435761 AS h,
+              unnest(range(1, 31)) AS j
+            FROM seeds),
+          hashed AS (
+            SELECT doc_id,
+              CAST(coalesce(sum(CASE WHEN ((h >> j) & 1) = 1
+                     THEN (CAST(1 AS BIGINT) << (2 * j + 1)) ELSE 0 END), 0)
+                   AS BIGINT) AS ahash
+            FROM bits GROUP BY doc_id, h),
+          fr AS (SELECT DISTINCT doc_id, ahash FROM hashed),
+          rare AS (
+            SELECT fr.doc_id, fr.ahash FROM fr
+            JOIN (SELECT ahash FROM fr GROUP BY ahash
+                  HAVING count(*) <= $FrameDfCap) ok USING (ahash))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            count(*) AS n_shared_frames
+          FROM rare a JOIN rare b ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2""",
     // char-based substring replays the byte slices because the query
     // restricts to single-byte-per-char payloads; range() is
     // exclusive-end with stride, exactly `0 until n by every`. The

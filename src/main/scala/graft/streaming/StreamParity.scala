@@ -679,6 +679,15 @@ object StreamParity {
       require((b0 + 1) * HourUs + GapUs <= wmUs - 1000000L,
         "session late-plant needs the first hour's session windows " +
           "clearly behind the watermark")
+      // Mirror of the tumbling plant's last-bucket guard (r11 advice):
+      // every last-bucket row's session-window END `ts + gap` must sit
+      // clearly PAST the watermark, else engine and oracle would still
+      // agree (both drop) but the spec's `total + 2·|lastBucket|`
+      // admitted-replants expectation silently depends on where max(ts)
+      // falls inside its hour. Smallest such end is bn·hour + gap.
+      require(bn * HourUs + GapUs >= wmUs + 1000000L,
+        "session late-plant needs the last hour's session windows " +
+          "clearly past the watermark")
       val bucket = expr(s"unix_micros(ts) DIV $HourUs")
       def replant(df: DataFrame, offset: Long): DataFrame =
         df.select((col("event_id") + offset).as("event_id"),
@@ -808,14 +817,36 @@ object StreamParity {
     * the provider actually engaged (RocksDB custom metrics present in
     * the query progress) so a silent fallback to the default store
     * can't make the row vacuous. */
-  val sessionRocksDbParity: Q = (s, d) => {
+  val sessionRocksDbParity: Q = (s, d) =>
+    sessionUnderRocksDb(s, d, "st_sessions_rocksdb")
+
+  /** [[sessionRocksDbParity]] with CHANGELOG CHECKPOINTING enabled —
+    * the remaining half of the 100 TB state story (round 12, r11
+    * verdict item 2): without it, every commit uploads a full RocksDB
+    * snapshot per store per batch, which at large keyed-state
+    * cardinality makes checkpoint cost proportional to STATE SIZE; with
+    * it, commits upload only the batch's changelog (delta) and snapshots
+    * happen in the background, so checkpoint cost is proportional to the
+    * batch's CHANGES. `CheckpointRecoverySpec` proves kill/restart
+    * recovery replays those changelogs correctly; this row puts the same
+    * knob under the HASH GATE, sharing the session-family oracle —
+    * checkpoint mechanics must never be a semantics knob. */
+  val sessionChangelogParity: Q = (s, d) =>
+    sessionUnderRocksDb(s, d, "st_sessions_changelog",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")
+
+  private def sessionUnderRocksDb(s: SparkSession, d: String, name: String,
+      extraConfs: (String, String)*): DataFrame = {
     import scala.jdk.CollectionConverters._
     val df = EventStreams.sessionCounts(streamEventsEpochsWithSentinel(s, d))
-    val qn = s"st_sessions_rocksdb_${runSeq.incrementAndGet()}"
-    val q = withStreamConfs(s,
+    val qn = s"${name}_${runSeq.incrementAndGet()}"
+    val confs = Seq(
       "spark.sql.shuffle.partitions" -> StatePartitions.toString,
       "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ) ++ extraConfs
+    val q = withStreamConfs(s, confs: _*) {
       df.writeStream.format("memory").queryName(qn)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }
@@ -857,6 +888,7 @@ object StreamParity {
     "st_sessions" -> sessionParity,
     "st_sessions_mb" -> sessionMultiBatchParity,
     "st_sessions_rocksdb" -> sessionRocksDbParity,
+    "st_sessions_changelog" -> sessionChangelogParity,
     "st_sessions_late" -> sessionLateParity,
     "st_tumbling_late" -> tumblingLateParity,
     "st_interval_join" -> intervalJoinParity,
@@ -907,6 +939,10 @@ object StreamParity {
     // knob: RocksDB-backed session state must produce the identical
     // session set (the run itself requires the provider engaged)
     "st_sessions_rocksdb" -> sessionOracleSql,
+    // changelog checkpointing is a CHECKPOINT-mechanics knob (delta
+    // uploads instead of full snapshots); the session set must be
+    // byte-identical to the whole family
+    "st_sessions_changelog" -> sessionOracleSql,
     // the session drop rule REPLAYED over the planted multiset: the
     // aging replay (file 1) is always kept, the late batch's rows
     // survive iff ts + gap is past max(ts) − lateness (first-bucket

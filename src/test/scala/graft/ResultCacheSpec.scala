@@ -141,6 +141,12 @@ class ResultCacheSpec extends SparkSpec {
     val (_, hitOld1) = ResultCache.materializeKeyed("sweepA/v1", inputs, cache)(
       sys.error("must hit"))
     assert(hitOld1)
+    // the untouched candidate must be OUTSIDE the eviction grace window
+    // (round 12: entries used within ~30 min are never evicted, so a
+    // concurrent process's mid-read entry survives a fresh JVM's sweep)
+    Files.setLastModifiedTime(Paths.get(s"$old2/_SUCCESS"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2L * 3600 * 1000))
     // stale uncommitted debris (dead builder): dir, no _SUCCESS, old mtime
     val debris = Paths.get(s"$cache/deadbeef00000000")
     Files.createDirectories(debris)
@@ -166,6 +172,79 @@ class ResultCacheSpec extends SparkSpec {
       sources.Tables.nation(spark, sfDir))
     assert(!hit)
     assert(df.count() == 25)
+  }
+
+  test("sweep: recently-used entries survive even over budget (mid-read grace)") {
+    // r11 advice: a freshly-launched JVM's construction-time sweep must
+    // not evict an entry another live process may be lazily scanning —
+    // recency (_SUCCESS mtime within the grace window) is the liveness
+    // signal, so an over-budget sweep keeps every recent entry
+    val cache = Files.createTempDirectory("graft-rc-grace").toString
+    val inputs = Seq(sources.Tables.nation(spark, sfDir))
+    val a = ResultCache.materializeKeyed("graceA/v1", inputs, cache)(
+      sources.Tables.nation(spark, sfDir))._1
+    val b = ResultCache.materializeKeyed("graceB/v1", inputs, cache)(
+      sources.Tables.nation(spark, sfDir))._1
+    val evicted = ResultCache.sweep(cache, 1L) // budget fits nothing
+    assert(evicted.isEmpty, s"grace window must protect fresh entries: $evicted")
+    assert(Files.exists(Paths.get(s"$a/_SUCCESS")))
+    assert(Files.exists(Paths.get(s"$b/_SUCCESS")))
+  }
+
+  test("a stale foreign lock is stolen promptly and atomically, not polled for 30 min") {
+    // r11 advice (medium): the steal is an ATOMIC_MOVE — exactly one
+    // stealer proceeds. Here: a lock orphaned by a dead builder (old
+    // mtime) must not block the next accessor; racing accessors must
+    // still build single-flight (one miss, one winner's commit read)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cache = Files.createTempDirectory("graft-rc-steal").toString
+    val inputs = Seq(sources.Tables.nation(spark, sfDir))
+    val (probePath, _) = ResultCache.materializeKeyed(
+      "stealParent/v1", inputs, cache)(
+      sources.Tables.nation(spark, sfDir).select(col("n_nationkey")))
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+      p.delete(); ()
+    }
+    rm(new java.io.File(probePath))
+    val lock = Paths.get(probePath + ".lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock, // orphaned 2 h ago
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2L * 3600 * 1000))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val futs = (1 to 3).map { _ =>
+      Future(ResultCache.runCachedKeyed("stealParent/v1", inputs, cache) {
+        builds.incrementAndGet()
+        sources.Tables.nation(spark, sfDir).select(col("n_nationkey"))
+      })
+    }
+    val results = Await.result(Future.sequence(futs), 60.seconds)
+    results.foreach { case (df, _) => assert(df.count() == 25) }
+    assert(builds.get() == 1, s"steal must stay single-flight, built ${builds.get()}")
+    assert(!Files.exists(lock), "winner must release the stolen lock")
+  }
+
+  test("sweep reaps orphaned lock files and steal graves with no live entry") {
+    val cache = Files.createTempDirectory("graft-rc-orphan").toString
+    Files.createDirectories(Paths.get(cache))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis - 2L * 3600 * 1000)
+    // dead builder's lock, no entry dir
+    val orphan = Paths.get(s"$cache/feedface00000000.lock")
+    Files.createFile(orphan); Files.setLastModifiedTime(orphan, old)
+    // abandoned steal grave
+    val grave = Paths.get(s"$cache/feedface00000000.lock.stale-abc")
+    Files.createFile(grave); Files.setLastModifiedTime(grave, old)
+    // a YOUNG lock (live builder heartbeat) must survive
+    val live = Paths.get(s"$cache/cafebabe00000000.lock")
+    Files.createFile(live)
+    ResultCache.sweep(cache, Long.MaxValue)
+    assert(!Files.exists(orphan), "orphaned dead lock must be reaped")
+    assert(!Files.exists(grave), "abandoned steal grave must be reaped")
+    assert(Files.exists(live), "a young (live) lock must never be touched")
   }
 
   test("partitioned materialization: split halves land in prunable directories") {

@@ -96,6 +96,21 @@ class GifCodecSpec extends SparkSpec {
       "hashes must vary with the per-doc bit pattern")
   }
 
+  test("mm_frame_dupes_real: planted multi-frame containers pair exactly cross-codec") {
+    // every doc carries 2 frames (even ids: one animated GIF; odd ids:
+    // concatenated PNGs); frame 1's seed is shared within (2k, 2k+1),
+    // so the declared pairs are exactly the adjacent GIF↔PNG pairs —
+    // multi-frame iteration, magic dispatch, packArgb codec-blindness
+    // and the df-capped join all land in this one shape
+    val pairs = Multimodal.queries("mm_frame_dupes_real")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(pairs.length === (nDocs / 2).toInt,
+      s"one pair per (2k, 2k+1): got ${pairs.length} of ${nDocs / 2}")
+    assert(pairs.forall { case (a, b, n) => a % 2 == 0 && b == a + 1 && n == 1L },
+      "every pair must be (even GIF doc, odd PNG doc) sharing exactly 1 frame")
+  }
+
   test("mixed-codec corpus: frame dedup finds the cross-codec duplicate, thumbnails keep geometry") {
     import spark.implicits._
     val shared = frame(Red, Black)

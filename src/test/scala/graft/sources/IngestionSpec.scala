@@ -84,6 +84,21 @@ class IngestionSpec extends SparkSpec {
     assert(df2.where(col("_corrupt").isNotNull).count() === 1)
   }
 
+  test("lenient csv: an EMPTY feed returns an empty frame, not a schema-inference error") {
+    // r11 advice: the write-out-once entry for an empty feed is
+    // `_SUCCESS` with zero data files; the read-back must use the
+    // declared schema (it is fully determined by schemaDdl) — the old
+    // .cache() path handled empty feeds and this must too
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_csv_empty").toString
+    Files.write(Paths.get(dir, "feed.csv"), Array.empty[Byte])
+    val df = graft.sources.Tables.csvTableLenient(
+      spark, s"$dir/feed.csv", "id LONG, name STRING, n LONG")
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("id", "name", "n", "_corrupt"))
+    assert(df.where(col("_corrupt").isNotNull).count() === 0)
+  }
+
   test("text file → textRecords → word count (S1 end-to-end)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-text")

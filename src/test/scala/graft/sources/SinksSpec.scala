@@ -71,12 +71,21 @@ class SinksSpec extends SparkSpec {
       Tables.orders(spark, sfDir).count())
   }
 
-  test("orc round-trip") {
+  test("orc round-trip through the catalog reader, pushdown intact") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val n = Tables.nation(spark, sfDir)
     Sinks.orc(n, s"$dir/orc")
-    assert(spark.read.orc(s"$dir/orc").collect().map(_.toSeq).toSet ==
+    val back = Tables.orcTable(spark, s"$dir/orc")
+    assert(back.collect().map(_.toSeq).toSet ==
       n.collect().map(_.toSeq).toSet)
+    // ORC carries min/max stats like parquet: a filter must reach the
+    // scan as a pushed filter, not evaluate post-scan only
+    val filtered = back.where(col("n_nationkey") === 7)
+    val scan = filtered.queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scan.toLowerCase.contains("pushedfilters") &&
+      scan.contains("n_nationkey"), s"no pushed filter in:\n$scan")
+    assert(filtered.count() == 1)
   }
 
   test("zstd parquet and gzip text round-trip, codec visible on disk") {
