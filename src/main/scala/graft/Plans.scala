@@ -67,6 +67,9 @@ object Plans {
     "st_sessions",          // native session_window + flush-sentinel drain
     "st_interval_join",     // stream-stream event-time-bounded join
     "mm_codec_roundtrip",   // real encode→decode→hash, narrow zero-shuffle pass
+    "q01_pricing_summary_orc", // same Q1 plan shape off an ORC scan (pushdown)
+    "mm_frame_dupes_real",  // real multi-frame decode → hash → capped pair join
+    "fz_seed1",             // fuzz grammar: FK join ∪ filtered copy → distinct
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,
@@ -115,8 +118,11 @@ adjudicated by what bounds its state store and what evicts entries. The
 store itself is a provider knob: the default HDFSBacked provider holds
 state on-heap; `st_sessions_rocksdb` runs the same session machine under
 RocksDB (off-heap block cache + local-SSD spill, engagement-required),
-and `LateDataSpec` additionally pins changelog checkpointing — both are
-execution knobs only, sharing the session oracle.
+`st_sessions_changelog` (round 12) additionally declares CHANGELOG
+CHECKPOINTING (per-batch delta commits instead of full snapshot
+uploads — checkpoint cost ∝ batch changes, not state size), and
+`LateDataSpec`/`CheckpointRecoverySpec` pin the same knobs under
+kill/restart — all execution knobs only, sharing the session oracle.
 
 | Operator (queries) | State keyed by | Bound | Eviction |
 |---|---|---|---|

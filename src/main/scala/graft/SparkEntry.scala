@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Advanced.queries ++
     operators.Pipeline.queries ++
     operators.Graph.queries ++
+    fuzz.FuzzQueries.queries ++
     streaming.StreamParity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
     operators.Advanced.oracle ++
     operators.Pipeline.oracle ++
     operators.Graph.oracle ++
+    fuzz.FuzzQueries.oracle ++
     streaming.StreamParity.oracle
 }

@@ -1,0 +1,653 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Property-based DIFFERENTIAL query fuzzing (round 12, r11 verdict
+  * item 5): the 179 declared queries are hand-picked, which means the
+  * semantics corners they exercise are the ones someone thought of.
+  * This module generalizes the engine's oracle-differential discipline
+  * (the reference's own test style — `counting_words.py:15-36` checks
+  * the engine against an independently computed answer) to RANDOM
+  * PLANS: a closed, typed grammar of oracle-translatable operators
+  * (scan / null-injection / filter / project / group-agg / FK join /
+  * distinct / sort-limit / union-all over the TPC-H-ish star schema),
+  * where every generated plan renders THREE ways:
+  *
+  *   - [[Fuzz.toDF]] — the Spark DataFrame plan (the system under test);
+  *   - [[Fuzz.toSql]] — ANSI SQL runnable by DuckDB (so fixed-seed
+  *     plans can be DECLARED queries under the driver's real oracle
+  *     gate, and so a failing case prints as runnable SQL);
+  *   - [[Fuzz.eval]] — an INDEPENDENT reference interpreter over
+  *     collected rows implementing ANSI semantics deliberately:
+  *     three-valued logic (Kleene AND/OR, filters keep only TRUE),
+  *     null-skipping aggregates (SUM/MIN/MAX of nothing = NULL while
+  *     COUNT = 0), group-by treating NULL as a real group, equality
+  *     joins where NULL keys match nothing, and DISTINCT where NULLs
+  *     collapse.
+  *
+  * `FuzzQuerySpec` drives hundreds of seeded plans through Spark vs
+  * the interpreter and shrinks failures to a minimal subplan; three
+  * fixed seeds are declared as `fz_*` queries so the same grammar also
+  * runs under DuckDB per round. The grammar is deliberately bounded
+  * for DETERMINISM across engines: no double SUM/AVG (accumulation
+  * order), no division (by-zero semantics), FK-only join keys (output
+  * sizes stay O(fact)), literals sized so ANSI-mode arithmetic can
+  * never overflow.
+  */
+object Fuzz {
+
+  // ---------------------------------------------------------------- types
+
+  sealed trait FType
+  case object LongT extends FType
+  case object DoubleT extends FType
+  case object StringT extends FType
+  case object BoolT extends FType
+
+  final case class Field(name: String, tpe: FType)
+
+  // ------------------------------------------------------------- catalog
+
+  /** The fuzzable star schema: every column is long/double/string
+    * (timestamps excluded from the closed grammar); INTEGER parquet
+    * columns are cast to BIGINT in all three renderings. */
+  val catalog: Map[String, Seq[Field]] = Map(
+    "nation" -> Seq(Field("n_nationkey", LongT), Field("n_name", StringT),
+      Field("n_regionkey", LongT)),
+    "region" -> Seq(Field("r_regionkey", LongT), Field("r_name", StringT)),
+    "customer" -> Seq(Field("c_custkey", LongT), Field("c_name", StringT),
+      Field("c_nationkey", LongT), Field("c_acctbal", DoubleT),
+      Field("c_mktsegment", StringT)),
+    "supplier" -> Seq(Field("s_suppkey", LongT), Field("s_name", StringT),
+      Field("s_nationkey", LongT), Field("s_acctbal", DoubleT)),
+    "part" -> Seq(Field("p_partkey", LongT), Field("p_name", StringT),
+      Field("p_brand", StringT), Field("p_type", StringT),
+      Field("p_size", LongT), Field("p_retailprice", DoubleT)),
+    "orders" -> Seq(Field("o_orderkey", LongT), Field("o_custkey", LongT),
+      Field("o_orderstatus", StringT), Field("o_totalprice", DoubleT),
+      Field("o_orderpriority", StringT)),
+    "lineitem" -> Seq(Field("l_orderkey", LongT), Field("l_partkey", LongT),
+      Field("l_suppkey", LongT), Field("l_linenumber", LongT),
+      Field("l_quantity", DoubleT), Field("l_extendedprice", DoubleT),
+      Field("l_discount", DoubleT), Field("l_tax", DoubleT),
+      Field("l_returnflag", StringT), Field("l_linestatus", StringT)),
+  )
+
+  /** FK → PK pairs joins may use: the dim key is UNIQUE, so join output
+    * is bounded by the fact side at every scale — the generator can
+    * never write an accidental many-to-many blow-up. */
+  val fkPairs: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+  )
+
+  // --------------------------------------------------------------- exprs
+
+  sealed trait Expr { def tpe: FType }
+  final case class Col(name: String, tpe: FType) extends Expr
+  final case class LitL(v: Long) extends Expr { val tpe: FType = LongT }
+  final case class LitD(v: Double) extends Expr { val tpe: FType = DoubleT }
+  final case class LitS(v: String) extends Expr { val tpe: FType = StringT }
+  /** `+ - * %` on longs, `+ - *` on doubles; operands same-typed. */
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr {
+    def tpe: FType = l.tpe
+  }
+  /** `< <= = <> > >=`; operands same-typed; NULL if either side NULL. */
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr {
+    val tpe: FType = BoolT
+  }
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr {
+    val tpe: FType = BoolT
+  }
+  final case class And(l: Expr, r: Expr) extends Expr { val tpe: FType = BoolT }
+  final case class Or(l: Expr, r: Expr) extends Expr { val tpe: FType = BoolT }
+  final case class Not(e: Expr) extends Expr { val tpe: FType = BoolT }
+  /** `CASE WHEN cond THEN NULL ELSE e END` — the null-injection device:
+    * makes every downstream operator face NULLs even on a null-free
+    * corpus. A NULL cond takes the ELSE branch (SQL CASE). */
+  final case class NullWhen(cond: Expr, e: Expr) extends Expr {
+    def tpe: FType = e.tpe
+  }
+
+  // ---------------------------------------------------------------- aggs
+
+  sealed trait AggFn { def name: String }
+  case object CountStar extends AggFn { val name = "count_star" }
+  final case class CountCol(c: Col) extends AggFn { val name = "count" }
+  final case class CountDistinct(c: Col) extends AggFn { val name = "count_distinct" }
+  /** Long columns only: double SUM is accumulation-order dependent. */
+  final case class SumL(c: Col) extends AggFn { val name = "sum" }
+  final case class MinA(c: Col) extends AggFn { val name = "min" }
+  final case class MaxA(c: Col) extends AggFn { val name = "max" }
+  /** Long columns only: the double accumulator stays integer-exact
+    * below 2^53, so the one division is deterministic on both engines. */
+  final case class AvgL(c: Col) extends AggFn { val name = "avg" }
+
+  // --------------------------------------------------------------- plans
+
+  sealed trait Plan { def schema: Seq[Field] }
+  final case class Scan(table: String) extends Plan {
+    def schema: Seq[Field] = catalog(table)
+  }
+  final case class Filter(child: Plan, pred: Expr) extends Plan {
+    def schema: Seq[Field] = child.schema
+  }
+  final case class Project(child: Plan, exprs: Seq[(String, Expr)]) extends Plan {
+    def schema: Seq[Field] = exprs.map { case (n, e) => Field(n, e.tpe) }
+  }
+  final case class Agg(child: Plan, keys: Seq[Col],
+      aggs: Seq[(String, AggFn)]) extends Plan {
+    def schema: Seq[Field] =
+      keys.map(k => Field(k.name, k.tpe)) ++ aggs.map { case (n, a) =>
+        Field(n, a match {
+          case CountStar | CountCol(_) | CountDistinct(_) | SumL(_) => LongT
+          case AvgL(_) => DoubleT
+          case MinA(c) => c.tpe
+          case MaxA(c) => c.tpe
+        })
+      }
+  }
+  /** Equality join on an FK pair; `right` columns must be disjoint from
+    * `left`'s (the generator only joins different tables). */
+  final case class Join(left: Plan, right: Plan, joinType: String,
+      leftKey: Col, rightKey: Col) extends Plan {
+    def schema: Seq[Field] = joinType match {
+      case "semi" | "anti" => left.schema
+      case _               => left.schema ++ right.schema
+    }
+  }
+  final case class Distinct(child: Plan) extends Plan {
+    def schema: Seq[Field] = child.schema
+  }
+  /** ORDER BY every column (NULLS FIRST) then LIMIT — deterministic as
+    * a multiset: distinct rows are totally ordered, equal rows are
+    * interchangeable. */
+  final case class SortLimit(child: Plan, n: Int) extends Plan {
+    def schema: Seq[Field] = child.schema
+  }
+  final case class UnionAll(l: Plan, r: Plan) extends Plan {
+    def schema: Seq[Field] = l.schema
+  }
+
+  // ------------------------------------------------------- Spark render
+
+  private def colToDF(e: Expr): Column = e match {
+    case Col(n, _)  => F.col(n)
+    case LitL(v)    => F.lit(v)
+    case LitD(v)    => F.lit(v)
+    case LitS(v)    => F.lit(v)
+    case Arith(op, l, r) =>
+      val (a, b) = (colToDF(l), colToDF(r))
+      op match {
+        case "+" => a + b; case "-" => a - b
+        case "*" => a * b; case "%" => a % b
+      }
+    case Cmp(op, l, r) =>
+      val (a, b) = (colToDF(l), colToDF(r))
+      op match {
+        case "<" => a < b; case "<=" => a <= b; case "=" => a === b
+        case "<>" => a =!= b; case ">" => a > b; case ">=" => a >= b
+      }
+    case IsNull(x, neg) =>
+      if (neg) colToDF(x).isNotNull else colToDF(x).isNull
+    case And(l, r) => colToDF(l) && colToDF(r)
+    case Or(l, r)  => colToDF(l) || colToDF(r)
+    case Not(x)    => !colToDF(x)
+    case NullWhen(c, x) =>
+      F.when(colToDF(c), F.lit(null).cast(sparkType(x.tpe)))
+        .otherwise(colToDF(x))
+  }
+
+  private def sparkType(t: FType): String = t match {
+    case LongT => "bigint"; case DoubleT => "double"
+    case StringT => "string"; case BoolT => "boolean"
+  }
+
+  def toDF(p: Plan, spark: SparkSession, sfDir: String): DataFrame = p match {
+    case Scan(t) =>
+      val raw = spark.read.parquet(s"$sfDir/$t.parquet")
+      // normalize INTEGER → BIGINT so all three renderings agree on types
+      raw.select(catalog(t).map(f => F.col(f.name).cast(sparkType(f.tpe))
+        .as(f.name)): _*)
+    case Filter(c, pred) => toDF(c, spark, sfDir).where(colToDF(pred))
+    case Project(c, exprs) =>
+      toDF(c, spark, sfDir).select(exprs.map { case (n, e) =>
+        colToDF(e).as(n) }: _*)
+    case Agg(c, keys, aggs) =>
+      val df = toDF(c, spark, sfDir)
+      val aggCols = aggs.map { case (n, a) =>
+        (a match {
+          case CountStar        => F.count(F.lit(1))
+          case CountCol(x)      => F.count(F.col(x.name))
+          case CountDistinct(x) => F.countDistinct(F.col(x.name))
+          case SumL(x)          => F.sum(F.col(x.name))
+          case MinA(x)          => F.min(F.col(x.name))
+          case MaxA(x)          => F.max(F.col(x.name))
+          case AvgL(x)          => F.avg(F.col(x.name))
+        }).as(n)
+      }
+      if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(keys.map(k => F.col(k.name)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    case Join(l, r, jt, lk, rk) =>
+      val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
+      val st = jt match {
+        case "inner" => "inner"; case "left" => "left_outer"
+        case "semi" => "left_semi"; case "anti" => "left_anti"
+      }
+      ld.join(rd, ld(lk.name) === rd(rk.name), st)
+    case Distinct(c) => toDF(c, spark, sfDir).distinct()
+    case SortLimit(c, n) =>
+      val df = toDF(c, spark, sfDir)
+      df.orderBy(df.columns.map(cn => F.col(cn).asc_nulls_first): _*).limit(n)
+    case UnionAll(l, r) =>
+      toDF(l, spark, sfDir).unionAll(toDF(r, spark, sfDir))
+  }
+
+  // --------------------------------------------------------- SQL render
+
+  private def sqlLitS(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  private def sqlType(t: FType): String = t match {
+    case LongT => "BIGINT"; case DoubleT => "DOUBLE"
+    case StringT => "VARCHAR"; case BoolT => "BOOLEAN"
+  }
+
+  def exprToSql(e: Expr): String = e match {
+    case Col(n, _)  => n
+    case LitL(v)    => v.toString
+    case LitD(v)    =>
+      // round-trippable double literal (Double.toString is shortest
+      // round-trip; DuckDB parses scientific notation fine)
+      s"CAST(${v.toString} AS DOUBLE)"
+    case LitS(v)    => sqlLitS(v)
+    case Arith(op, l, r) => s"(${exprToSql(l)} $op ${exprToSql(r)})"
+    case Cmp(op, l, r)   => s"(${exprToSql(l)} $op ${exprToSql(r)})"
+    case IsNull(x, neg)  =>
+      s"(${exprToSql(x)} IS ${if (neg) "NOT " else ""}NULL)"
+    case And(l, r) => s"(${exprToSql(l)} AND ${exprToSql(r)})"
+    case Or(l, r)  => s"(${exprToSql(l)} OR ${exprToSql(r)})"
+    case Not(x)    => s"(NOT ${exprToSql(x)})"
+    case NullWhen(c, x) =>
+      s"(CASE WHEN ${exprToSql(c)} THEN CAST(NULL AS ${sqlType(x.tpe)})" +
+        s" ELSE ${exprToSql(x)} END)"
+  }
+
+  private def aggToSql(a: AggFn): String = a match {
+    case CountStar        => "COUNT(*)"
+    case CountCol(x)      => s"COUNT(${x.name})"
+    case CountDistinct(x) => s"COUNT(DISTINCT ${x.name})"
+    case SumL(x)          => s"SUM(${x.name})"
+    case MinA(x)          => s"MIN(${x.name})"
+    case MaxA(x)          => s"MAX(${x.name})"
+    case AvgL(x)          => s"AVG(${x.name})"
+  }
+
+  def toSql(p: Plan): String = p match {
+    case Scan(t) =>
+      val cols = catalog(t).map(f =>
+        s"CAST(${f.name} AS ${sqlType(f.tpe)}) AS ${f.name}").mkString(", ")
+      s"SELECT $cols FROM $t"
+    case Filter(c, pred) =>
+      s"SELECT * FROM (${toSql(c)}) f_ WHERE ${exprToSql(pred)}"
+    case Project(c, exprs) =>
+      val cols = exprs.map { case (n, e) => s"${exprToSql(e)} AS $n" }
+        .mkString(", ")
+      s"SELECT $cols FROM (${toSql(c)}) p_"
+    case Agg(c, keys, aggs) =>
+      val sel = (keys.map(_.name) ++
+        aggs.map { case (n, a) => s"${aggToSql(a)} AS $n" }).mkString(", ")
+      val grp = if (keys.isEmpty) ""
+        else s" GROUP BY ${keys.map(_.name).mkString(", ")}"
+      s"SELECT $sel FROM (${toSql(c)}) g_$grp"
+    case Join(l, r, jt, lk, rk) => jt match {
+      case "inner" =>
+        s"SELECT * FROM (${toSql(l)}) jl_ JOIN (${toSql(r)}) jr_ " +
+          s"ON jl_.${lk.name} = jr_.${rk.name}"
+      case "left" =>
+        s"SELECT * FROM (${toSql(l)}) jl_ LEFT JOIN (${toSql(r)}) jr_ " +
+          s"ON jl_.${lk.name} = jr_.${rk.name}"
+      case "semi" =>
+        s"SELECT * FROM (${toSql(l)}) jl_ WHERE EXISTS (SELECT 1 FROM " +
+          s"(${toSql(r)}) jr_ WHERE jl_.${lk.name} = jr_.${rk.name})"
+      case "anti" =>
+        s"SELECT * FROM (${toSql(l)}) jl_ WHERE NOT EXISTS (SELECT 1 FROM " +
+          s"(${toSql(r)}) jr_ WHERE jl_.${lk.name} = jr_.${rk.name})"
+    }
+    case Distinct(c) => s"SELECT DISTINCT * FROM (${toSql(c)}) d_"
+    case SortLimit(c, n) =>
+      // Spark's ASC default is NULLS FIRST; DuckDB's is NULLS LAST —
+      // the SQL must say it explicitly or the LIMIT keeps different rows
+      val cols = p.schema.map(f => s"${f.name} ASC NULLS FIRST")
+        .mkString(", ")
+      s"SELECT * FROM (${toSql(c)}) s_ ORDER BY $cols LIMIT $n"
+    case UnionAll(l, r) => s"(${toSql(l)}) UNION ALL (${toSql(r)})"
+  }
+
+  // ------------------------------------------- reference interpretation
+
+  /** A row is column-name → Option[value]; the interpreter is the
+    * INDEPENDENT implementation of the grammar's ANSI semantics. */
+  type Row = Map[String, Option[Any]]
+
+  /** Collect the normalized base tables once (the differential is over
+    * OPERATOR semantics; the scan itself is oracle-gated elsewhere). */
+  def loadTables(spark: SparkSession, sfDir: String): Map[String, Seq[Row]] =
+    catalog.map { case (t, fields) =>
+      t -> toDF(Scan(t), spark, sfDir).collect().toSeq.map { r =>
+        fields.zipWithIndex.map { case (f, i) =>
+          f.name -> (if (r.isNullAt(i)) None else Some(r.get(i)))
+        }.toMap
+      }
+    }
+
+  def evalExpr(e: Expr, row: Row): Option[Any] = e match {
+    case Col(n, _) => row(n)
+    case LitL(v)   => Some(v)
+    case LitD(v)   => Some(v)
+    case LitS(v)   => Some(v)
+    case Arith(op, l, r) =>
+      for { a <- evalExpr(l, row); b <- evalExpr(r, row) } yield (a, b) match {
+        case (x: Long, y: Long) => op match {
+          case "+" => x + y; case "-" => x - y
+          case "*" => x * y; case "%" => x % y
+        }
+        case (x: Double, y: Double) => op match {
+          case "+" => x + y; case "-" => x - y; case "*" => x * y
+          case other => sys.error(s"bad double op $other")
+        }
+        case other => sys.error(s"bad arith operands $other")
+      }
+    case Cmp(op, l, r) =>
+      for { a <- evalExpr(l, row); b <- evalExpr(r, row) } yield {
+        val c = (a, b) match {
+          case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case other                  => sys.error(s"bad cmp operands $other")
+        }
+        op match {
+          case "<" => c < 0; case "<=" => c <= 0; case "=" => c == 0
+          case "<>" => c != 0; case ">" => c > 0; case ">=" => c >= 0
+        }
+      }
+    case IsNull(x, neg) =>
+      val isNull = evalExpr(x, row).isEmpty
+      Some(if (neg) !isNull else isNull)
+    // Kleene three-valued logic — the semantics hand-picked queries
+    // structurally under-exercise
+    case And(l, r) => (evalExpr(l, row), evalExpr(r, row)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true))            => Some(true)
+      case _                                   => None
+    }
+    case Or(l, r) => (evalExpr(l, row), evalExpr(r, row)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false))        => Some(false)
+      case _                                 => None
+    }
+    case Not(x) => evalExpr(x, row).map { case b: Boolean => !b; case v => v }
+    case NullWhen(c, x) => evalExpr(c, row) match {
+      case Some(true) => None               // THEN NULL
+      case _          => evalExpr(x, row)   // ELSE (null cond → ELSE)
+    }
+  }
+
+  private def cmpOpt(a: Option[Any], b: Option[Any]): Int = (a, b) match {
+    case (None, None) => 0
+    case (None, _)    => -1 // NULLS FIRST
+    case (_, None)    => 1
+    case (Some(x: Long), Some(y: Long))     => java.lang.Long.compare(x, y)
+    case (Some(x: Double), Some(y: Double)) => java.lang.Double.compare(x, y)
+    case (Some(x: String), Some(y: String)) => x.compareTo(y)
+    case (Some(x: Boolean), Some(y: Boolean)) =>
+      java.lang.Boolean.compare(x, y)
+    case other => sys.error(s"bad sort operands $other")
+  }
+
+  def eval(p: Plan, tables: Map[String, Seq[Row]]): Seq[Row] = p match {
+    case Scan(t) => tables(t)
+    case Filter(c, pred) =>
+      eval(c, tables).filter(r => evalExpr(pred, r).contains(true))
+    case Project(c, exprs) =>
+      eval(c, tables).map(r => exprs.map { case (n, e) =>
+        n -> evalExpr(e, r) }.toMap)
+    case Agg(c, keys, aggs) =>
+      val rows = eval(c, tables)
+      def aggGroup(group: Seq[Row]): Seq[(String, Option[Any])] =
+        aggs.map { case (n, a) =>
+          def vals(col: Col): Seq[Any] = group.flatMap(r => r(col.name))
+          n -> (a match {
+            case CountStar        => Some(group.size.toLong)
+            case CountCol(x)      => Some(vals(x).size.toLong)
+            case CountDistinct(x) => Some(vals(x).distinct.size.toLong)
+            case SumL(x) =>
+              val vs = vals(x).map(_.asInstanceOf[Long])
+              if (vs.isEmpty) None else Some(vs.sum)
+            case AvgL(x) =>
+              val vs = vals(x).map(_.asInstanceOf[Long])
+              if (vs.isEmpty) None
+              else Some(vs.sum.toDouble / vs.size) // exact below 2^53
+            case MinA(x) =>
+              val vs = vals(x).map(Some(_): Option[Any])
+              if (vs.isEmpty) None else vs.min(Ordering.fromLessThan[Option[Any]](cmpOpt(_, _) < 0))
+            case MaxA(x) =>
+              val vs = vals(x).map(Some(_): Option[Any])
+              if (vs.isEmpty) None else vs.max(Ordering.fromLessThan[Option[Any]](cmpOpt(_, _) < 0))
+          })
+        }
+      if (keys.isEmpty) Seq(aggGroup(rows).toMap) // global agg: ALWAYS one row
+      else rows.groupBy(r => keys.map(k => r(k.name))) // NULL is a real group
+        .map { case (kv, group) =>
+          (keys.map(_.name).zip(kv) ++ aggGroup(group)).toMap
+        }.toSeq
+    case Join(l, r, jt, lk, rk) =>
+      val (lrows, rrows) = (eval(l, tables), eval(r, tables))
+      // NULL keys match nothing (ANSI equality): index only Some keys
+      val index: Map[Any, Seq[Row]] =
+        rrows.flatMap(rr => rr(rk.name).map(_ -> rr))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      jt match {
+        case "inner" => lrows.flatMap { lr =>
+          lr(lk.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+            .map(rr => lr ++ rr)
+        }
+        case "left" => lrows.flatMap { lr =>
+          val matches = lr(lk.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+          if (matches.isEmpty)
+            Seq(lr ++ r.schema.map(f => f.name -> (None: Option[Any])))
+          else matches.map(rr => lr ++ rr)
+        }
+        case "semi" => lrows.filter(lr =>
+          lr(lk.name).exists(k => index.contains(k)))
+        case "anti" => lrows.filter(lr =>
+          !lr(lk.name).exists(k => index.contains(k)))
+      }
+    case Distinct(c) => eval(c, tables).distinct // NULLs collapse (SQL DISTINCT)
+    case SortLimit(c, n) =>
+      val fields = p.schema.map(_.name)
+      eval(c, tables).sortWith { (a, b) =>
+        val it = fields.iterator.map(f => cmpOpt(a(f), b(f))).dropWhile(_ == 0)
+        if (it.hasNext) it.next() < 0 else false
+      }.take(n)
+    case UnionAll(l, r) => eval(l, tables) ++ eval(r, tables)
+  }
+
+  // ------------------------------------------------------ canonical form
+
+  /** Canonical multiset of rows for comparison: NULL-marked,
+    * Double.toString (shortest round-trip — bit-exact per-row arithmetic
+    * means both sides hold the identical double), sorted. */
+  def canonSpark(df: DataFrame): Seq[Seq[String]] = {
+    val names = df.columns
+    df.collect().toSeq.map { r =>
+      names.indices.map { i =>
+        if (r.isNullAt(i)) "NULL" else r.get(i).toString
+      }.toSeq
+    }.sortBy(_.mkString("\u0001"))
+  }
+
+  def canonRef(rows: Seq[Row], schema: Seq[Field]): Seq[Seq[String]] =
+    rows.map(r => schema.map(f => r(f.name).fold("NULL")(_.toString)))
+      .sortBy(_.mkString("\u0001"))
+
+  // ------------------------------------------------------- the generator
+
+  /** Deterministic seeded plan generation (java.util.Random's LCG is
+    * spec-pinned, so a seed names the same plan forever — fixed seeds
+    * become declared `fz_*` queries; the spec sweeps seed ranges). */
+  def genPlan(seed: Long): Plan = {
+    val rnd = new scala.util.Random(seed)
+    val base = genJoinOrScan(rnd)
+    genTransforms(rnd, base, depth = 1 + rnd.nextInt(3))
+  }
+
+  private val stringPool = Seq("AFRICA", "AMERICA", "BUILDING", "MACHINERY",
+    "F", "O", "P", "N", "R", "A", "1-URGENT", "3-MEDIUM", "5-LOW",
+    "Brand#1", "zz-not-present", "")
+
+  private def pick[T](rnd: scala.util.Random, xs: Seq[T]): T =
+    xs(rnd.nextInt(xs.size))
+
+  private def litFor(rnd: scala.util.Random, t: FType): Expr = t match {
+    case LongT   => LitL(pick(rnd, Seq(0L, 1L, 3L, 7L, 25L, 100L, 1500L, 3000L)))
+    case DoubleT => LitD(pick(rnd, Seq(0.0, 0.05, 1.0, 900.0, 45000.0)))
+    case StringT => LitS(pick(rnd, stringPool))
+    case BoolT   => sys.error("no bool literals")
+  }
+
+  /** A 1-3 clause predicate over `schema`, with null-checks and Kleene
+    * connectives; ~harmless if it selects nothing (empty inputs are a
+    * corner worth hitting). */
+  private def genPred(rnd: scala.util.Random, schema: Seq[Field]): Expr = {
+    def clause(): Expr = {
+      val f = pick(rnd, schema)
+      rnd.nextInt(4) match {
+        case 0 => IsNull(Col(f.name, f.tpe), negated = rnd.nextBoolean())
+        case _ =>
+          val op = pick(rnd, Seq("<", "<=", "=", "<>", ">", ">="))
+          val rhs = schema.filter(o => o.tpe == f.tpe && o.name != f.name)
+          if (rhs.nonEmpty && rnd.nextInt(3) == 0) {
+            val o = pick(rnd, rhs)
+            Cmp(op, Col(f.name, f.tpe), Col(o.name, o.tpe))
+          } else Cmp(op, Col(f.name, f.tpe), litFor(rnd, f.tpe))
+      }
+    }
+    var p = clause()
+    (0 until rnd.nextInt(3)).foreach { _ =>
+      val q = clause()
+      p = rnd.nextInt(3) match {
+        case 0 => And(p, q)
+        case 1 => Or(p, q)
+        case _ => And(p, Not(q))
+      }
+    }
+    p
+  }
+
+  /** Null injection as a full-width Project: every column survives,
+    * some wrapped in `CASE WHEN <long-col cond> THEN NULL`. */
+  private def genNullInject(rnd: scala.util.Random, child: Plan): Plan = {
+    val schema = child.schema
+    val longs = schema.filter(_.tpe == LongT)
+    if (longs.isEmpty) child
+    else Project(child, schema.map { f =>
+      if (rnd.nextInt(3) == 0) {
+        val lc = pick(rnd, longs)
+        val k = 2 + rnd.nextInt(5)
+        f.name -> NullWhen(
+          Cmp("=", Arith("%", Col(lc.name, LongT), LitL(k)), LitL(rnd.nextInt(k))),
+          Col(f.name, f.tpe))
+      } else f.name -> (Col(f.name, f.tpe): Expr)
+    })
+  }
+
+  /** Join base: an FK pair with shallow children (scan + optional
+    * filter + optional null-injected key), or a plain scan. */
+  private def genJoinOrScan(rnd: scala.util.Random): Plan = {
+    def withFilter(p: Plan): Plan =
+      if (rnd.nextBoolean()) Filter(p, genPred(rnd, p.schema)) else p
+    if (rnd.nextInt(3) == 0) {
+      val (ft, fk, dt, pk) = pick(rnd, fkPairs)
+      val left = genNullInject(rnd, withFilter(Scan(ft)))
+      val right = withFilter(Scan(dt))
+      val jt = pick(rnd, Seq("inner", "left", "semi", "anti"))
+      Join(left, right, jt,
+        Col(fk, LongT), Col(pk, LongT))
+    } else genNullInject(rnd, withFilter(Scan(pick(rnd, catalog.keys.toSeq.sorted))))
+  }
+
+  private def genTransforms(rnd: scala.util.Random, base: Plan, depth: Int): Plan =
+    if (depth <= 0) base
+    else {
+      val schema = base.schema
+      val next = rnd.nextInt(6) match {
+        case 0 => Filter(base, genPred(rnd, schema))
+        case 1 => // computed projection
+          val n = 1 + rnd.nextInt(math.min(4, schema.size))
+          val picked = rnd.shuffle(schema.toVector).take(n)
+          Project(base, picked.zipWithIndex.map { case (f, i) =>
+            val e: Expr =
+              if (f.tpe == StringT || rnd.nextBoolean()) Col(f.name, f.tpe)
+              else if (f.tpe == LongT) {
+                val op = pick(rnd, Seq("+", "-", "*", "%"))
+                // nonzero literal: ANSI-safe %; multiply capped at 9 so
+                // stacked projections keep every SUM/AVG double
+                // accumulator integer-exact (< 2^53) even at sf0.1 keys
+                val lit = if (op == "*") 2L + rnd.nextInt(8)
+                          else 1L + rnd.nextInt(97).toLong
+                Arith(op, Col(f.name, LongT), LitL(lit))
+              } else Arith(pick(rnd, Seq("+", "-", "*")),
+                Col(f.name, DoubleT), LitD(1.5 + rnd.nextInt(40)))
+            s"e$i" -> e
+          })
+        case 2 =>
+          val keyPool = schema.filter(f => f.tpe != DoubleT)
+          val keys = rnd.shuffle(keyPool.toVector)
+            .take(rnd.nextInt(math.min(2, math.max(1, keyPool.size)) + 1))
+            .map(f => Col(f.name, f.tpe))
+          val aggPool = schema
+          val nAggs = 1 + rnd.nextInt(3)
+          val aggs = (0 until nAggs).map { i =>
+            val f = pick(rnd, aggPool)
+            val c = Col(f.name, f.tpe)
+            val fn: AggFn = f.tpe match {
+              case LongT => pick(rnd, Seq(CountStar, CountCol(c),
+                CountDistinct(c), SumL(c), MinA(c), MaxA(c), AvgL(c)))
+              case DoubleT => pick(rnd, Seq(CountCol(c), MinA(c), MaxA(c)))
+              case _ => pick(rnd, Seq(CountStar, CountCol(c),
+                CountDistinct(c), MinA(c), MaxA(c)))
+            }
+            // depth-qualified alias: a nested Agg's keys carry the inner
+            // Agg's aliases, and a bare "a$i" would collide with them
+            // (Spark emits duplicate columns; the reference Row is a
+            // map) — every plan keeps globally unique column names
+            s"a${depth}_$i" -> fn
+          }
+          if (keys.isEmpty && aggs.isEmpty) base else Agg(base, keys, aggs)
+        case 3 => Distinct(base)
+        case 4 => SortLimit(base, pick(rnd, Seq(1, 5, 17, 200)))
+        case 5 => UnionAll(base, Filter(base, genPred(rnd, schema)))
+      }
+      genTransforms(rnd, next, depth - 1)
+    }
+
+  /** Structural shrink: the subplans of a failing plan, largest first —
+    * re-checking them finds a minimal failing node. */
+  def shrink(p: Plan): Seq[Plan] = p match {
+    case Scan(_)            => Nil
+    case Filter(c, _)       => Seq(c)
+    case Project(c, _)      => Seq(c)
+    case Agg(c, _, _)       => Seq(c)
+    case Join(l, r, _, _, _) => Seq(l, r)
+    case Distinct(c)        => Seq(c)
+    case SortLimit(c, _)    => Seq(c)
+    case UnionAll(l, r)     => Seq(l, r)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: dump a seed range of fuzz plans as (parquet result,
+  * oracle_sql.json) in the Verify layout, so `tools/check_oracle.py`
+  * cross-validates the SQL renderer against real DuckDB — the
+  * renderer-level differential that backs promoting fixed seeds to
+  * declared `fz_*` queries. */
+object FuzzDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, fromS, toS) = args
+    val spark = graft.GraftSession.local(8)
+    new java.io.File(outDir).mkdirs()
+    val sqls = (fromS.toLong to toS.toLong).flatMap { seed =>
+      val p = graft.fuzz.Fuzz.genPlan(seed)
+      val name = f"fz_s$seed%04d"
+      try {
+        graft.fuzz.Fuzz.toDF(p, spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        Some(name -> graft.fuzz.Fuzz.toSql(p))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[fuzzdump] $name failed: ${e.getMessage}")
+          None
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

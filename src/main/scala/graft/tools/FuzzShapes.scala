@@ -1,0 +1,21 @@
+package graft.tools
+
+/** Dev tool: print the structural signature of a fuzz seed range. */
+object FuzzShapes {
+  def main(args: Array[String]): Unit = {
+    import graft.fuzz.Fuzz._
+    (args(0).toLong to args(1).toLong).foreach { s =>
+      def sig(pl: Plan): String = pl match {
+        case Scan(t) => t
+        case Filter(c, _) => s"F(${sig(c)})"
+        case Project(c, _) => s"P(${sig(c)})"
+        case Agg(c, k, a) => s"A${k.size}k${a.size}a(${sig(c)})"
+        case Join(l, r, jt, _, _) => s"J-$jt(${sig(l)},${sig(r)})"
+        case Distinct(c) => s"D(${sig(c)})"
+        case SortLimit(c, n) => s"L$n(${sig(c)})"
+        case UnionAll(l, r) => s"U(${sig(l)},${sig(r)})"
+      }
+      println(f"$s%4d ${sig(genPlan(s))}")
+    }
+  }
+}

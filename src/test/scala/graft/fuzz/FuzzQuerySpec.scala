@@ -1,0 +1,97 @@
+package graft.fuzz
+
+import graft.SparkSpec
+
+/** Differential query fuzzing (round 12, r11 verdict item 5): hundreds
+  * of seeded random plans from the closed grammar, each executed by
+  * Spark AND by the independent ANSI-semantics interpreter, compared as
+  * canonical row multisets. A failure SHRINKS structurally (subplans,
+  * re-checked) to a minimal failing node and prints it with its
+  * DuckDB-runnable SQL, so a semantics corner reproduces outside the
+  * test too. Seeds are fixed — the sweep is deterministic and a
+  * regression names the exact seed. */
+class FuzzQuerySpec extends SparkSpec {
+
+  private lazy val tables = Fuzz.loadTables(spark, sfDir)
+
+  /** None = agree; Some(diagnostic) = differ. */
+  private def check(p: Fuzz.Plan): Option[String] = {
+    val got = Fuzz.canonSpark(Fuzz.toDF(p, spark, sfDir))
+    val exp = Fuzz.canonRef(Fuzz.eval(p, tables), p.schema)
+    if (got == exp) None
+    else Some(
+      s"spark rows=${got.size}, reference rows=${exp.size}\n" +
+        s"spark-only sample: ${got.diff(exp).take(3)}\n" +
+        s"reference-only sample: ${exp.diff(got).take(3)}")
+  }
+
+  /** Greedy structural minimization: while any subplan still fails,
+    * descend into it. */
+  private def minimize(p: Fuzz.Plan): Fuzz.Plan = {
+    var cur = p
+    var shrunk = true
+    while (shrunk) {
+      Fuzz.shrink(cur).find(sub => check(sub).isDefined) match {
+        case Some(sub) => cur = sub
+        case None      => shrunk = false
+      }
+    }
+    cur
+  }
+
+  test("differential fuzz: 220 seeded plans agree between Spark and the reference interpreter") {
+    val failures = (1L to 220L).flatMap { seed =>
+      val p = Fuzz.genPlan(seed)
+      check(p).map(msg => (seed, p, msg))
+    }
+    if (failures.nonEmpty) {
+      val (seed, p, msg) = failures.head
+      val m = minimize(p)
+      fail(
+        s"${failures.size} failing seed(s); first = $seed\n$msg\n" +
+          s"minimal failing subplan:\n$m\n" +
+          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
+    }
+  }
+
+  test("interpreter self-checks: 3VL, null groups, empty-input aggregates") {
+    import Fuzz._
+    // Kleene: NULL AND false = false (filter drops), NULL OR true = true
+    val njNation = Project(Scan("nation"), Seq(
+      "k" -> NullWhen(Cmp("=", Arith("%", Col("n_nationkey", LongT), LitL(2L)),
+        LitL(0L)), Col("n_nationkey", LongT)),
+      "r" -> (Col("n_regionkey", LongT): Expr)))
+    // rows with k NULL (even keys): k < 5 is NULL; NULL AND (r < 0)
+    // = false → dropped either way; NULL OR (r >= 0) = true → kept
+    val andDrop = Filter(njNation,
+      And(Cmp("<", Col("k", LongT), LitL(5L)), Cmp("<", Col("r", LongT), LitL(0L))))
+    val orKeep = Filter(njNation,
+      Or(Cmp("<", Col("k", LongT), LitL(5L)), Cmp(">=", Col("r", LongT), LitL(0L))))
+    assert(check(andDrop).isEmpty)
+    assert(check(orKeep).isEmpty)
+    assert(canonSpark(toDF(orKeep, spark, sfDir)).size == 25,
+      "NULL OR TRUE must keep every row")
+    // NULL group key is a real group; SUM over the all-NULL slice is
+    // NULL while COUNT is 0 — on an EMPTY input the global agg still
+    // emits its one row
+    val aggNull = Agg(njNation, Seq(Col("k", LongT)),
+      Seq("c" -> CountCol(Col("k", LongT)), "s" -> SumL(Col("k", LongT))))
+    assert(check(aggNull).isEmpty)
+    val emptyAgg = Agg(Filter(Scan("region"),
+      Cmp("<", Col("r_regionkey", LongT), LitL(0L))), Nil,
+      Seq("n" -> CountStar, "s" -> SumL(Col("r_regionkey", LongT))))
+    assert(check(emptyAgg).isEmpty)
+    val row = canonSpark(toDF(emptyAgg, spark, sfDir))
+    assert(row == Seq(Seq("0", "NULL")),
+      s"empty global agg must be count=0, sum=NULL; got $row")
+    // NULL join keys match nothing — inner drops them, left null-extends
+    val njCustomer = Project(Scan("customer"), Seq(
+      "ck" -> NullWhen(Cmp("=", Arith("%", Col("c_custkey", LongT), LitL(3L)),
+        LitL(0L)), Col("c_nationkey", LongT))))
+    for (jt <- Seq("inner", "left", "semi", "anti")) {
+      val j = Join(njCustomer, Scan("nation"), jt,
+        Col("ck", LongT), Col("n_nationkey", LongT))
+      assert(check(j).isEmpty, s"join type $jt")
+    }
+  }
+}
