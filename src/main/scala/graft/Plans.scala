@@ -128,7 +128,7 @@ kill/restart — all execution knobs only, sharing the session oracle.
 |---|---|---|---|
 | `tumblingCounts` (st_tumbling, st_tumbling_late) | (1 h window, event_type) | types × (lateness horizon / 1 h) windows — O(1) per key | window end ≤ watermark; late input dropped by the same rule (oracle-exercised in st_tumbling_late) |
 | `slidingCounts` (st_sliding) | (1 h window every 15 min) | 4× tumbling's window count, same horizon bound | same watermark rule |
-| `session_window` (st_sessions, _mb, _rocksdb, _late) | (user, open session) | users ACTIVE within gap+lateness — not corpus users | session emitted + dropped when watermark passes its end (append); late input dropped by window-end rule (oracle-exercised in st_sessions_late) |
+| `session_window` (st_sessions, _mb, _rocksdb, _changelog, _late) | (user, open session) | users ACTIVE within gap+lateness — not corpus users | session emitted + dropped when watermark passes its end (append); late input dropped by window-end rule (oracle-exercised in st_sessions_late) |
 | `dropDuplicatesWithinWatermark` (st_exact_dedup ×3, st_cross_dedup) | content fingerprint | fps seen within the lateness horizon — the watermark IS the bound (an unbounded dedup would OOM; the horizon is the declared trade) | key dropped when watermark passes its event time |
 | stream-stream interval join (st_interval_join, _mb, _late) | per-side rows by user | 1 h (join bound) + lateness of rows per side; the _late variant declares a 48 h horizon — wider lateness buys tolerance with linearly more state, the per-deployment trade priced explicitly | row dropped when watermark passes its joinable window (cross-batch hold oracle-exercised in _mb; late input drop in _late) |
 | `mapGroupsWithState` funnel/EWMA (st_funnel, st_ewma) | user | O(1) VALUE per user (an Int / a 3-field fold), but KEY set = all users ever seen — `GroupStateTimeout.NoTimeout` never evicts. Honest adjudication: at 100 TB user cardinality this is the one store that grows with corpus lifetime; the production knob is `ProcessingTimeTimeout`/`EventTimeTimeout` on inactive keys (same API, state dropped + re-folded on return), not a different engine | none by declaration (see left) |

@@ -283,7 +283,11 @@ object Fuzz {
     case CountStar        => "COUNT(*)"
     case CountCol(x)      => s"COUNT(${x.name})"
     case CountDistinct(x) => s"COUNT(DISTINCT ${x.name})"
-    case SumL(x)          => s"SUM(${x.name})"
+    // DuckDB's SUM(BIGINT) widens to HUGEINT, which pandas renders as
+    // float ('272.0' vs Spark's long '272') — cast back; the grammar's
+    // literal bounds keep every sum far inside int64 (found by the
+    // seed-81..500 DuckDB sweep, fz_s0110)
+    case SumL(x)          => s"CAST(SUM(${x.name}) AS BIGINT)"
     case MinA(x)          => s"MIN(${x.name})"
     case MaxA(x)          => s"MAX(${x.name})"
     case AvgL(x)          => s"AVG(${x.name})"

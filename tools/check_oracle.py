@@ -71,10 +71,17 @@ def main(sf_dir, out_dir, only=()):
             n_fail += 1
         elif not g.equals(e):
             diff = (g != e).any(axis=1)
-            i = diff.idxmax()
-            print(f"{'VALUE-MISMATCH':18} {name:28} first diff row {i}:")
-            print("  got:", g.iloc[i].to_dict())
-            print("  exp:", e.iloc[i].to_dict())
+            if len(diff) == 0 or not diff.any():
+                # zero rows (or zero differing cells) but equals() False:
+                # a dtype-only divergence — report it instead of crashing
+                print(f"{'DTYPE-MISMATCH':18} {name:28} "
+                      f"got={dict(g.dtypes.astype(str))} "
+                      f"exp={dict(e.dtypes.astype(str))}")
+            else:
+                i = diff.idxmax()
+                print(f"{'VALUE-MISMATCH':18} {name:28} first diff row {i}:")
+                print("  got:", g.iloc[i].to_dict())
+                print("  exp:", e.iloc[i].to_dict())
             n_fail += 1
         else:
             print(f"{'PASS':18} {name:28} rows={len(g)}")
