@@ -43,15 +43,17 @@ object Fuzz {
   case object LongT extends FType
   case object DoubleT extends FType
   case object StringT extends FType
+  case object TimeT extends FType
   case object BoolT extends FType
 
   final case class Field(name: String, tpe: FType)
 
   // ------------------------------------------------------------- catalog
 
-  /** The fuzzable star schema: every column is long/double/string
-    * (timestamps excluded from the closed grammar); INTEGER parquet
-    * columns are cast to BIGINT in all three renderings. */
+  /** The fuzzable star schema: long/double/string/timestamp columns;
+    * INTEGER parquet columns are cast to BIGINT and timestamp columns
+    * to session-TZ TIMESTAMP in all three renderings (the corpus's
+    * on-disk encoding drifts — see `Tables.normalizeTs`). */
   val catalog: Map[String, Seq[Field]] = Map(
     "nation" -> Seq(Field("n_nationkey", LongT), Field("n_name", StringT),
       Field("n_regionkey", LongT)),
@@ -66,12 +68,13 @@ object Fuzz {
       Field("p_size", LongT), Field("p_retailprice", DoubleT)),
     "orders" -> Seq(Field("o_orderkey", LongT), Field("o_custkey", LongT),
       Field("o_orderstatus", StringT), Field("o_totalprice", DoubleT),
-      Field("o_orderpriority", StringT)),
+      Field("o_orderdate", TimeT), Field("o_orderpriority", StringT)),
     "lineitem" -> Seq(Field("l_orderkey", LongT), Field("l_partkey", LongT),
       Field("l_suppkey", LongT), Field("l_linenumber", LongT),
       Field("l_quantity", DoubleT), Field("l_extendedprice", DoubleT),
       Field("l_discount", DoubleT), Field("l_tax", DoubleT),
-      Field("l_returnflag", StringT), Field("l_linestatus", StringT)),
+      Field("l_returnflag", StringT), Field("l_linestatus", StringT),
+      Field("l_shipdate", TimeT)),
   )
 
   /** FK → PK pairs joins may use: the dim key is UNIQUE, so join output
@@ -94,6 +97,10 @@ object Fuzz {
   final case class LitL(v: Long) extends Expr { val tpe: FType = LongT }
   final case class LitD(v: Double) extends Expr { val tpe: FType = DoubleT }
   final case class LitS(v: String) extends Expr { val tpe: FType = StringT }
+  /** Timestamp literal, `yyyy-MM-dd HH:mm:ss` (session TZ = UTC). */
+  final case class LitT(v: String) extends Expr { val tpe: FType = TimeT }
+  /** Typed NULL literal — feeds IN-lists and CASE branches. */
+  final case class NullOf(tpe: FType) extends Expr
   /** `+ - * %` on longs, `+ - *` on doubles; operands same-typed. */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr {
     def tpe: FType = l.tpe
@@ -114,6 +121,22 @@ object Fuzz {
   final case class NullWhen(cond: Expr, e: Expr) extends Expr {
     def tpe: FType = e.tpe
   }
+  /** `CASE WHEN cond THEN a ELSE b END`, same-typed branches; a NULL
+    * cond takes the ELSE branch. */
+  final case class Cond(cond: Expr, a: Expr, b: Expr) extends Expr {
+    def tpe: FType = a.tpe
+  }
+  /** `e [NOT] IN (items…)` over literals — ANSI 3VL: a NULL probe or a
+    * miss against a list containing NULL is UNKNOWN, not FALSE; under
+    * NOT IN that turns "not in the list" into "no row at all", the
+    * classic production bug this grammar exists to hunt. */
+  final case class InList(e: Expr, items: Seq[Expr],
+      negated: Boolean) extends Expr {
+    val tpe: FType = BoolT
+  }
+  /** `length(s)` as BIGINT (both engines count characters; corpus
+    * strings are BMP-safe). */
+  final case class StrLen(e: Expr) extends Expr { val tpe: FType = LongT }
 
   // ---------------------------------------------------------------- aggs
 
@@ -177,11 +200,33 @@ object Fuzz {
 
   // ------------------------------------------------------- Spark render
 
+  private def litValue(e: Expr): Any = e match {
+    case LitL(v) => v
+    case LitD(v) => v
+    case LitS(v) => v
+    case LitT(v) => java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC))
+    case NullOf(_) => null
+    case other     => sys.error(s"not a literal: $other")
+  }
+
   private def colToDF(e: Expr): Column = e match {
     case Col(n, _)  => F.col(n)
     case LitL(v)    => F.lit(v)
     case LitD(v)    => F.lit(v)
     case LitS(v)    => F.lit(v)
+    // SQL-literal form: parsed in the SESSION time zone (UTC), exactly
+    // like DuckDB's naive TIMESTAMP literal — never Timestamp.valueOf,
+    // which would read the JVM default zone
+    case LitT(v)    => F.expr(s"TIMESTAMP '$v'")
+    case NullOf(t)  => F.lit(null).cast(sparkType(t))
+    case Cond(c, a, b) =>
+      F.when(colToDF(c), colToDF(a)).otherwise(colToDF(b))
+    case InList(x, items, neg) =>
+      val in = colToDF(x).isin(items.map(litValue): _*)
+      if (neg) !in else in
+    case StrLen(s)  => F.length(colToDF(s)).cast("bigint")
     case Arith(op, l, r) =>
       val (a, b) = (colToDF(l), colToDF(r))
       op match {
@@ -206,7 +251,8 @@ object Fuzz {
 
   private def sparkType(t: FType): String = t match {
     case LongT => "bigint"; case DoubleT => "double"
-    case StringT => "string"; case BoolT => "boolean"
+    case StringT => "string"; case TimeT => "timestamp"
+    case BoolT => "boolean"
   }
 
   def toDF(p: Plan, spark: SparkSession, sfDir: String): DataFrame = p match {
@@ -256,7 +302,8 @@ object Fuzz {
 
   private def sqlType(t: FType): String = t match {
     case LongT => "BIGINT"; case DoubleT => "DOUBLE"
-    case StringT => "VARCHAR"; case BoolT => "BOOLEAN"
+    case StringT => "VARCHAR"; case TimeT => "TIMESTAMP"
+    case BoolT => "BOOLEAN"
   }
 
   def exprToSql(e: Expr): String = e match {
@@ -267,6 +314,15 @@ object Fuzz {
       // round-trip; DuckDB parses scientific notation fine)
       s"CAST(${v.toString} AS DOUBLE)"
     case LitS(v)    => sqlLitS(v)
+    case LitT(v)    => s"TIMESTAMP '$v'"
+    case NullOf(t)  => s"CAST(NULL AS ${sqlType(t)})"
+    case Cond(c, a, b) =>
+      s"(CASE WHEN ${exprToSql(c)} THEN ${exprToSql(a)}" +
+        s" ELSE ${exprToSql(b)} END)"
+    case InList(x, items, neg) =>
+      s"(${exprToSql(x)} ${if (neg) "NOT IN" else "IN"} " +
+        items.map(exprToSql).mkString("(", ", ", ")") + ")"
+    case StrLen(s)  => s"CAST(length(${exprToSql(s)}) AS BIGINT)"
     case Arith(op, l, r) => s"(${exprToSql(l)} $op ${exprToSql(r)})"
     case Cmp(op, l, r)   => s"(${exprToSql(l)} $op ${exprToSql(r)})"
     case IsNull(x, neg)  =>
@@ -356,6 +412,25 @@ object Fuzz {
     case LitL(v)   => Some(v)
     case LitD(v)   => Some(v)
     case LitS(v)   => Some(v)
+    case LitT(_)   => Some(litValue(e))
+    case NullOf(_) => None
+    case Cond(c, a, b) => evalExpr(c, row) match {
+      case Some(true) => evalExpr(a, row)
+      case _          => evalExpr(b, row) // FALSE and UNKNOWN take ELSE
+    }
+    case InList(x, items, neg) =>
+      val probe = evalExpr(x, row)
+      val vals = items.map(i => Option(litValue(i)))
+      val in: Option[Boolean] = probe match {
+        case None => None // NULL probe: UNKNOWN
+        case Some(p) =>
+          if (vals.exists(_.contains(p))) Some(true)
+          else if (vals.exists(_.isEmpty)) None // miss + NULL member: UNKNOWN
+          else Some(false)
+      }
+      if (neg) in.map(!_) else in
+    case StrLen(s) =>
+      evalExpr(s, row).map { case v: String => v.length.toLong }
     case Arith(op, l, r) =>
       for { a <- evalExpr(l, row); b <- evalExpr(r, row) } yield (a, b) match {
         case (x: Long, y: Long) => op match {
@@ -374,6 +449,8 @@ object Fuzz {
           case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
           case (x: Double, y: Double) => java.lang.Double.compare(x, y)
           case (x: String, y: String) => x.compareTo(y)
+          case (x: java.sql.Timestamp, y: java.sql.Timestamp) =>
+            x.compareTo(y)
           case other                  => sys.error(s"bad cmp operands $other")
         }
         op match {
@@ -410,6 +487,8 @@ object Fuzz {
     case (Some(x: Long), Some(y: Long))     => java.lang.Long.compare(x, y)
     case (Some(x: Double), Some(y: Double)) => java.lang.Double.compare(x, y)
     case (Some(x: String), Some(y: String)) => x.compareTo(y)
+    case (Some(x: java.sql.Timestamp), Some(y: java.sql.Timestamp)) =>
+      x.compareTo(y)
     case (Some(x: Boolean), Some(y: Boolean)) =>
       java.lang.Boolean.compare(x, y)
     case other => sys.error(s"bad sort operands $other")
@@ -519,10 +598,15 @@ object Fuzz {
   private def pick[T](rnd: scala.util.Random, xs: Seq[T]): T =
     xs(rnd.nextInt(xs.size))
 
+  private val timePool = Seq(
+    "1993-01-01 00:00:00", "1995-06-17 00:00:00", "1996-03-03 12:30:00",
+    "1997-12-31 23:59:59", "1992-02-02 08:00:00")
+
   private def litFor(rnd: scala.util.Random, t: FType): Expr = t match {
     case LongT   => LitL(pick(rnd, Seq(0L, 1L, 3L, 7L, 25L, 100L, 1500L, 3000L)))
     case DoubleT => LitD(pick(rnd, Seq(0.0, 0.05, 1.0, 900.0, 45000.0)))
     case StringT => LitS(pick(rnd, stringPool))
+    case TimeT   => LitT(pick(rnd, timePool))
     case BoolT   => sys.error("no bool literals")
   }
 
@@ -532,8 +616,15 @@ object Fuzz {
   private def genPred(rnd: scala.util.Random, schema: Seq[Field]): Expr = {
     def clause(): Expr = {
       val f = pick(rnd, schema)
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => IsNull(Col(f.name, f.tpe), negated = rnd.nextBoolean())
+        case 1 if f.tpe == LongT || f.tpe == StringT =>
+          // [NOT] IN over literals, sometimes with a NULL member — the
+          // "NOT IN (…, NULL) returns no rows" ANSI corner
+          val items: Seq[Expr] =
+            (0 until 2 + rnd.nextInt(3)).map(_ => litFor(rnd, f.tpe)) ++
+              (if (rnd.nextInt(3) == 0) Seq(NullOf(f.tpe)) else Nil)
+          InList(Col(f.name, f.tpe), items, negated = rnd.nextBoolean())
         case _ =>
           val op = pick(rnd, Seq("<", "<=", "=", "<>", ">", ">="))
           val rhs = schema.filter(o => o.tpe == f.tpe && o.name != f.name)
@@ -598,7 +689,22 @@ object Fuzz {
           val picked = rnd.shuffle(schema.toVector).take(n)
           Project(base, picked.zipWithIndex.map { case (f, i) =>
             val e: Expr =
-              if (f.tpe == StringT || rnd.nextBoolean()) Col(f.name, f.tpe)
+              if (f.tpe == StringT && rnd.nextInt(4) == 0)
+                StrLen(Col(f.name, StringT))
+              else if (rnd.nextInt(6) == 0) {
+                // CASE WHEN <long-keyed cond> THEN col ELSE literal —
+                // both branches live, the UNKNOWN cond takes ELSE
+                val longs = schema.filter(_.tpe == LongT)
+                val cond: Expr =
+                  if (longs.isEmpty) IsNull(Col(f.name, f.tpe), negated = true)
+                  else {
+                    val lc = pick(rnd, longs)
+                    Cmp("<", Col(lc.name, LongT), litFor(rnd, LongT))
+                  }
+                Cond(cond, Col(f.name, f.tpe), litFor(rnd, f.tpe))
+              }
+              else if (f.tpe == StringT || f.tpe == TimeT || rnd.nextBoolean())
+                Col(f.name, f.tpe)
               else if (f.tpe == LongT) {
                 val op = pick(rnd, Seq("+", "-", "*", "%"))
                 // nonzero literal: ANSI-safe %; multiply capped at 9 so

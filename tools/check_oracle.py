@@ -34,6 +34,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             return v.hex()
         return str(v)
     out = df.apply(lambda c: c.map(cell))
+    # force object dtype: an EMPTY frame keeps its source dtypes through
+    # the map, and pandas units differ between readers (Spark parquet →
+    # datetime64[ns], DuckDB fetchdf → datetime64[us]) — a dtype-only
+    # artifact, not a value difference
+    out = out.astype(object)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
 
 def main(sf_dir, out_dir, only=()):
