@@ -112,6 +112,80 @@ object EventStreams {
       }
   }
 
+  /** [[funnelStagesTtl]]'s per-user state + emission: current stage and
+    * the micros of the last event folded in. */
+  case class FunnelTtlState(user_id: Long, last_us: Long, stage: Int)
+
+  /** Gap TTL shared by the machine and the declared oracle. */
+  val FunnelTtlUs: Long = 2L * 3600 * 1000000
+
+  /** BOUNDED-STATE funnel (round 12) — closes the one honest gap in the
+    * streaming state audit: [[funnelStages]] keeps a state entry for
+    * every user EVER seen (`NoTimeout`), so its key set grows with
+    * corpus lifetime. This variant declares GAP semantics — a user
+    * inactive for more than [[FunnelTtlUs]] RESTARTS the funnel (their
+    * stage resets to 0 before the next event applies) — and because the
+    * reset rule is a function of the DATA (the gap between consecutive
+    * event times), it is exactly replayable in SQL: final stage =
+    * funnel over the user's LAST gap-free segment.
+    *
+    * `EventTimeTimeout` then makes the state BOUNDED without touching
+    * the answer: a user's entry is evicted once the watermark passes
+    * `last_ts + TTL`, and eviction is provably answer-invisible — any
+    * event arriving after eviction has `ts ≥ watermark ≥ last_ts + TTL`
+    * (the feed is time-sliced, so the watermark that fired the timeout
+    * predates the event), which means the DATA rule would have reset
+    * the stage to 0 anyway; a fresh zero state and a reset state are
+    * the same state. Timing (which batch evicts, whether the timeout
+    * lags) can therefore never move the declared answer — the scale
+    * knob and the semantics are decoupled by construction. State held:
+    * users active within the TTL horizon, not corpus lifetime.
+    *
+    * Emits nothing on timeout (flatMap form); per data batch emits the
+    * user's (last_us, stage) so the consumer collapses to the LAST
+    * emission per user (max last_us — strictly increasing across a
+    * user's batches since later slices carry later timestamps). */
+  def funnelStagesTtl(events: Dataset[Event]): Dataset[FunnelTtlState] = {
+    import events.sparkSession.implicits._
+    val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelTtlState, FunnelTtlState](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelTtlState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // eviction, not semantics: see Scaladoc
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              FunnelTtlState(uid, Long.MinValue, 0))
+            batch.toSeq
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos,
+                rank.getOrElse(e.event_type, 3), e.event_id))
+              .foreach { e =>
+                // full-precision micros: getTime carries ms, getNanos
+                // the complete fraction (same discipline as the EWMA)
+                val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+                val stage0 =
+                  if (st.last_us != Long.MinValue &&
+                    us - st.last_us > FunnelTtlUs) 0
+                  else st.stage
+                val stage1 = e.event_type match {
+                  case "view" if stage0 == 0     => 1
+                  case "click" if stage0 == 1    => 2
+                  case "purchase" if stage0 == 2 => 3
+                  case _                         => stage0
+                }
+                st = FunnelTtlState(uid, us, stage1)
+              }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last_us / 1000 + FunnelTtlUs / 1000)
+            Iterator(st)
+          }
+      }
+  }
+
   /** Custom state: per-user running (count, total) via mapGroupsWithState
     * — the analog of the reference's resumable job state (P5), but
     * per-key, checkpointed, and incremental. */

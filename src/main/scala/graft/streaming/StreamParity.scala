@@ -276,6 +276,51 @@ object StreamParity {
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** BOUNDED-STATE funnel under the hash gate (round 12 — the honest
+    * gap in the streaming state audit closed as a DECLARED capability):
+    * [[EventStreams.funnelStagesTtl]] over time-sliced multi-batch
+    * arrival. Semantics are the GAP rule (inactivity > TTL restarts the
+    * funnel — final stage = funnel over the user's last gap-free
+    * segment), which the DuckDB oracle replays exactly: sessionize each
+    * user by `gap > TTL`, keep the last segment, run the same min-join
+    * funnel the `st_funnel`/`ev_funnel` pair already share. Eviction
+    * (`EventTimeTimeout`) is answer-invisible by construction (see the
+    * machine's Scaladoc), and the run REQUIRES it engaged: state rows
+    * must actually have been removed during the run, and the final
+    * state footprint must be smaller than the user universe — a
+    * silent fall-back to unbounded NoTimeout state cannot pass. */
+  val funnelTtlParity: Q = (s, d) => {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val ev = streamEventsTimeSlicesWithSentinel(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")).as[Event]
+    val qn = s"st_funnel_ttl_${runSeq.incrementAndGet()}"
+    val q = withStatePartitions(s) {
+      EventStreams.funnelStagesTtl(ev).toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    }
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      sys.error(s"streaming query $qn did not terminate within 300 s")
+    }
+    val stateOps = q.recentProgress.flatMap(_.stateOperators)
+    val removed = stateOps.map(_.numRowsRemoved).sum
+    require(removed > 0, "event-time timeout never evicted state — " +
+      "the bounded-state contract did not engage")
+    val finalRows = stateOps.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    val nUsers = graft.sources.Tables.events(s, d)
+      .select("user_id").distinct().count()
+    require(finalRows >= 0 && finalRows < nUsers,
+      s"final state holds $finalRows rows for $nUsers users — not bounded")
+    s.table(qn).where(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(max(struct(col("last_us"), col("stage"))).as("m"))
+      .select(col("user_id"), col("m.stage").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Tumbling-window counts computed by the WATERMARKED WINDOWED-AGG
     * streaming path ([[EventStreams.tumblingCounts]]) over the real
     * events corpus, update-mode: every micro-batch emits each touched
@@ -485,6 +530,40 @@ object StreamParity {
         ranked.where(col("epoch") === k).drop("epoch")) :+ sentinel
     }
     rankHandles.foreach(graft.Checkpoints.drop)
+    s.readStream.schema(sentinel.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
+  /** events in TIME-SLICED ordered files + the flush sentinel (round
+    * 12): `slices` files cut at equal fractions of the [min(ts),
+    * max(ts)] RANGE — membership is a function of the ts VALUE alone,
+    * so equal-timestamp ties can NEVER split across micro-batches
+    * (the rank-cut epoch feed can split a tie, which is fine for
+    * session merges — ts-only semantics — but would break a machine
+    * whose within-batch order tiebreaks on event TYPE, like the
+    * funnel's view-before-click rule). Coarse slices also advance the
+    * watermark in large jumps, so event-time TIMEOUTS genuinely fire
+    * mid-run. */
+  private[graft] def streamEventsTimeSlicesWithSentinel(
+      s: SparkSession, d: String, slices: Int = 4): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinel = flushSentinel(base)
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
+      s"eventsTimeSlicesSentinel/$slices/v1", Seq(base), cacheDir) {
+      val mm = base.agg(
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val bounds = (1 until slices).map(k => mn + (mx - mn) * k / slices)
+      val cutoffs = (Seq(Long.MinValue) ++ bounds) :+ Long.MaxValue
+      cutoffs.sliding(2).map { case Seq(lo, hi) =>
+        base.where(unix_micros(col("ts")) >= lo &&
+          unix_micros(col("ts")) < hi)
+      }.toSeq :+ sentinel
+    }
     s.readStream.schema(sentinel.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
   }
@@ -899,6 +978,7 @@ object StreamParity {
     "st_exact_dedup_parquet" -> exactDedupParquetParity,
     "st_cross_dedup" -> crossDedupParity,
     "st_funnel" -> funnelParity,
+    "st_funnel_ttl" -> funnelTtlParity,
     "st_tumbling" -> tumblingParity,
     "st_sliding" -> slidingParity,
     "st_contaminated" -> contaminatedParity,
@@ -1087,6 +1167,47 @@ object StreamParity {
     // batch min-join formulation are the same funnel semantics, and a
     // future fix to one gate must flow to the other
     "st_funnel" -> graft.operators.Events.oracle("ev_funnel"),
+    // the GAP rule replayed: per user, sessionize by inactivity > TTL
+    // (ties share a timestamp so the split is order-independent), keep
+    // the LAST segment, then the exact min-join funnel the
+    // st_funnel/ev_funnel pair share — restricted to that segment.
+    // Every user appears (u spans all of events), stage 0 included.
+    "st_funnel_ttl" ->
+      s"""WITH ordered AS (
+            SELECT user_id, ts, event_type, event_id,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > ${EventStreams.FunnelTtlUs}
+                   THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          seg AS (
+            SELECT user_id, ts, event_type,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM ordered),
+          lastseg AS (
+            SELECT seg.user_id, seg.ts, seg.event_type FROM seg
+            JOIN (SELECT user_id, max(sid) AS m FROM seg GROUP BY user_id) l
+              ON seg.user_id = l.user_id AND seg.sid = l.m),
+          v AS (SELECT user_id, MIN(ts) AS v_ts FROM lastseg
+                WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM lastseg e
+                JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+          p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM lastseg e
+                JOIN c ON c.user_id = e.user_id AND e.ts >= c.c_ts
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+          u AS (SELECT DISTINCT user_id FROM events)
+          SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
+                      WHEN c.c_ts IS NOT NULL THEN 2
+                      WHEN v.v_ts IS NOT NULL THEN 1
+                      ELSE 0 END AS stage,
+                 COUNT(*) AS n_users
+          FROM u LEFT JOIN v USING (user_id)
+                 LEFT JOIN c USING (user_id)
+                 LEFT JOIN p USING (user_id)
+          GROUP BY 1""",
     // same by-reference sharing: the online fold IS the batch fold
     "st_ewma" -> graft.operators.Events.oracle("ev_ewma"),
     "st_tumbling" ->
