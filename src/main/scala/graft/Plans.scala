@@ -132,7 +132,7 @@ kill/restart — all execution knobs only, sharing the session oracle.
 | `dropDuplicatesWithinWatermark` (st_exact_dedup ×3, st_cross_dedup) | content fingerprint | fps seen within the lateness horizon — the watermark IS the bound (an unbounded dedup would OOM; the horizon is the declared trade) | key dropped when watermark passes its event time |
 | stream-stream interval join (st_interval_join, _mb, _late) | per-side rows by user | 1 h (join bound) + lateness of rows per side; the _late variant declares a 48 h horizon — wider lateness buys tolerance with linearly more state, the per-deployment trade priced explicitly | row dropped when watermark passes its joinable window (cross-batch hold oracle-exercised in _mb; late input drop in _late) |
 | `mapGroupsWithState` funnel/EWMA (st_funnel, st_ewma) | user | O(1) VALUE per user (an Int / a 3-field fold), but KEY set = all users ever seen — `GroupStateTimeout.NoTimeout` never evicts. Honest adjudication: at 100 TB user cardinality this store grows with corpus lifetime; these two queries declare lifetime-exact semantics, and the BOUNDED form is now its own declared capability (next row) | none by declaration (see left) |
-| `flatMapGroupsWithState` + `EventTimeTimeout` funnel (st_funnel_ttl, round 12) | user | users ACTIVE within the TTL horizon (2 h) — the 100 TB-safe key set | watermark passes `last_ts + TTL` → state removed; answer-INVISIBLE by construction (the declared gap rule resets from DATA: any post-eviction event is > TTL from the last, so a fresh state equals a reset state) — the run REQUIRES `numRowsRemoved > 0` and final state < user universe, so the bound is engaged, not configured |
+| `flatMapGroupsWithState` + `EventTimeTimeout` funnel / EWMA (st_funnel_ttl, st_ewma_ttl, round 12) | user | users ACTIVE within the TTL horizon (2 h) — the 100 TB-safe key set | watermark passes `last_ts + TTL` → state removed; answer-INVISIBLE by construction (the declared gap rule resets from DATA: any post-eviction event is > TTL from the last, so a fresh state equals a reset state) — the run REQUIRES `numRowsRemoved > 0` and final state < user universe, so the bound is engaged, not configured |
 | `contaminated` stream-static semi join (st_contaminated) | per-doc collapse within horizon | watermark-bounded docs; the static dictionary side is a broadcast read, never state | watermark |
 
 The late-data drop rule itself is oracle-exercised in all three stateful

@@ -16,6 +16,11 @@ case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
   * and the integer fixed-point EWMA (micro-units) so far. */
 case class EwmaState(user_id: Long, n_events: Long, ewma_micro: Long)
 
+/** [[EventStreams.ewmaUserStateTtl]]'s state + emission: the fold plus
+  * the micros of the last event folded in (the collapse key). */
+case class EwmaTtlState(user_id: Long, last_us: Long, n_events: Long,
+    ewma_micro: Long)
+
 /** Structured Streaming surface over event streams — the incremental
   * mirror of `graft.operators.Events` (same semantics; the batch versions
   * are the DuckDB-checkable ground truth).
@@ -116,14 +121,15 @@ object EventStreams {
     * the micros of the last event folded in. */
   case class FunnelTtlState(user_id: Long, last_us: Long, stage: Int)
 
-  /** Gap TTL shared by the machine and the declared oracle. */
-  val FunnelTtlUs: Long = 2L * 3600 * 1000000
+  /** Gap TTL shared by the bounded-state machines ([[funnelStagesTtl]],
+    * [[ewmaUserStateTtl]]) and their declared oracles. */
+  val StateTtlUs: Long = 2L * 3600 * 1000000
 
   /** BOUNDED-STATE funnel (round 12) — closes the one honest gap in the
     * streaming state audit: [[funnelStages]] keeps a state entry for
     * every user EVER seen (`NoTimeout`), so its key set grows with
     * corpus lifetime. This variant declares GAP semantics — a user
-    * inactive for more than [[FunnelTtlUs]] RESTARTS the funnel (their
+    * inactive for more than [[StateTtlUs]] RESTARTS the funnel (their
     * stage resets to 0 before the next event applies) — and because the
     * reset rule is a function of the DATA (the gap between consecutive
     * event times), it is exactly replayable in SQL: final stage =
@@ -169,7 +175,7 @@ object EventStreams {
                 val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
                 val stage0 =
                   if (st.last_us != Long.MinValue &&
-                    us - st.last_us > FunnelTtlUs) 0
+                    us - st.last_us > StateTtlUs) 0
                   else st.stage
                 val stage1 = e.event_type match {
                   case "view" if stage0 == 0     => 1
@@ -180,7 +186,7 @@ object EventStreams {
                 st = FunnelTtlState(uid, us, stage1)
               }
             state.update(st)
-            state.setTimeoutTimestamp(st.last_us / 1000 + FunnelTtlUs / 1000)
+            state.setTimeoutTimestamp(st.last_us / 1000 + StateTtlUs / 1000)
             Iterator(st)
           }
       }
@@ -232,6 +238,54 @@ object EventStreams {
             }
           state.update(st)
           st
+      }
+  }
+
+  /** BOUNDED-STATE online EWMA (round 12) — [[funnelStagesTtl]]'s
+    * sibling for fold state: inactivity > [[StateTtlUs]] RESTARTS the
+    * fold (the EWMA re-seeds from the next event), so the declared
+    * answer is the fold over the user's LAST gap-free segment — a pure
+    * data rule the oracle replays with the same `list_reduce` as
+    * `ev_ewma`, restricted to that segment. `EventTimeTimeout` evicts
+    * idle users' state with the same answer-invisibility argument as
+    * the funnel: a post-eviction event is always > TTL behind, so a
+    * fresh zero-count state and a reset state are identical. Practical
+    * reading: a per-user activity EWMA where "activity resumed after a
+    * long silence" starts a new regime — and state holds only users
+    * active within the horizon, the 100 TB shape. */
+  def ewmaUserStateTtl(events: Dataset[Event],
+      alphaMille: Long = 300L): Dataset[EwmaTtlState] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaTtlState, EwmaTtlState](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[EwmaTtlState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // eviction, not semantics
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              EwmaTtlState(uid, Long.MinValue, 0L, 0L))
+            batch.toSeq
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+              .foreach { e =>
+                val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+                if (st.last_us != Long.MinValue &&
+                  us - st.last_us > StateTtlUs)
+                  st = EwmaTtlState(uid, st.last_us, 0L, 0L) // new regime
+                val v = math.floor(e.value * 1000000d).toLong
+                st =
+                  if (st.n_events == 0L) EwmaTtlState(uid, us, 1L, v)
+                  else EwmaTtlState(uid, us, st.n_events + 1,
+                    (alphaMille * v +
+                      (1000L - alphaMille) * st.ewma_micro) / 1000L)
+              }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last_us / 1000 + StateTtlUs / 1000)
+            Iterator(st)
+          }
       }
   }
 

@@ -289,16 +289,44 @@ object StreamParity {
     * must actually have been removed during the run, and the final
     * state footprint must be smaller than the user universe — a
     * silent fall-back to unbounded NoTimeout state cannot pass. */
-  val funnelTtlParity: Q = (s, d) => {
+  val funnelTtlParity: Q = (s, d) =>
+    runEvicting(s, d, "st_funnel_ttl",
+      ev => EventStreams.funnelStagesTtl(ev).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("last_us"), col("stage"))).as("m"))
+      .select(col("user_id"), col("m.stage").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+
+  /** [[funnelTtlParity]]'s FOLD-state sibling
+    * ([[EventStreams.ewmaUserStateTtl]]): the per-user EWMA restarts
+    * after inactivity > TTL, so the declared answer is the `ev_ewma`
+    * fold over the user's last gap-free segment — same eviction
+    * contract, same engagement requirement. */
+  val ewmaTtlParity: Q = (s, d) =>
+    runEvicting(s, d, "st_ewma_ttl",
+      ev => EventStreams.ewmaUserStateTtl(ev).toDF())
+      .groupBy("user_id")
+      .agg(max(struct(col("last_us"), col("n_events"),
+        col("ewma_micro"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.ewma_micro").as("ewma_micro"))
+
+  /** Shared runner for the bounded-state (`EventTimeTimeout`) machines:
+    * time-sliced multi-batch arrival, update-mode memory sink, and the
+    * bounded-state contract REQUIRED on the way out — state rows must
+    * actually have been evicted during the run and the final footprint
+    * must be under the user universe, so a silent fall-back to
+    * unbounded NoTimeout state cannot return an answer. The collapsed
+    * frame excludes the flush sentinel's reserved negative user. */
+  private def runEvicting(s: SparkSession, d: String, name: String,
+      machine: org.apache.spark.sql.Dataset[Event] => DataFrame): DataFrame = {
     import s.implicits._
-    import scala.jdk.CollectionConverters._
     val ev = streamEventsTimeSlicesWithSentinel(s, d)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props")).as[Event]
-    val qn = s"st_funnel_ttl_${runSeq.incrementAndGet()}"
+    val qn = s"${name}_${runSeq.incrementAndGet()}"
     val q = withStatePartitions(s) {
-      EventStreams.funnelStagesTtl(ev).toDF()
-        .writeStream.format("memory").queryName(qn)
+      machine(ev).writeStream.format("memory").queryName(qn)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
     }
     if (!q.awaitTermination(300000L)) {
@@ -315,10 +343,6 @@ object StreamParity {
     require(finalRows >= 0 && finalRows < nUsers,
       s"final state holds $finalRows rows for $nUsers users — not bounded")
     s.table(qn).where(col("user_id") >= 0)
-      .groupBy("user_id")
-      .agg(max(struct(col("last_us"), col("stage"))).as("m"))
-      .select(col("user_id"), col("m.stage").as("stage"))
-      .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
   /** Tumbling-window counts computed by the WATERMARKED WINDOWED-AGG
@@ -979,6 +1003,7 @@ object StreamParity {
     "st_cross_dedup" -> crossDedupParity,
     "st_funnel" -> funnelParity,
     "st_funnel_ttl" -> funnelTtlParity,
+    "st_ewma_ttl" -> ewmaTtlParity,
     "st_tumbling" -> tumblingParity,
     "st_sliding" -> slidingParity,
     "st_contaminated" -> contaminatedParity,
@@ -1177,7 +1202,7 @@ object StreamParity {
             SELECT user_id, ts, event_type, event_id,
               CASE WHEN lag(ts) OVER w IS NULL
                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                        > ${EventStreams.FunnelTtlUs}
+                        > ${EventStreams.StateTtlUs}
                    THEN 1 ELSE 0 END AS brk
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1208,6 +1233,37 @@ object StreamParity {
                  LEFT JOIN c USING (user_id)
                  LEFT JOIN p USING (user_id)
           GROUP BY 1""",
+    // the same gap sessionization, then ev_ewma's exact integer fold
+    // (list_reduce seeds from the first element; // truncates like DIV)
+    // restricted to each user's LAST segment
+    "st_ewma_ttl" ->
+      s"""WITH v AS (
+            SELECT user_id, event_id, ts,
+              CAST(floor(value * 1000000) AS BIGINT) AS vm
+            FROM events),
+          ordered AS (
+            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > ${EventStreams.StateTtlUs}
+                 THEN 1 ELSE 0 END AS brk
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          seg AS (
+            SELECT user_id, event_id, ts, vm,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM ordered),
+          lastseg AS (
+            SELECT seg.user_id, seg.event_id, seg.ts, seg.vm FROM seg
+            JOIN (SELECT user_id, max(sid) AS m FROM seg GROUP BY user_id) l
+              ON seg.user_id = l.user_id AND seg.sid = l.m),
+          o AS (
+            SELECT user_id, list(vm ORDER BY ts, event_id) AS xs
+            FROM lastseg GROUP BY user_id)
+          SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+            list_reduce(xs, (acc, x) -> (300 * x + 700 * acc) // 1000)
+              AS ewma_micro
+          FROM o""",
     // same by-reference sharing: the online fold IS the batch fold
     "st_ewma" -> graft.operators.Events.oracle("ev_ewma"),
     "st_tumbling" ->

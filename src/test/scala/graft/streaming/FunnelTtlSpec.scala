@@ -34,6 +34,36 @@ class FunnelTtlSpec extends SparkSpec {
     assert(got === Map(1L -> 2, 2L -> 0, 3L -> 3, 4L -> 2))
   }
 
+  test("ewma gap rule: inactivity > TTL re-seeds the fold") {
+    import spark.implicits._
+    def evv(id: Long, uid: Long, v: Double, offsetMin: Long): Event =
+      Event(id, new Timestamp(1700000000000L + offsetMin * 60000L), uid,
+        "view", v, "{}")
+    val events = Seq(
+      // u1: both events inside the TTL → 2-event fold
+      evv(1, 1, 1.0, 0), evv(2, 1, 2.0, 10),
+      // u2: 3 h gap → fold restarts, only the second event counts
+      evv(3, 2, 1.0, 0), evv(4, 2, 2.0, 180)
+    ).toDS()
+    val got = EventStreams.ewmaUserStateTtl(events)
+      .collect().map(s => s.user_id -> (s.n_events, s.ewma_micro)).toMap
+    assert(got(1L) === ((2L, (300L * 2000000 + 700L * 1000000) / 1000)))
+    assert(got(2L) === ((1L, 2000000L)))
+  }
+
+  test("st_ewma_ttl: per-user n_events never exceeds the unbounded fold's") {
+    val full = StreamParity.queries("st_ewma")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ttl = StreamParity.queries("st_ewma_ttl")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ttl.keySet === full.keySet, "every user accounted for")
+    ttl.foreach { case (u, n) =>
+      assert(n <= full(u), s"user $u: last-segment count $n > full ${full(u)}")
+    }
+    assert(ttl.exists { case (u, n) => n < full(u) },
+      "some user must actually have restarted (the corpus spans > TTL)")
+  }
+
   test("declared query: per-stage counts are dominated by the unbounded funnel, deterministically") {
     // per-user monotonicity (a reset can only lower a stage) implies
     // cumulative dominance of the histograms: for every k,
