@@ -10,9 +10,11 @@ import org.apache.spark.sql.{functions => F}
   * (the reference's own test style — `counting_words.py:15-36` checks
   * the engine against an independently computed answer) to RANDOM
   * PLANS: a closed, typed grammar of oracle-translatable operators
-  * (scan / null-injection / filter / project / group-agg / FK join /
-  * distinct / sort-limit / union-all over the TPC-H-ish star schema),
-  * where every generated plan renders THREE ways:
+  * (scan / null-injection / filter / project / group-agg / FK join
+  * incl. FULL OUTER / distinct / sort-limit / union-all over the
+  * TPC-H-ish star schema, with COALESCE / NULLIF / ANSI `||` / upper /
+  * length / CASE / IN-list scalar forms), where every generated plan
+  * renders THREE ways:
   *
   *   - [[Fuzz.toDF]] — the Spark DataFrame plan (the system under test);
   *   - [[Fuzz.toSql]] — ANSI SQL runnable by DuckDB (so fixed-seed
@@ -137,6 +139,26 @@ object Fuzz {
   /** `length(s)` as BIGINT (both engines count characters; corpus
     * strings are BMP-safe). */
   final case class StrLen(e: Expr) extends Expr { val tpe: FType = LongT }
+  /** `COALESCE(a, b)`, same-typed — null-repair meeting null-injection:
+    * downstream operators see a column that LOOKS total but carries the
+    * repair literal where the injection fired. */
+  final case class Coalesce2(a: Expr, b: Expr) extends Expr {
+    def tpe: FType = a.tpe
+  }
+  /** `NULLIF(a, b)`: NULL when a = b, else a; an UNKNOWN comparison
+    * (either side NULL) keeps a — ANSI CASE-equivalence. */
+  final case class NullIf(a: Expr, b: Expr) extends Expr {
+    def tpe: FType = a.tpe
+  }
+  /** `a || b` — ANSI concat: NULL if EITHER side is NULL. The SQL
+    * rendering must use `||`, never DuckDB's `concat()`, which treats
+    * NULL as '' (a real cross-engine divergence this grammar pins). */
+  final case class ConcatS(l: Expr, r: Expr) extends Expr {
+    val tpe: FType = StringT
+  }
+  /** `upper(s)` — corpus strings are ASCII, so locale-stable on both
+    * engines. */
+  final case class UpperS(e: Expr) extends Expr { val tpe: FType = StringT }
 
   // ---------------------------------------------------------------- aggs
 
@@ -227,6 +249,13 @@ object Fuzz {
       val in = colToDF(x).isin(items.map(litValue): _*)
       if (neg) !in else in
     case StrLen(s)  => F.length(colToDF(s)).cast("bigint")
+    case Coalesce2(a, b) => F.coalesce(colToDF(a), colToDF(b))
+    case NullIf(a, b) =>
+      // CASE-equivalent form: an UNKNOWN comparison takes ELSE → a
+      F.when(colToDF(a) === colToDF(b),
+        F.lit(null).cast(sparkType(a.tpe))).otherwise(colToDF(a))
+    case ConcatS(l, r) => F.concat(colToDF(l), colToDF(r))
+    case UpperS(s)     => F.upper(colToDF(s))
     case Arith(op, l, r) =>
       val (a, b) = (colToDF(l), colToDF(r))
       op match {
@@ -285,6 +314,7 @@ object Fuzz {
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
         case "inner" => "inner"; case "left" => "left_outer"
+        case "full" => "full_outer"
         case "semi" => "left_semi"; case "anti" => "left_anti"
       }
       ld.join(rd, ld(lk.name) === rd(rk.name), st)
@@ -323,6 +353,11 @@ object Fuzz {
       s"(${exprToSql(x)} ${if (neg) "NOT IN" else "IN"} " +
         items.map(exprToSql).mkString("(", ", ", ")") + ")"
     case StrLen(s)  => s"CAST(length(${exprToSql(s)}) AS BIGINT)"
+    case Coalesce2(a, b) =>
+      s"COALESCE(${exprToSql(a)}, ${exprToSql(b)})"
+    case NullIf(a, b) => s"NULLIF(${exprToSql(a)}, ${exprToSql(b)})"
+    case ConcatS(l, r) => s"(${exprToSql(l)} || ${exprToSql(r)})"
+    case UpperS(s)     => s"upper(${exprToSql(s)})"
     case Arith(op, l, r) => s"(${exprToSql(l)} $op ${exprToSql(r)})"
     case Cmp(op, l, r)   => s"(${exprToSql(l)} $op ${exprToSql(r)})"
     case IsNull(x, neg)  =>
@@ -372,6 +407,9 @@ object Fuzz {
           s"ON jl_.${lk.name} = jr_.${rk.name}"
       case "left" =>
         s"SELECT * FROM (${toSql(l)}) jl_ LEFT JOIN (${toSql(r)}) jr_ " +
+          s"ON jl_.${lk.name} = jr_.${rk.name}"
+      case "full" =>
+        s"SELECT * FROM (${toSql(l)}) jl_ FULL JOIN (${toSql(r)}) jr_ " +
           s"ON jl_.${lk.name} = jr_.${rk.name}"
       case "semi" =>
         s"SELECT * FROM (${toSql(l)}) jl_ WHERE EXISTS (SELECT 1 FROM " +
@@ -431,6 +469,18 @@ object Fuzz {
       if (neg) in.map(!_) else in
     case StrLen(s) =>
       evalExpr(s, row).map { case v: String => v.length.toLong }
+    case Coalesce2(a, b) => evalExpr(a, row).orElse(evalExpr(b, row))
+    case NullIf(a, b) =>
+      val av = evalExpr(a, row)
+      (av, evalExpr(b, row)) match {
+        case (Some(x), Some(y)) if cmpOpt(Some(x), Some(y)) == 0 => None
+        case _ => av // UNKNOWN or FALSE comparison keeps a
+      }
+    case ConcatS(l, r) =>
+      for { a <- evalExpr(l, row); b <- evalExpr(r, row) }
+        yield a.asInstanceOf[String] + b.asInstanceOf[String]
+    case UpperS(s) => evalExpr(s, row).map { case v: String =>
+      v.toUpperCase(java.util.Locale.ROOT) }
     case Arith(op, l, r) =>
       for { a <- evalExpr(l, row); b <- evalExpr(r, row) } yield (a, b) match {
         case (x: Long, y: Long) => op match {
@@ -547,6 +597,25 @@ object Fuzz {
             Seq(lr ++ r.schema.map(f => f.name -> (None: Option[Any])))
           else matches.map(rr => lr ++ rr)
         }
+        case "full" =>
+          // left-join pass, tracking which right rows matched; unmatched
+          // right rows (including NULL-keyed ones — ANSI equality never
+          // matches them) come back left-null-extended
+          val rIndexed = rrows.zipWithIndex
+          val idx: Map[Any, Seq[(Row, Int)]] =
+            rIndexed.flatMap { case (rr, i) => rr(rk.name).map(_ -> (rr, i)) }
+              .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+          val hit = scala.collection.mutable.BitSet.empty
+          val leftPart = lrows.flatMap { lr =>
+            val ms = lr(lk.name).toSeq.flatMap(k => idx.getOrElse(k, Nil))
+            if (ms.isEmpty)
+              Seq(lr ++ r.schema.map(f => f.name -> (None: Option[Any])))
+            else ms.map { case (rr, i) => hit += i; lr ++ rr }
+          }
+          val lNulls = l.schema.map(f => f.name -> (None: Option[Any])).toMap
+          leftPart ++ rIndexed.collect {
+            case (rr, i) if !hit.contains(i) => lNulls ++ rr
+          }
         case "semi" => lrows.filter(lr =>
           lr(lk.name).exists(k => index.contains(k)))
         case "anti" => lrows.filter(lr =>
@@ -672,7 +741,7 @@ object Fuzz {
       val (ft, fk, dt, pk) = pick(rnd, fkPairs)
       val left = genNullInject(rnd, withFilter(Scan(ft)))
       val right = withFilter(Scan(dt))
-      val jt = pick(rnd, Seq("inner", "left", "semi", "anti"))
+      val jt = pick(rnd, Seq("inner", "left", "full", "semi", "anti"))
       Join(left, right, jt,
         Col(fk, LongT), Col(pk, LongT))
     } else genNullInject(rnd, withFilter(Scan(pick(rnd, catalog.keys.toSeq.sorted))))
@@ -689,8 +758,26 @@ object Fuzz {
           val picked = rnd.shuffle(schema.toVector).take(n)
           Project(base, picked.zipWithIndex.map { case (f, i) =>
             val e: Expr =
-              if (f.tpe == StringT && rnd.nextInt(4) == 0)
-                StrLen(Col(f.name, StringT))
+              if (f.tpe == StringT && rnd.nextInt(3) == 0) {
+                // string-function corner: length / upper / ANSI || (with
+                // a second string col or a pool literal) / NULLIF
+                val c = Col(f.name, StringT)
+                rnd.nextInt(4) match {
+                  case 0 => StrLen(c)
+                  case 1 => UpperS(c)
+                  case 2 =>
+                    val others = schema.filter(_.tpe == StringT)
+                    ConcatS(c,
+                      if (rnd.nextBoolean() && others.nonEmpty)
+                        Col(pick(rnd, others).name, StringT)
+                      else litFor(rnd, StringT))
+                  case _ => NullIf(c, litFor(rnd, StringT))
+                }
+              }
+              else if (rnd.nextInt(8) == 0)
+                Coalesce2(Col(f.name, f.tpe), litFor(rnd, f.tpe))
+              else if (rnd.nextInt(8) == 0)
+                NullIf(Col(f.name, f.tpe), litFor(rnd, f.tpe))
               else if (rnd.nextInt(6) == 0) {
                 // CASE WHEN <long-keyed cond> THEN col ELSE literal —
                 // both branches live, the UNKNOWN cond takes ELSE

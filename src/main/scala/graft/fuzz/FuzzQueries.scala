@@ -11,21 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A seed names the same plan for as long as the GRAMMAR is unchanged
   * (java.util.Random's LCG is spec-pinned); extending the grammar
   * re-maps every seed, so declared seeds are re-chosen and re-verified
-  * whenever the grammar grows (round 12 grew it once: IN-lists with
-  * NULL members, CASE value expressions, length(), timestamp columns).
-  * Current seeds, chosen for structural diversity — all three carry
-  * IN-list predicates, timestamp comparisons, and CASE branches:
+  * whenever the grammar grows (round 12 grew it twice: IN-lists with
+  * NULL members, CASE values, length(), timestamps; then FULL OUTER
+  * join, COALESCE, NULLIF, ANSI `||`, upper()). Current seeds, chosen
+  * so each exercises a second-extension feature:
   *
-  *   - 11: FK join ∪ filtered copy (union over ~N(lineitem) rows);
-  *   - 45: FK join → ORDER BY ALL NULLS FIRST LIMIT (top-k over a
-  *          null-injected join);
-  *   - 49: FK join → grouped aggregation (null-extension feeding
-  *          grouping).
+  *   - 49:  FULL JOIN → grouped aggregation → ORDER BY NULLS FIRST
+  *          LIMIT (both-sides null extension feeding grouping);
+  *   - 224: FULL JOIN + upper() ∪ filtered copy under a total sort
+  *          (string functions across a union);
+  *   - 414: COALESCE + NULLIF projection over a sorted-limit scan
+  *          (the scalar null-repair corner, non-empty at every SF).
   */
 object FuzzQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val seeds = Seq(11L, 45L, 49L)
+  private val seeds = Seq(49L, 224L, 414L)
 
   private def name(seed: Long): String = s"fz_seed$seed"
 
