@@ -69,7 +69,8 @@ object Plans {
     "mm_codec_roundtrip",   // real encode→decode→hash, narrow zero-shuffle pass
     "q01_pricing_summary_orc", // same Q1 plan shape off an ORC scan (pushdown)
     "mm_frame_dupes_real",  // real multi-frame decode → hash → capped pair join
-    "fz_seed11",            // fuzz grammar: FK join ∪ filtered copy, IN + TS preds
+    "fz_seed49",            // fuzz grammar: FULL JOIN → group-agg → top-k
+    "st_ewma_ttl",          // bounded-state fold: EventTimeTimeout eviction
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,
