@@ -69,7 +69,7 @@ object Plans {
     "mm_codec_roundtrip",   // real encode→decode→hash, narrow zero-shuffle pass
     "q01_pricing_summary_orc", // same Q1 plan shape off an ORC scan (pushdown)
     "mm_frame_dupes_real",  // real multi-frame decode → hash → capped pair join
-    "fz_seed49",            // fuzz grammar: FULL JOIN → group-agg → top-k
+    "fz_seed289",           // fuzz grammar: semi-join → EXCEPT ALL → group-agg
     "st_ewma_ttl",          // bounded-state fold: EventTimeTimeout eviction
   )
 

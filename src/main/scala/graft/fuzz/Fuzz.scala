@@ -11,7 +11,8 @@ import org.apache.spark.sql.{functions => F}
   * the engine against an independently computed answer) to RANDOM
   * PLANS: a closed, typed grammar of oracle-translatable operators
   * (scan / null-injection / filter / project / group-agg / FK join
-  * incl. FULL OUTER / distinct / sort-limit / union-all over the
+  * incl. FULL OUTER / distinct / sort-limit / union-all /
+  * INTERSECT / EXCEPT incl. the multiset ALL forms, over the
   * TPC-H-ish star schema, with COALESCE / NULLIF / ANSI `||` / upper /
   * length / CASE / IN-list scalar forms), where every generated plan
   * renders THREE ways:
@@ -219,6 +220,16 @@ object Fuzz {
   final case class UnionAll(l: Plan, r: Plan) extends Plan {
     def schema: Seq[Field] = l.schema
   }
+  /** INTERSECT / EXCEPT and their ALL variants. The DISTINCT forms
+    * collapse duplicates; ALL is multiset arithmetic (min-count /
+    * count-difference). Row equality in set ops treats NULL = NULL
+    * (ANSI grouping semantics, like DISTINCT/GROUP BY) — the OPPOSITE
+    * of join equality, where a NULL key matches nothing; generating
+    * both in one grammar hunts exactly that asymmetry. `op` ∈
+    * intersect | except | intersect_all | except_all. */
+  final case class SetOp(l: Plan, r: Plan, op: String) extends Plan {
+    def schema: Seq[Field] = l.schema
+  }
 
   // ------------------------------------------------------- Spark render
 
@@ -324,6 +335,14 @@ object Fuzz {
       df.orderBy(df.columns.map(cn => F.col(cn).asc_nulls_first): _*).limit(n)
     case UnionAll(l, r) =>
       toDF(l, spark, sfDir).unionAll(toDF(r, spark, sfDir))
+    case SetOp(l, r, op) =>
+      val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
+      op match {
+        case "intersect"     => ld.intersect(rd)
+        case "except"        => ld.except(rd)
+        case "intersect_all" => ld.intersectAll(rd)
+        case "except_all"    => ld.exceptAll(rd)
+      }
   }
 
   // --------------------------------------------------------- SQL render
@@ -426,6 +445,16 @@ object Fuzz {
         .mkString(", ")
       s"SELECT * FROM (${toSql(c)}) s_ ORDER BY $cols LIMIT $n"
     case UnionAll(l, r) => s"(${toSql(l)}) UNION ALL (${toSql(r)})"
+    case SetOp(l, r, op) =>
+      val kw = op match {
+        case "intersect"     => "INTERSECT"
+        case "except"        => "EXCEPT"
+        case "intersect_all" => "INTERSECT ALL"
+        case "except_all"    => "EXCEPT ALL"
+      }
+      // set ops match columns by POSITION in SQL; both operands render
+      // the same schema by construction, so position = name here
+      s"(${toSql(l)}) $kw (${toSql(r)})"
   }
 
   // ------------------------------------------- reference interpretation
@@ -629,6 +658,37 @@ object Fuzz {
         if (it.hasNext) it.next() < 0 else false
       }.take(n)
     case UnionAll(l, r) => eval(l, tables) ++ eval(r, tables)
+    case SetOp(l, r, op) =>
+      // Row is Map[name, Option[value]], so == already treats NULL as
+      // equal to NULL — exactly the set-op (grouping) equality ANSI
+      // prescribes, and exactly NOT the join equality above
+      val (lrows, rrows) = (eval(l, tables), eval(r, tables))
+      op match {
+        case "intersect" =>
+          val rset = rrows.toSet
+          lrows.distinct.filter(rset.contains)
+        case "except" =>
+          val rset = rrows.toSet
+          lrows.distinct.filterNot(rset.contains)
+        case "intersect_all" =>
+          // multiset min: each left occurrence survives while right
+          // occurrences of the same row remain
+          val rc = scala.collection.mutable.Map.empty[Row, Int]
+          rrows.foreach(x => rc(x) = rc.getOrElse(x, 0) + 1)
+          lrows.filter { x =>
+            val c = rc.getOrElse(x, 0)
+            if (c > 0) { rc(x) = c - 1; true } else false
+          }
+        case "except_all" =>
+          // multiset difference: each right occurrence cancels one
+          // left occurrence
+          val rc = scala.collection.mutable.Map.empty[Row, Int]
+          rrows.foreach(x => rc(x) = rc.getOrElse(x, 0) + 1)
+          lrows.filterNot { x =>
+            val c = rc.getOrElse(x, 0)
+            if (c > 0) { rc(x) = c - 1; true } else false
+          }
+      }
   }
 
   // ------------------------------------------------------ canonical form
@@ -751,7 +811,7 @@ object Fuzz {
     if (depth <= 0) base
     else {
       val schema = base.schema
-      val next = rnd.nextInt(6) match {
+      val next = rnd.nextInt(7) match {
         case 0 => Filter(base, genPred(rnd, schema))
         case 1 => // computed projection
           val n = 1 + rnd.nextInt(math.min(4, schema.size))
@@ -831,6 +891,14 @@ object Fuzz {
         case 3 => Distinct(base)
         case 4 => SortLimit(base, pick(rnd, Seq(1, 5, 17, 200)))
         case 5 => UnionAll(base, Filter(base, genPred(rnd, schema)))
+        case 6 =>
+          // base ∖ σ(base) keeps the rows where the predicate is FALSE
+          // or UNKNOWN (exercising 3VL from the complement side);
+          // base ∩ σ(base) re-derives the TRUE side through set
+          // machinery — with the ALL forms preserving duplicate counts
+          SetOp(base, Filter(base, genPred(rnd, schema)),
+            pick(rnd, Seq("intersect", "except", "intersect_all",
+              "except_all")))
       }
       genTransforms(rnd, next, depth - 1)
     }
@@ -846,5 +914,6 @@ object Fuzz {
     case Distinct(c)        => Seq(c)
     case SortLimit(c, _)    => Seq(c)
     case UnionAll(l, r)     => Seq(l, r)
+    case SetOp(l, r, _)     => Seq(l, r)
   }
 }

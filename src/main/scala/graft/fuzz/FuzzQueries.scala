@@ -11,22 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A seed names the same plan for as long as the GRAMMAR is unchanged
   * (java.util.Random's LCG is spec-pinned); extending the grammar
   * re-maps every seed, so declared seeds are re-chosen and re-verified
-  * whenever the grammar grows (round 12 grew it twice: IN-lists with
-  * NULL members, CASE values, length(), timestamps; then FULL OUTER
-  * join, COALESCE, NULLIF, ANSI `||`, upper()). Current seeds, chosen
-  * so each exercises a second-extension feature:
+  * whenever the grammar grows (round 12 grew it three times: IN-lists
+  * with NULL members, CASE values, length(), timestamps; FULL OUTER
+  * join, COALESCE, NULLIF, ANSI `||`, upper(); then INTERSECT/EXCEPT
+  * incl. the multiset ALL forms). Current seeds, chosen so each
+  * exercises a latest-extension feature:
   *
-  *   - 49:  FULL JOIN → grouped aggregation → ORDER BY NULLS FIRST
-  *          LIMIT (both-sides null extension feeding grouping);
-  *   - 224: FULL JOIN + upper() ∪ filtered copy under a total sort
-  *          (string functions across a union);
-  *   - 414: COALESCE + NULLIF projection over a sorted-limit scan
+  *   - 289: semi-join (EXISTS) lineitem→orders, EXCEPT ALL against a
+  *          3VL-filtered copy, then grouped COUNT DISTINCT — multiset
+  *          difference feeding aggregation;
+  *   - 419: lineitem FULL JOIN supplier on a NULL-INJECTED key with a
+  *          NOT-IN-with-NULL-member post-filter — both-sides null
+  *          extension meeting three-valued logic;
+  *   - 414: COALESCE + NULLIF projection under DISTINCT over part
   *          (the scalar null-repair corner, non-empty at every SF).
   */
 object FuzzQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val seeds = Seq(49L, 224L, 414L)
+  private val seeds = Seq(289L, 414L, 419L)
 
   private def name(seed: Long): String = s"fz_seed$seed"
 
