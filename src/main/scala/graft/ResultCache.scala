@@ -60,8 +60,14 @@ object ResultCache {
     * build (the epoch-file ranks can exceed 30 min at scale) is never
     * presumed dead because [[startHeartbeat]] re-touches the holder's
     * lock mtime every [[HeartbeatMs]]. */
-  private val StaleLockMs = 30L * 60 * 1000
-  private val HeartbeatMs = 5L * 60 * 1000
+  // sys-prop overridable (defaults are the production values): the
+  // cross-PROCESS soak spec compresses both windows to seconds so a
+  // killed builder's steal path runs inside a test, with heartbeat ≪
+  // stale preserved — the same ratio production relies on.
+  private def StaleLockMs: Long = sys.props.get("graft.cache.staleLockMs")
+    .map(_.toLong).getOrElse(30L * 60 * 1000)
+  private def HeartbeatMs: Long = sys.props.get("graft.cache.heartbeatMs")
+    .map(_.toLong).getOrElse(5L * 60 * 1000)
 
   private lazy val heartbeats =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
@@ -78,9 +84,25 @@ object ResultCache {
     }, HeartbeatMs, HeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** One acquisition attempt: O_EXCL create, or an atomic steal of a
-    * stale lock. Returns whether THIS caller now holds the lock. */
-  private def tryAcquire(lock: java.nio.file.Path): Boolean =
-    try { Files.createFile(lock); true }
+    * stale lock. Returns whether THIS caller now holds the lock.
+    *
+    * Round 13 (r12 advice): the holder's `token` (a per-acquisition
+    * UUID) is written INTO the lock file at create time — a single
+    * open(O_CREAT|O_EXCL)+write, still atomic for mutual exclusion —
+    * so release can be OWNERSHIP-CHECKED. Without it, a holder paused
+    * past [[StaleLockMs]] (STW pause, machine sleep — the heartbeat
+    * thread is paused too) gets its lock stolen; on resume its
+    * unconditional `finally deleteIfExists` would delete the NEW
+    * holder's LIVE lock, re-opening the two-concurrent-writers window
+    * the atomic steal exists to close. [[releaseIfOwned]] deletes only
+    * while the file still carries the releaser's own token. */
+  private def tryAcquire(lock: java.nio.file.Path, token: String): Boolean =
+    try {
+      Files.write(lock, token.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      true
+    }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val age =
@@ -95,18 +117,36 @@ object ResultCache {
             Files.move(lock, grave,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             Files.deleteIfExists(grave)
-            try { Files.createFile(lock); true }
+            try {
+              Files.write(lock, token.getBytes("UTF-8"),
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              true
+            }
             catch { case _: java.nio.file.FileAlreadyExistsException => false }
           } catch { case _: java.io.IOException => false } // lost the race
         }
     }
 
+  /** Delete `lock` only if it still carries `token` — a resumed holder
+    * whose lock was stolen mid-pause reads the thief's token and backs
+    * off. (The read-then-delete window is microseconds against a steal
+    * precondition of [[StaleLockMs]] of silence, so the residual race
+    * requires a second full staleness period inside it.) */
+  private def releaseIfOwned(lock: java.nio.file.Path, token: String): Unit =
+    try {
+      if (new String(Files.readAllBytes(lock), "UTF-8") == token)
+        Files.deleteIfExists(lock)
+      ()
+    } catch { case _: java.io.IOException => () } // already gone: fine
+
   private def crossProcessLocked[T](path: String)(f: => T): T = {
     val lock = Paths.get(path + ".lock")
+    val token = java.util.UUID.randomUUID.toString
     Files.createDirectories(lock.getParent)
-    while (!tryAcquire(lock)) Thread.sleep(100)
+    while (!tryAcquire(lock, token)) Thread.sleep(100)
     val beat = startHeartbeat(lock)
-    try f finally { beat.cancel(false); Files.deleteIfExists(lock) }
+    try f finally { beat.cancel(false); releaseIfOwned(lock, token) }
   }
 
   /** Non-blocking variant for [[sweep]]: one acquisition attempt (with
@@ -115,9 +155,10 @@ object ResultCache {
     * heartbeated lock. */
   private def tryLocked(path: String)(f: => Unit): Boolean = {
     val lock = Paths.get(path + ".lock")
+    val token = java.util.UUID.randomUUID.toString
     Files.createDirectories(lock.getParent)
-    if (!tryAcquire(lock)) false
-    else { try f finally Files.deleteIfExists(lock); true }
+    if (!tryAcquire(lock, token)) false
+    else { try f finally releaseIfOwned(lock, token); true }
   }
 
   /** The single-flight build protocol shared by every entry point:

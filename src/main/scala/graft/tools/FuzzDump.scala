@@ -20,7 +20,9 @@ object FuzzDump {
           .write.mode("overwrite").parquet(s"$outDir/$name")
         Some(name -> graft.fuzz.Fuzz.toSql(p))
       } catch {
-        case e: Throwable =>
+        // NonFatal only (r12 advice): an OOM/LinkageError must kill the
+        // sweep, not leave a wounded JVM "dumping" the remaining seeds
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[fuzzdump] $name failed: ${e.getMessage}")
           None
       }

@@ -14,6 +14,7 @@ object FuzzShapes {
         case Distinct(c) => s"D(${sig(c)})"
         case SortLimit(c, n) => s"L$n(${sig(c)})"
         case UnionAll(l, r) => s"U(${sig(l)},${sig(r)})"
+        case SetOp(l, r, op) => s"S-$op(${sig(l)},${sig(r)})"
       }
       println(f"$s%4d ${sig(genPlan(s))}")
     }
