@@ -145,6 +145,16 @@ object Bench {
         new scala.util.Random(orderSeed + r).shuffle(ordered.indices.toVector)
       }
 
+    // canary containers live outside the branch so the JSON emission
+    // sees them; the shared-session A/B branch leaves them empty
+    // (band: null there — that branch carries its own controls)
+    val canaryRef = Seq(
+      "ta_token_stats" -> 0.10, "q12_running_total" -> 0.11,
+      "q08_distinct_flags" -> 0.17).filter(c =>
+      SparkEntry.queries.contains(c._1))
+    val canaryAcc = scala.collection.mutable.LinkedHashMap(
+      canaryRef.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+
     val results = if (repSessions) {
       // per-rep isolation: session create/stop lands OUTSIDE the timed
       // region; each rep re-plans from the loader in a clean context.
@@ -171,17 +181,19 @@ object Bench {
         var warmFails = 0
       }
       val acc = ordered.map { case (n, _) => n -> new Acc }.toMap
-      def runOnce(name: String,
-          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-        val a = acc(name)
+      // (time-if-ok, gc-delta, warm-fail-count): the shared one-rep
+      // machinery — fresh session, warm-up, block hygiene, timed run
+      def execOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+          : (Option[Double], Double, Int) = {
         val gc0 = gcSecs
         val spark = freshSession()
+        var warmFails = 0
         // NonFatal only (advice r9): an OOM/fatal JVM error in the
         // warm-up must propagate, not leave a wounded JVM that the
         // timed run then "measures"; a non-fatal warm-up failure is
         // counted so a cold-timed query is visible in the artifact
         try { fn(spark, sfDir).count() }
-        catch { case scala.util.control.NonFatal(_) => a.warmFails += 1 }
+        catch { case scala.util.control.NonFatal(_) => warmFails += 1 }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
@@ -199,10 +211,53 @@ object Bench {
                  catch { case scala.util.control.NonFatal(_) => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.stop()
-        a.gc += gcSecs - gc0
-        if (ok) a.times = a.times :+ elapsed
+        (if (ok) Some(elapsed) else None, gcSecs - gc0, warmFails)
       }
-      passOrders.foreach(_.foreach(i => runOnce(ordered(i)._1, ordered(i)._2)))
+      def runOnce(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+        val a = acc(name)
+        val (t, gc, wf) = execOnce(fn)
+        a.gc += gc
+        a.warmFails += wf
+        t.foreach(v => a.times = a.times :+ v)
+      }
+      // WINDOW-BAND CANARIES (round 13, r12 verdict item 6): the
+      // dominant residual measurement confounder is the box's window
+      // band — a uniform ADDITIVE ~+0.1 s elevation on sub-second
+      // queries while a driver/judge session is active (three rounds of
+      // BASELINE.md calibrations carry the signature; heavies are
+      // untouched). Until now the band was diagnosed only POST-HOC by
+      // calibrating whole sweeps against each other. Each rep pass now
+      // interleaves three cheap never-flagged canaries (one per family:
+      // text scan-agg, window running total, distinct flags) at FIXED
+      // positions — start, middle, end of the pass, rotating which
+      // canary takes which position per pass — and the artifact carries
+      // "band": the median canary time ratio to its pinned clean-window
+      // reference (the r11/r12 driver-sweep values, stable across both
+      // rounds). band ≈ 1 → clean window, read medians absolutely;
+      // band ≫ 1 → sub-second medians carry that elevation and
+      // ratio-to-control is the valid read. Canary runs use the same
+      // per-rep-session machinery but land in their OWN accumulator —
+      // they never contaminate the canary query's sweep reps. Cheap
+      // canaries by design: the band is additive, so the RATIO signal
+      // is largest on the cheapest queries (~9 extra sub-second runs
+      // per sweep). Skipped under SPARK_GRAFT_ONLY: the isolated-A/B
+      // protocol carries its own co-located controls.
+      def runCanary(slot: Int): Unit =
+        if (only.isEmpty && canaryRef.nonEmpty) {
+          val n = canaryRef(slot % canaryRef.size)._1
+          execOnce(SparkEntry.queries(n))._1
+            .foreach(t => canaryAcc(n) = canaryAcc(n) :+ t)
+        }
+      passOrders.zipWithIndex.foreach { case (ord, pass) =>
+        runCanary(pass)
+        val mid = ord.size / 2
+        ord.zipWithIndex.foreach { case (i, k) =>
+          if (k == mid && ord.size > 1) runCanary(pass + 1)
+          runOnce(ordered(i)._1, ordered(i)._2)
+        }
+        runCanary(pass + 2)
+      }
       // STALL GUARD (round 10, verdict item 1): the r9 committed
       // artifact had reps like ev_sessions [0.39, 5.38, 6.25] — one
       // environment stall during reps 2-3 set the committed median to
@@ -341,6 +396,18 @@ object Bench {
     // shared-session A/B branch, which keeps sorted order
     val orderJson = passOrders
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    // window-band estimate: median canary ratio to its pinned
+    // clean-window reference (see the canary comment above); null when
+    // no canary ran (SPARK_GRAFT_ONLY or the shared-session A/B branch)
+    val canaryJson = canaryAcc.map { case (n, ts) =>
+      "\"" + n + "\":" + ts.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val canaryRefJson = canaryRef.map { case (n, v) =>
+      "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val ratios = canaryRef.flatMap { case (n, ref) =>
+      canaryAcc(n).map(_ / ref) }.sorted
+    val bandJson =
+      if (ratios.isEmpty) "null" else r3(ratios(ratios.length / 2)).toString
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_reps":$reps,""" +
       s""""order_seed":$orderSeed,"order":$orderJson,""" +
       // drain_ok is only meaningful when the shared-session branch ran
@@ -350,6 +417,7 @@ object Bench {
       s""""restart_every":$restartEvery,"rep_sessions":$repSessions,""" +
       s""""drain_ok":${if (repSessions) "null" else StateDrain.healthy.toString},""" +
       s""""stall_retries":$retryJson,"warm_fails":$warmFailJson,""" +
+      s""""canary":$canaryJson,"canary_ref":$canaryRefJson,"band":$bandJson,""" +
       s""""gc_sec":$gcJson,"reps":$repJson,"queries":$qs,"value":$total}"""
     // only a FULL sweep may overwrite the round artifact — an isolated
     // SPARK_GRAFT_ONLY diagnosis run must not clobber the 139-query

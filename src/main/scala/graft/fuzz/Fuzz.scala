@@ -30,13 +30,47 @@ import org.apache.spark.sql.{functions => F}
   *     collapse.
   *
   * `FuzzQuerySpec` drives hundreds of seeded plans through Spark vs
-  * the interpreter and shrinks failures to a minimal subplan; three
-  * fixed seeds are declared as `fz_*` queries so the same grammar also
-  * runs under DuckDB per round. The grammar is deliberately bounded
-  * for DETERMINISM across engines: no double SUM/AVG (accumulation
-  * order), no division (by-zero semantics), FK-only join keys (output
-  * sizes stay O(fact)), literals sized so ANSI-mode arithmetic can
-  * never overflow.
+  * the interpreter (and, round 13, the SAME rendered SQL through
+  * Spark's OWN SQL frontend — a three-way differential closing the
+  * DataFrame-vs-`spark.sql` consistency gap), and shrinks failures to
+  * a minimal subplan; fixed seeds are declared as `fz_*` queries so
+  * the same grammar also runs under DuckDB per round.
+  *
+  * Round 13 extends the grammar into the previously-excluded trap
+  * zones (r12 verdict items 2 and 4):
+  *
+  *   - DECIMAL(15,2) columns (`l_quantity`, `l_extendedprice`) with
+  *     `+ - *` arithmetic CLOSED over the type by an embedded
+  *     `ROUND(·,2)` — exact decimal semantics where the repo's own
+  *     history found real bugs (q01's double rounding, BM25's scale-6
+  *     division). The SQL rendering must be `CAST(ROUND(e,2) AS
+  *     DECIMAL(15,2))`, never a bare narrowing cast: DuckDB's decimal
+  *     cast TRUNCATES (1.255 → 1.25) while Spark's rounds HALF_UP —
+  *     a real cross-engine divergence this grammar pins; ROUND is
+  *     half-away-from-zero on both engines (= java HALF_UP for both
+  *     signs).
+  *   - Guarded DIVISION `x / NULLIF(y, 0)` over DOUBLE: IEEE division
+  *     is correctly rounded (deterministic per-row, unlike double
+  *     accumulation), and the NULLIF guard makes ÷0 produce NULL on
+  *     both engines instead of an error on one.
+  *   - AVG over DECIMAL via the CENTS-INTEGER discipline: DuckDB's
+  *     AVG(DECIMAL) returns DOUBLE while Spark's returns
+  *     DECIMAL(p+4,s+4) — comparing them would be a renderer artifact,
+  *     so the grammar renders `AVG(CAST(x*100 AS BIGINT))` everywhere:
+  *     exact integer cents through the proven AVG(BIGINT) path (sum
+  *     stays < 2^53, the one division is deterministic). SUM(DECIMAL)
+  *     needs no discipline — decimal addition is exact in any order.
+  *   - WINDOW functions (row_number / rank / dense_rank / a
+  *     running-sum ROWS frame) partitioned by an FK/PK key column and
+  *     ordered by ALL child columns NULLS FIRST — a total order up to
+  *     fully-duplicate rows, whose window values are interchangeable,
+  *     so output multisets are deterministic; frame-boundary and
+  *     ordering-tie semantics are where engines classically diverge.
+  *
+  * Still deliberately excluded: double SUM/AVG (accumulation order)
+  * and unguarded division. FK-only join keys (output sizes stay
+  * O(fact)) and size-capped literals (ANSI arithmetic can never
+  * overflow) still hold.
   */
 object Fuzz {
 
@@ -45,6 +79,12 @@ object Fuzz {
   sealed trait FType
   case object LongT extends FType
   case object DoubleT extends FType
+  /** DECIMAL(15,2) — the grammar keeps the type CLOSED at this one
+    * precision/scale: every arithmetic result is re-rounded to (15,2)
+    * by [[DecArith]], so stacked expressions can never hit the
+    * precision-38 ceiling where Spark (allowPrecisionLoss) and DuckDB
+    * (error) diverge, and every value compares as a scale-2 string. */
+  case object DecT extends FType
   case object StringT extends FType
   case object TimeT extends FType
   case object BoolT extends FType
@@ -72,9 +112,13 @@ object Fuzz {
     "orders" -> Seq(Field("o_orderkey", LongT), Field("o_custkey", LongT),
       Field("o_orderstatus", StringT), Field("o_totalprice", DoubleT),
       Field("o_orderdate", TimeT), Field("o_orderpriority", StringT)),
+    // l_quantity / l_extendedprice read as DECIMAL(15,2) (round 13):
+    // exact decimal semantics are the trap zone the grammar previously
+    // excluded; l_discount / l_tax stay DOUBLE so both numeric kinds
+    // flow through every operator
     "lineitem" -> Seq(Field("l_orderkey", LongT), Field("l_partkey", LongT),
       Field("l_suppkey", LongT), Field("l_linenumber", LongT),
-      Field("l_quantity", DoubleT), Field("l_extendedprice", DoubleT),
+      Field("l_quantity", DecT), Field("l_extendedprice", DecT),
       Field("l_discount", DoubleT), Field("l_tax", DoubleT),
       Field("l_returnflag", StringT), Field("l_linestatus", StringT),
       Field("l_shipdate", TimeT)),
@@ -99,6 +143,12 @@ object Fuzz {
   final case class Col(name: String, tpe: FType) extends Expr
   final case class LitL(v: Long) extends Expr { val tpe: FType = LongT }
   final case class LitD(v: Double) extends Expr { val tpe: FType = DoubleT }
+  /** DECIMAL(15,2) literal, held as integer CENTS — exact by
+    * construction in all three renderings. */
+  final case class LitDec(cents: Long) extends Expr {
+    val tpe: FType = DecT
+    def bd: java.math.BigDecimal = java.math.BigDecimal.valueOf(cents, 2)
+  }
   final case class LitS(v: String) extends Expr { val tpe: FType = StringT }
   /** Timestamp literal, `yyyy-MM-dd HH:mm:ss` (session TZ = UTC). */
   final case class LitT(v: String) extends Expr { val tpe: FType = TimeT }
@@ -107,6 +157,24 @@ object Fuzz {
   /** `+ - * %` on longs, `+ - *` on doubles; operands same-typed. */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr {
     def tpe: FType = l.tpe
+  }
+  /** `+ - *` on DECIMAL(15,2), result RE-ROUNDED to (15,2) — rendered
+    * as `CAST(ROUND(l op r, 2) AS DECIMAL(15,2))`. ROUND (not a bare
+    * narrowing cast) because DuckDB's decimal→decimal cast TRUNCATES
+    * where Spark's rounds; ROUND itself is half-away-from-zero on both
+    * engines (= java HALF_UP for either sign). Keeping the type closed
+    * at (15,2) means stacked arithmetic can never cross precision 38,
+    * where the engines' widening rules genuinely diverge. */
+  final case class DecArith(op: String, l: Expr, r: Expr) extends Expr {
+    val tpe: FType = DecT
+  }
+  /** Guarded double division `CAST(l AS DOUBLE) / NULLIF(CAST(r AS
+    * DOUBLE), 0)` — NULL (never an error, never ±Inf) on a zero
+    * denominator; IEEE division is correctly rounded, so the per-row
+    * result is bit-identical across engines. Operands any numeric
+    * type. */
+  final case class DivD(l: Expr, r: Expr) extends Expr {
+    val tpe: FType = DoubleT
   }
   /** `< <= = <> > >=`; operands same-typed; NULL if either side NULL. */
   final case class Cmp(op: String, l: Expr, r: Expr) extends Expr {
@@ -174,6 +242,19 @@ object Fuzz {
   /** Long columns only: the double accumulator stays integer-exact
     * below 2^53, so the one division is deterministic on both engines. */
   final case class AvgL(c: Col) extends AggFn { val name = "avg" }
+  /** SUM over DECIMAL(15,2): decimal addition is exact in ANY
+    * accumulation order, so no discipline needed — the result differs
+    * only in declared precision (Spark 25,2 vs DuckDB 38,2), identical
+    * as a scale-2 value. */
+  final case class SumDec(c: Col) extends AggFn { val name = "sum_dec" }
+  /** AVG over DECIMAL(15,2) via the CENTS-INTEGER discipline:
+    * `AVG(CAST(x * 100 AS BIGINT))` in every rendering. Comparing the
+    * engines' native AVG(DECIMAL) would compare renderer artifacts
+    * (Spark returns DECIMAL(p+4,s+4), DuckDB returns DOUBLE); the
+    * cents form routes through the proven AVG(BIGINT) path — exact
+    * integer sum below 2^53, one deterministic division. Result is in
+    * CENTS (a DOUBLE), consistently in all three renderings. */
+  final case class AvgDecCents(c: Col) extends AggFn { val name = "avg_cents" }
 
   // --------------------------------------------------------------- plans
 
@@ -193,7 +274,8 @@ object Fuzz {
       keys.map(k => Field(k.name, k.tpe)) ++ aggs.map { case (n, a) =>
         Field(n, a match {
           case CountStar | CountCol(_) | CountDistinct(_) | SumL(_) => LongT
-          case AvgL(_) => DoubleT
+          case AvgL(_) | AvgDecCents(_) => DoubleT
+          case SumDec(_) => DecT
           case MinA(c) => c.tpe
           case MaxA(c) => c.tpe
         })
@@ -231,12 +313,45 @@ object Fuzz {
     def schema: Seq[Field] = l.schema
   }
 
+  // ------------------------------------------------------------- windows
+
+  sealed trait WinFn
+  case object RowNum extends WinFn
+  case object RankW extends WinFn
+  case object DenseRankW extends WinFn
+  /** Running SUM of a LongT column over ROWS UNBOUNDED PRECEDING →
+    * CURRENT ROW. */
+  final case class RunSumL(c: Col) extends WinFn
+
+  /** Window function over `PARTITION BY partBy ORDER BY <every child
+    * column> ASC NULLS FIRST` (round 13, r12 verdict item 4) —
+    * frame-boundary and ordering-tie semantics are where engines
+    * classically diverge, and the curated windows can't fuzz them.
+    * Ordering by ALL columns is a total order up to fully-duplicate
+    * rows; duplicates are peers whose window values are
+    * interchangeable (row_number permutes within an identical group,
+    * rank/dense_rank/running-sum are constant on it), so the OUTPUT
+    * MULTISET is deterministic. NULLS FIRST must be explicit: Spark's
+    * ASC default is NULLS FIRST, DuckDB's is NULLS LAST. The generator
+    * restricts `partBy` to FK/PK key columns, so partition counts grow
+    * with the data and no single partition becomes a scale hazard;
+    * output is O(input) rows + 1 column. All four functions render as
+    * BIGINT (Spark's native row_number/rank are INT, DuckDB's BIGINT;
+    * DuckDB's window SUM(BIGINT) widens to HUGEINT — explicit casts
+    * pin them). A NULL partition key is ONE partition (grouping
+    * equality, like GROUP BY — the opposite of join equality). */
+  final case class WindowOp(child: Plan, partBy: Col, fn: WinFn,
+      alias: String) extends Plan {
+    def schema: Seq[Field] = child.schema :+ Field(alias, LongT)
+  }
+
   // ------------------------------------------------------- Spark render
 
   private def litValue(e: Expr): Any = e match {
     case LitL(v) => v
     case LitD(v) => v
     case LitS(v) => v
+    case d: LitDec => d.bd
     case LitT(v) => java.sql.Timestamp.from(
       java.time.LocalDateTime.parse(v.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC))
@@ -249,6 +364,9 @@ object Fuzz {
     case LitL(v)    => F.lit(v)
     case LitD(v)    => F.lit(v)
     case LitS(v)    => F.lit(v)
+    // cast pins the declared type: lit(BigDecimal) alone would infer
+    // the literal's minimal precision and widen operations differently
+    case d: LitDec  => F.lit(d.bd).cast("decimal(15,2)")
     // SQL-literal form: parsed in the SESSION time zone (UTC), exactly
     // like DuckDB's naive TIMESTAMP literal — never Timestamp.valueOf,
     // which would read the JVM default zone
@@ -273,6 +391,18 @@ object Fuzz {
         case "+" => a + b; case "-" => a - b
         case "*" => a * b; case "%" => a % b
       }
+    case DecArith(op, l, r) =>
+      val (a, b) = (colToDF(l), colToDF(r))
+      val raw = op match {
+        case "+" => a + b; case "-" => a - b; case "*" => a * b
+      }
+      // round(HALF_UP, like SQL ROUND on both engines) THEN cast: the
+      // cast alone would also round in Spark but TRUNCATE in DuckDB
+      F.round(raw, 2).cast("decimal(15,2)")
+    case DivD(l, r) =>
+      val den = colToDF(r).cast("double")
+      colToDF(l).cast("double") /
+        F.when(den === F.lit(0.0), F.lit(null).cast("double")).otherwise(den)
     case Cmp(op, l, r) =>
       val (a, b) = (colToDF(l), colToDF(r))
       op match {
@@ -291,6 +421,7 @@ object Fuzz {
 
   private def sparkType(t: FType): String = t match {
     case LongT => "bigint"; case DoubleT => "double"
+    case DecT => "decimal(15,2)"
     case StringT => "string"; case TimeT => "timestamp"
     case BoolT => "boolean"
   }
@@ -316,6 +447,9 @@ object Fuzz {
           case MinA(x)          => F.min(F.col(x.name))
           case MaxA(x)          => F.max(F.col(x.name))
           case AvgL(x)          => F.avg(F.col(x.name))
+          case SumDec(x)        => F.sum(F.col(x.name))
+          case AvgDecCents(x)   =>
+            F.avg((F.col(x.name) * F.lit(100)).cast("bigint"))
         }).as(n)
       }
       if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
@@ -343,7 +477,53 @@ object Fuzz {
         case "intersect_all" => ld.intersectAll(rd)
         case "except_all"    => ld.exceptAll(rd)
       }
+    case WindowOp(c, pb, fn, alias) =>
+      import org.apache.spark.sql.expressions.Window
+      val df = toDF(c, spark, sfDir)
+      val w = Window.partitionBy(F.col(pb.name))
+        .orderBy(c.schema.map(f => F.col(f.name).asc_nulls_first): _*)
+      val e = fn match {
+        case RowNum     => F.row_number().over(w).cast("bigint")
+        case RankW      => F.rank().over(w).cast("bigint")
+        case DenseRankW => F.dense_rank().over(w).cast("bigint")
+        case RunSumL(x) => F.sum(F.col(x.name)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      }
+      df.withColumn(alias, e)
   }
+
+  /** Output-boundary normalization for the EXTERNAL (DuckDB)
+    * differential: DECIMAL result columns are cast to DOUBLE on both
+    * sides. The oracle compare reads DuckDB through pandas, whose
+    * `fetchdf` converts DECIMAL to float64 ('36.0') while Spark's
+    * parquet keeps typed decimals ('36.00') — a representational
+    * artifact, not a semantics difference (the 1500-seed sweep failed
+    * 159 plans on exactly this before the boundary cast, zero
+    * otherwise). decimal→double is the correctly-rounded nearest
+    * double on both engines, and every decimal the grammar can build
+    * keeps its scaled integer far below 2^53 (the `*` literal cap),
+    * so the normalized values are bit-identical. The in-JVM
+    * differentials (interpreter, spark.sql three-way) keep comparing
+    * the TYPED decimals — only the cross-engine boundary normalizes;
+    * this is the same `Exact` output discipline the curated queries
+    * follow. */
+  def toDFOut(p: Plan, spark: SparkSession, sfDir: String): DataFrame = {
+    val df = toDF(p, spark, sfDir)
+    if (!p.schema.exists(_.tpe == DecT)) df
+    else df.select(p.schema.map(f =>
+      if (f.tpe == DecT) F.col(f.name).cast("double").as(f.name)
+      else F.col(f.name)): _*)
+  }
+
+  /** [[toDFOut]]'s SQL twin. */
+  def toSqlOut(p: Plan): String =
+    if (!p.schema.exists(_.tpe == DecT)) toSql(p)
+    else {
+      val cols = p.schema.map(f =>
+        if (f.tpe == DecT) s"CAST(${f.name} AS DOUBLE) AS ${f.name}"
+        else f.name)
+      s"SELECT ${cols.mkString(", ")} FROM (${toSql(p)}) out_"
+    }
 
   // --------------------------------------------------------- SQL render
 
@@ -351,7 +531,12 @@ object Fuzz {
 
   private def sqlType(t: FType): String = t match {
     case LongT => "BIGINT"; case DoubleT => "DOUBLE"
-    case StringT => "VARCHAR"; case TimeT => "TIMESTAMP"
+    case DecT => "DECIMAL(15,2)"
+    // STRING, not VARCHAR (round 13): DuckDB accepts both (STRING is a
+    // documented VARCHAR alias) but Spark's SQL frontend rejects bare
+    // VARCHAR without a length — and the three-way differential runs
+    // this exact text through spark.sql too
+    case StringT => "STRING"; case TimeT => "TIMESTAMP"
     case BoolT => "BOOLEAN"
   }
 
@@ -363,6 +548,7 @@ object Fuzz {
       // round-trip; DuckDB parses scientific notation fine)
       s"CAST(${v.toString} AS DOUBLE)"
     case LitS(v)    => sqlLitS(v)
+    case d: LitDec  => s"CAST(${d.bd.toPlainString} AS DECIMAL(15,2))"
     case LitT(v)    => s"TIMESTAMP '$v'"
     case NullOf(t)  => s"CAST(NULL AS ${sqlType(t)})"
     case Cond(c, a, b) =>
@@ -378,6 +564,15 @@ object Fuzz {
     case ConcatS(l, r) => s"(${exprToSql(l)} || ${exprToSql(r)})"
     case UpperS(s)     => s"upper(${exprToSql(s)})"
     case Arith(op, l, r) => s"(${exprToSql(l)} $op ${exprToSql(r)})"
+    // ROUND then cast: DuckDB's narrowing decimal cast TRUNCATES
+    // (1.255 → 1.25) where Spark's rounds — ROUND is half-away-from-
+    // zero on both engines, then the cast only pins precision
+    case DecArith(op, l, r) =>
+      s"CAST(ROUND((${exprToSql(l)} $op ${exprToSql(r)}), 2)" +
+        s" AS DECIMAL(15,2))"
+    case DivD(l, r) =>
+      s"(CAST(${exprToSql(l)} AS DOUBLE)" +
+        s" / NULLIF(CAST(${exprToSql(r)} AS DOUBLE), 0.0))"
     case Cmp(op, l, r)   => s"(${exprToSql(l)} $op ${exprToSql(r)})"
     case IsNull(x, neg)  =>
       s"(${exprToSql(x)} IS ${if (neg) "NOT " else ""}NULL)"
@@ -401,6 +596,10 @@ object Fuzz {
     case MinA(x)          => s"MIN(${x.name})"
     case MaxA(x)          => s"MAX(${x.name})"
     case AvgL(x)          => s"AVG(${x.name})"
+    // decimal SUM is exact in any order; only the DECLARED precision
+    // differs (Spark 25,2 / DuckDB 38,2) — identical as a scale-2 value
+    case SumDec(x)        => s"SUM(${x.name})"
+    case AvgDecCents(x)   => s"AVG(CAST((${x.name} * 100) AS BIGINT))"
   }
 
   def toSql(p: Plan): String = p match {
@@ -455,6 +654,21 @@ object Fuzz {
       // set ops match columns by POSITION in SQL; both operands render
       // the same schema by construction, so position = name here
       s"(${toSql(l)}) $kw (${toSql(r)})"
+    case WindowOp(c, pb, fn, alias) =>
+      // NULLS FIRST explicit (Spark ASC default NULLS FIRST, DuckDB
+      // NULLS LAST); BIGINT casts pin Spark's INT row_number/rank and
+      // DuckDB's HUGEINT window SUM to one type
+      val ord = c.schema.map(f => s"${f.name} ASC NULLS FIRST")
+        .mkString(", ")
+      val over = s"OVER (PARTITION BY ${pb.name} ORDER BY $ord"
+      val call = fn match {
+        case RowNum     => s"CAST(ROW_NUMBER() $over) AS BIGINT)"
+        case RankW      => s"CAST(RANK() $over) AS BIGINT)"
+        case DenseRankW => s"CAST(DENSE_RANK() $over) AS BIGINT)"
+        case RunSumL(x) => s"CAST(SUM(${x.name}) $over" +
+          s" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+      }
+      s"SELECT *, $call AS $alias FROM (${toSql(c)}) w_"
   }
 
   // ------------------------------------------- reference interpretation
@@ -479,6 +693,7 @@ object Fuzz {
     case LitL(v)   => Some(v)
     case LitD(v)   => Some(v)
     case LitS(v)   => Some(v)
+    case d: LitDec => Some(d.bd)
     case LitT(_)   => Some(litValue(e))
     case NullOf(_) => None
     case Cond(c, a, b) => evalExpr(c, row) match {
@@ -522,11 +737,41 @@ object Fuzz {
         }
         case other => sys.error(s"bad arith operands $other")
       }
+    case DecArith(op, l, r) =>
+      for { a <- evalExpr(l, row); b <- evalExpr(r, row) } yield {
+        val (x, y) =
+          (a.asInstanceOf[java.math.BigDecimal], b.asInstanceOf[java.math.BigDecimal])
+        val raw = op match {
+          case "+" => x.add(y); case "-" => x.subtract(y)
+          case "*" => x.multiply(y)
+        }
+        // HALF_UP = away-from-zero on ties, matching SQL ROUND on both
+        // engines for either sign
+        raw.setScale(2, java.math.RoundingMode.HALF_UP)
+      }
+    case DivD(l, r) =>
+      def dbl(v: Any): Double = v match {
+        case x: Long => x.toDouble
+        case x: Double => x
+        // correctly-rounded nearest double of the exact decimal value —
+        // the same conversion both engines perform
+        case x: java.math.BigDecimal => x.doubleValue
+        case other => sys.error(s"bad div operand $other")
+      }
+      for {
+        a <- evalExpr(l, row)
+        b <- evalExpr(r, row)
+        den = dbl(b)
+        if den != 0.0
+      } yield dbl(a) / den
     case Cmp(op, l, r) =>
       for { a <- evalExpr(l, row); b <- evalExpr(r, row) } yield {
         val c = (a, b) match {
           case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
           case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          // compareTo, never equals: numeric comparison ignores scale
+          case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+            x.compareTo(y)
           case (x: String, y: String) => x.compareTo(y)
           case (x: java.sql.Timestamp, y: java.sql.Timestamp) =>
             x.compareTo(y)
@@ -565,6 +810,8 @@ object Fuzz {
     case (_, None)    => 1
     case (Some(x: Long), Some(y: Long))     => java.lang.Long.compare(x, y)
     case (Some(x: Double), Some(y: Double)) => java.lang.Double.compare(x, y)
+    case (Some(x: java.math.BigDecimal), Some(y: java.math.BigDecimal)) =>
+      x.compareTo(y)
     case (Some(x: String), Some(y: String)) => x.compareTo(y)
     case (Some(x: java.sql.Timestamp), Some(y: java.sql.Timestamp)) =>
       x.compareTo(y)
@@ -596,6 +843,18 @@ object Fuzz {
               val vs = vals(x).map(_.asInstanceOf[Long])
               if (vs.isEmpty) None
               else Some(vs.sum.toDouble / vs.size) // exact below 2^53
+            case SumDec(x) =>
+              val vs = vals(x).map(_.asInstanceOf[java.math.BigDecimal])
+              if (vs.isEmpty) None
+              else Some(vs.reduce(_.add(_))) // exact; scale stays 2
+            case AvgDecCents(x) =>
+              // integer cents (scale-2 decimals are exact cents), then
+              // the proven AVG(BIGINT) path: exact sum, one division
+              val vs = vals(x).map(
+                _.asInstanceOf[java.math.BigDecimal]
+                  .movePointRight(2).longValueExact)
+              if (vs.isEmpty) None
+              else Some(vs.sum.toDouble / vs.size)
             case MinA(x) =>
               val vs = vals(x).map(Some(_): Option[Any])
               if (vs.isEmpty) None else vs.min(Ordering.fromLessThan[Option[Any]](cmpOpt(_, _) < 0))
@@ -689,6 +948,46 @@ object Fuzz {
             if (c > 0) { rc(x) = c - 1; true } else false
           }
       }
+    case WindowOp(c, pb, fn, alias) =>
+      val fields = c.schema.map(_.name)
+      def less(a: Row, b: Row): Boolean = {
+        val it = fields.iterator.map(f => cmpOpt(a(f), b(f))).dropWhile(_ == 0)
+        it.hasNext && it.next() < 0
+      }
+      // ORDER BY peers: equal on every ordering key (NULLs ordering-
+      // equal), i.e. fully-duplicate rows here
+      def peers(a: Row, b: Row): Boolean =
+        fields.forall(f => cmpOpt(a(f), b(f)) == 0)
+      // NULL partition key is ONE partition: grouping equality
+      eval(c, tables).groupBy(r => r(pb.name)).values.toSeq.flatMap { grp =>
+        val sorted = grp.sortWith(less)
+        fn match {
+          case RowNum => sorted.zipWithIndex.map { case (r, i) =>
+            r + (alias -> (Some((i + 1).toLong): Option[Any])) }
+          case RankW =>
+            var rank = 0L
+            sorted.zipWithIndex.map { case (r, i) =>
+              if (i == 0 || !peers(r, sorted(i - 1))) rank = i + 1L
+              r + (alias -> (Some(rank): Option[Any]))
+            }
+          case DenseRankW =>
+            var rank = 0L
+            sorted.zipWithIndex.map { case (r, i) =>
+              if (i == 0 || !peers(r, sorted(i - 1))) rank += 1L
+              r + (alias -> (Some(rank): Option[Any]))
+            }
+          case RunSumL(x) =>
+            // SQL window SUM skips NULLs; an all-NULL-so-far frame is
+            // NULL, not 0
+            var sum = 0L; var seen = false
+            sorted.map { r =>
+              r(x.name).foreach { v =>
+                sum += v.asInstanceOf[Long]; seen = true }
+              r + (alias ->
+                ((if (seen) Some(sum) else None): Option[Any]))
+            }
+        }
+      }
   }
 
   // ------------------------------------------------------ canonical form
@@ -734,6 +1033,7 @@ object Fuzz {
   private def litFor(rnd: scala.util.Random, t: FType): Expr = t match {
     case LongT   => LitL(pick(rnd, Seq(0L, 1L, 3L, 7L, 25L, 100L, 1500L, 3000L)))
     case DoubleT => LitD(pick(rnd, Seq(0.0, 0.05, 1.0, 900.0, 45000.0)))
+    case DecT    => LitDec(pick(rnd, Seq(0L, 100L, 2550L, 90000L, 4500000L)))
     case StringT => LitS(pick(rnd, stringPool))
     case TimeT   => LitT(pick(rnd, timePool))
     case BoolT   => sys.error("no bool literals")
@@ -811,7 +1111,7 @@ object Fuzz {
     if (depth <= 0) base
     else {
       val schema = base.schema
-      val next = rnd.nextInt(7) match {
+      val next = rnd.nextInt(8) match {
         case 0 => Filter(base, genPred(rnd, schema))
         case 1 => // computed projection
           val n = 1 + rnd.nextInt(math.min(4, schema.size))
@@ -852,6 +1152,30 @@ object Fuzz {
               }
               else if (f.tpe == StringT || f.tpe == TimeT || rnd.nextBoolean())
                 Col(f.name, f.tpe)
+              else if (rnd.nextInt(4) == 0) {
+                // guarded division: numerator this (numeric) column,
+                // denominator a numeric sibling or a literal — 0
+                // included, making an ALL-NULL double column downstream
+                // operators must survive
+                val nums = schema.filter(o =>
+                  o.tpe == LongT || o.tpe == DoubleT || o.tpe == DecT)
+                val den: Expr =
+                  if (rnd.nextBoolean() && nums.nonEmpty) {
+                    val o = pick(rnd, nums); Col(o.name, o.tpe)
+                  } else LitL(pick(rnd, Seq(0L, 3L, 7L, 100L)))
+                DivD(Col(f.name, f.tpe), den)
+              }
+              else if (f.tpe == DecT) {
+                val op = pick(rnd, Seq("+", "-", "*"))
+                // '*' capped at 4.99: a depth-3 chain grows ≤125×, so a
+                // corpus-wide SUM of cents stays ≳12× under 2^53 — the
+                // boundary decimal→double cast (toDFOut) must never see
+                // a sum whose scaled integer crosses the exact range
+                val lit =
+                  if (op == "*") LitDec(25L + rnd.nextInt(475).toLong)
+                  else LitDec(pick(rnd, Seq(100L, 2550L, 90000L, 4500000L)))
+                DecArith(op, Col(f.name, DecT), lit)
+              }
               else if (f.tpe == LongT) {
                 val op = pick(rnd, Seq("+", "-", "*", "%"))
                 // nonzero literal: ANSI-safe %; multiply capped at 9 so
@@ -878,6 +1202,8 @@ object Fuzz {
               case LongT => pick(rnd, Seq(CountStar, CountCol(c),
                 CountDistinct(c), SumL(c), MinA(c), MaxA(c), AvgL(c)))
               case DoubleT => pick(rnd, Seq(CountCol(c), MinA(c), MaxA(c)))
+              case DecT => pick(rnd, Seq(CountCol(c), CountDistinct(c),
+                SumDec(c), MinA(c), MaxA(c), AvgDecCents(c)))
               case _ => pick(rnd, Seq(CountStar, CountCol(c),
                 CountDistinct(c), MinA(c), MaxA(c)))
             }
@@ -899,6 +1225,26 @@ object Fuzz {
           SetOp(base, Filter(base, genPred(rnd, schema)),
             pick(rnd, Seq("intersect", "except", "intersect_all",
               "except_all")))
+        case 7 =>
+          // window function partitioned by a surviving FK/PK key column
+          // (partition count grows with the data — no single-partition
+          // scale hazard); if projection/agg consumed them all, fall
+          // back to a filter
+          val keyNames = fkPairs.flatMap(p => Seq(p._2, p._4)).toSet
+          val parts = schema.filter(f =>
+            f.tpe == LongT && keyNames.contains(f.name))
+          if (parts.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val pb = pick(rnd, parts)
+            val longs = schema.filter(_.tpe == LongT)
+            val fn: WinFn = rnd.nextInt(4) match {
+              case 0 => RowNum
+              case 1 => RankW
+              case 2 => DenseRankW
+              case _ => RunSumL(Col(pick(rnd, longs).name, LongT))
+            }
+            WindowOp(base, Col(pb.name, LongT), fn, s"w$depth")
+          }
       }
       genTransforms(rnd, next, depth - 1)
     }
@@ -915,5 +1261,6 @@ object Fuzz {
     case SortLimit(c, _)    => Seq(c)
     case UnionAll(l, r)     => Seq(l, r)
     case SetOp(l, r, _)     => Seq(l, r)
+    case WindowOp(c, _, _, _) => Seq(c)
   }
 }

@@ -311,6 +311,37 @@ object StreamParity {
       .select(col("user_id"), col("m.n_events").as("n_events"),
         col("m.ewma_micro").as("ewma_micro"))
 
+  /** [[funnelTtlParity]] under the TIMEOUT × LATENESS feed
+    * ([[streamEventsTtlLatePlant]], round 13): same machine, same
+    * eviction-engagement requirements, but the last data batch carries
+    * rows late in arrival order — planted views behind the watermark
+    * that the drop rule must discard, and planted click/purchase pairs
+    * within the allowed lateness that must fold into armed TTL state.
+    * The oracle replays the plant and both rules exactly; the planted
+    * users land at stage 0 iff the drop and the admit BOTH behaved. */
+  val funnelTtlLateParity: Q = (s, d) =>
+    runEvicting(s, d, "st_funnel_ttl_late",
+      ev => EventStreams.funnelStagesTtl(ev).toDF(),
+      feed = streamEventsTtlLatePlant(_, _))
+      .groupBy("user_id")
+      .agg(max(struct(col("last_us"), col("stage"))).as("m"))
+      .select(col("user_id"), col("m.stage").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+
+  /** [[ewmaTtlParity]] under the same TIMEOUT × LATENESS feed: a
+    * wrongly-admitted planted view folds a third value (9.0) into the
+    * planted users' EWMA; a wrongly-dropped click/purchase removes
+    * them from the result — both directions hash-visible. */
+  val ewmaTtlLateParity: Q = (s, d) =>
+    runEvicting(s, d, "st_ewma_ttl_late",
+      ev => EventStreams.ewmaUserStateTtl(ev).toDF(),
+      feed = streamEventsTtlLatePlant(_, _))
+      .groupBy("user_id")
+      .agg(max(struct(col("last_us"), col("n_events"),
+        col("ewma_micro"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.ewma_micro").as("ewma_micro"))
+
   /** Shared runner for the bounded-state (`EventTimeTimeout`) machines:
     * time-sliced multi-batch arrival, update-mode memory sink, and the
     * bounded-state contract REQUIRED on the way out — state rows must
@@ -319,9 +350,11 @@ object StreamParity {
     * unbounded NoTimeout state cannot return an answer. The collapsed
     * frame excludes the flush sentinel's reserved negative user. */
   private def runEvicting(s: SparkSession, d: String, name: String,
-      machine: org.apache.spark.sql.Dataset[Event] => DataFrame): DataFrame = {
+      machine: org.apache.spark.sql.Dataset[Event] => DataFrame,
+      feed: (SparkSession, String) => DataFrame =
+        streamEventsTimeSlicesWithSentinel(_, _)): DataFrame = {
     import s.implicits._
-    val ev = streamEventsTimeSlicesWithSentinel(s, d)
+    val ev = feed(s, d)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props")).as[Event]
     val qn = s"${name}_${runSeq.incrementAndGet()}"
@@ -587,6 +620,97 @@ object StreamParity {
         base.where(unix_micros(col("ts")) >= lo &&
           unix_micros(col("ts")) < hi)
       }.toSeq :+ sentinel
+    }
+    s.readStream.schema(sentinel.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
+  /** events in TTL-aware time slices + a DELIBERATELY LATE file +
+    * sentinel (round 13, r12 verdict item 7): the one stateful-shape
+    * combination not yet hash-gated was TIMEOUT × LATENESS — an
+    * `EventTimeTimeout` machine receiving rows that are late in arrival
+    * order, some behind the watermark (must be DROPPED before the
+    * operator), some within the allowed lateness (must be ADMITTED and
+    * folded while eviction is armed). Six ordered files:
+    *
+    *  - files 0–2: thirds of the ts range up to `mx − 30 min` — coarse
+    *    slices whose watermark jumps fire the timeouts mid-run (the
+    *    engagement requirement [[runEvicting]] asserts);
+    *  - file 3: the last 30 minutes — after it the eviction watermark
+    *    is `mx − 10 min`, while the LATE-ROW filter for the next batch
+    *    can read one batch behind (SPARK-40925; see
+    *    [[streamEventsWithLatePlant]]): `(mx − 30 min) − 10 min`. The
+    *    plant is constructed valid under BOTH readings;
+    *  - file 4: the LATE batch, all rows for three FRESH users (uids
+    *    offset to 10^10 — fresh state, so machine-vs-oracle equality
+    *    never depends on arrival order against already-folded corpus
+    *    events):
+    *      - a `view` at `mx − 50 min` per user — behind both candidate
+    *        watermarks (≥ 10 min margin), must be DROPPED;
+    *      - a `click` at `mx − 5 min` + a `purchase` at `mx − 4 min`
+    *        per user — past both candidates (≥ 5 min margin), must be
+    *        ADMITTED.
+    *    The dropped view sits WITHIN the 2 h state TTL of the admitted
+    *    rows (45 min gap) — deliberately: the TTL gap rule neutralizes
+    *    any OLDER leak (a reset makes a wrongly-admitted ancient row
+    *    answer-invisible, by the machine's own eviction-invisibility
+    *    design), so only an in-TTL drop probe can distinguish the two
+    *    rules' interaction. Both failure directions move the answer:
+    *    a failed DROP walks the planted users view→click→purchase to
+    *    funnel stage 3 (correct: click/purchase at stage 0 are no-ops
+    *    → stage 0) and folds a third value into the EWMA; a failed
+    *    ADMIT removes the planted users from the result entirely.
+    *    Every planted row is a pure function of the corpus (`max(ts)`
+    *    minus fixed intervals), so the DuckDB oracle replays plant,
+    *    drop rule, and admit rule exactly;
+    *  - file 5: the flush sentinel.
+    *
+    * Slice membership is a function of the ts VALUE alone (equal-ts
+    * ties can never split across batches), same property as
+    * [[streamEventsTimeSlicesWithSentinel]]. */
+  private[graft] def streamEventsTtlLatePlant(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinel = flushSentinel(base)
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val MinUs = 60L * 1000000
+    val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
+      "eventsTtlLatePlant/v1", Seq(base), cacheDir) {
+      val mm = base.agg(
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      require(mx - mn > graft.streaming.EventStreams.StateTtlUs + 60 * MinUs,
+        "ttl-late plant needs a corpus spanning > TTL + 1h")
+      val c1 = mn + (mx - mn) / 3
+      val c2 = mn + 2 * (mx - mn) / 3
+      val c3 = mx - 30 * MinUs
+      val us = unix_micros(col("ts"))
+      // one planted row; ids/uids/timestamps mirrored literally in the
+      // declared oracles — change BOTH or neither
+      def plant(id: Long, tsUs: Long, uid: Long, typ: String,
+          v: Double): DataFrame =
+        base.limit(1).select(
+          lit(id).as("event_id"),
+          expr(s"timestamp_micros(${tsUs}L)").as("ts"),
+          lit(uid).as("user_id"), lit(typ).as("event_type"),
+          lit(v).as("value"), lit("").as("props"))
+      val lateFile = (0L until 3L).map { k =>
+        plant(50000000000L + k, mx - 50 * MinUs, 10000000000L + k,
+            "view", 9.0)
+          .unionByName(plant(50000000003L + k, mx - 5 * MinUs,
+            10000000000L + k, "click", 1.25))
+          .unionByName(plant(50000000006L + k, mx - 4 * MinUs,
+            10000000000L + k, "purchase", 2.5))
+      }.reduce(_ unionByName _)
+      Seq(
+        base.where(us < c1),
+        base.where(us >= c1 && us < c2),
+        base.where(us >= c2 && us < c3),
+        base.where(us >= c3),
+        lateFile,
+        sentinel)
     }
     s.readStream.schema(sentinel.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -1003,6 +1127,8 @@ object StreamParity {
     "st_cross_dedup" -> crossDedupParity,
     "st_funnel" -> funnelParity,
     "st_funnel_ttl" -> funnelTtlParity,
+    "st_funnel_ttl_late" -> funnelTtlLateParity,
+    "st_ewma_ttl_late" -> ewmaTtlLateParity,
     "st_ewma_ttl" -> ewmaTtlParity,
     "st_tumbling" -> tumblingParity,
     "st_sliding" -> slidingParity,
@@ -1031,6 +1157,100 @@ object StreamParity {
        FROM numbered GROUP BY user_id, sid"""
 
   /** DuckDB replay: the key-set semantics are plain SQL. */
+  /** events ∪ the ADMITTED late plants, as oracle SQL — the literal
+    * mirror of [[streamEventsTtlLatePlant]]'s file-4 admitted rows
+    * (uids 10^10+k, ids 5·10^10+3+k / +6+k, `max(ts)` − 5/4 min,
+    * values 1.25/2.5). The dropped views (− 50 min) are deliberately
+    * ABSENT: the oracle states the answer after a correct drop. */
+  private def ttlLatePlantedEvents: String =
+    """SELECT user_id, ts, event_type, event_id, value FROM events
+       UNION ALL
+       SELECT 10000000000 + k,
+              (SELECT max(ts) FROM events) - INTERVAL 5 MINUTE,
+              'click', 50000000003 + k, 1.25
+       FROM unnest([0, 1, 2]) AS t(k)
+       UNION ALL
+       SELECT 10000000000 + k,
+              (SELECT max(ts) FROM events) - INTERVAL 4 MINUTE,
+              'purchase', 50000000006 + k, 2.5
+       FROM unnest([0, 1, 2]) AS t(k)"""
+
+  /** The gap-rule funnel oracle over an arbitrary event source `src`
+    * (columns user_id, ts, event_type, event_id, value): sessionize by
+    * inactivity > TTL, keep the LAST segment, min-join funnel. Shared
+    * verbatim by the base and late-plant variants so a future fix to
+    * one flows to the other. */
+  private def funnelTtlOracleOver(src: String): String =
+    s"""WITH ev AS ($src),
+        ordered AS (
+          SELECT user_id, ts, event_type, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > ${EventStreams.StateTtlUs}
+                 THEN 1 ELSE 0 END AS brk
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        seg AS (
+          SELECT user_id, ts, event_type,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM ordered),
+        lastseg AS (
+          SELECT seg.user_id, seg.ts, seg.event_type FROM seg
+          JOIN (SELECT user_id, max(sid) AS m FROM seg GROUP BY user_id) l
+            ON seg.user_id = l.user_id AND seg.sid = l.m),
+        v AS (SELECT user_id, MIN(ts) AS v_ts FROM lastseg
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM lastseg e
+              JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM lastseg e
+              JOIN c ON c.user_id = e.user_id AND e.ts >= c.c_ts
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM ev)
+        SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
+                    WHEN c.c_ts IS NOT NULL THEN 2
+                    WHEN v.v_ts IS NOT NULL THEN 1
+                    ELSE 0 END AS stage,
+               COUNT(*) AS n_users
+        FROM u LEFT JOIN v USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+        GROUP BY 1"""
+
+  /** The gap-rule EWMA oracle over an arbitrary event source `src` —
+    * same sessionization, then ev_ewma's exact integer fold restricted
+    * to each user's LAST segment. */
+  private def ewmaTtlOracleOver(src: String): String =
+    s"""WITH ev AS ($src),
+        v AS (
+          SELECT user_id, event_id, ts,
+            CAST(floor(value * 1000000) AS BIGINT) AS vm
+          FROM ev),
+        ordered AS (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                    > ${EventStreams.StateTtlUs}
+               THEN 1 ELSE 0 END AS brk
+          FROM v
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        seg AS (
+          SELECT user_id, event_id, ts, vm,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM ordered),
+        lastseg AS (
+          SELECT seg.user_id, seg.event_id, seg.ts, seg.vm FROM seg
+          JOIN (SELECT user_id, max(sid) AS m FROM seg GROUP BY user_id) l
+            ON seg.user_id = l.user_id AND seg.sid = l.m),
+        o AS (
+          SELECT user_id, list(vm ORDER BY ts, event_id) AS xs
+          FROM lastseg GROUP BY user_id)
+        SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+          list_reduce(xs, (acc, x) -> (300 * x + 700 * acc) // 1000)
+            AS ewma_micro
+        FROM o"""
+
   val oracle: Map[String, String] = Map(
     // gap-merge with session_window's STRICT boundary (>= gap starts a
     // new session; see sessionParity's Scaladoc) and end-exclusive
@@ -1196,74 +1416,21 @@ object StreamParity {
     // (ties share a timestamp so the split is order-independent), keep
     // the LAST segment, then the exact min-join funnel the
     // st_funnel/ev_funnel pair share — restricted to that segment.
-    // Every user appears (u spans all of events), stage 0 included.
-    "st_funnel_ttl" ->
-      s"""WITH ordered AS (
-            SELECT user_id, ts, event_type, event_id,
-              CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                        > ${EventStreams.StateTtlUs}
-                   THEN 1 ELSE 0 END AS brk
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-          seg AS (
-            SELECT user_id, ts, event_type,
-              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-            FROM ordered),
-          lastseg AS (
-            SELECT seg.user_id, seg.ts, seg.event_type FROM seg
-            JOIN (SELECT user_id, max(sid) AS m FROM seg GROUP BY user_id) l
-              ON seg.user_id = l.user_id AND seg.sid = l.m),
-          v AS (SELECT user_id, MIN(ts) AS v_ts FROM lastseg
-                WHERE event_type = 'view' GROUP BY user_id),
-          c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM lastseg e
-                JOIN v ON v.user_id = e.user_id AND e.ts >= v.v_ts
-                WHERE e.event_type = 'click' GROUP BY e.user_id),
-          p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM lastseg e
-                JOIN c ON c.user_id = e.user_id AND e.ts >= c.c_ts
-                WHERE e.event_type = 'purchase' GROUP BY e.user_id),
-          u AS (SELECT DISTINCT user_id FROM events)
-          SELECT CASE WHEN p.p_ts IS NOT NULL THEN 3
-                      WHEN c.c_ts IS NOT NULL THEN 2
-                      WHEN v.v_ts IS NOT NULL THEN 1
-                      ELSE 0 END AS stage,
-                 COUNT(*) AS n_users
-          FROM u LEFT JOIN v USING (user_id)
-                 LEFT JOIN c USING (user_id)
-                 LEFT JOIN p USING (user_id)
-          GROUP BY 1""",
+    // Every user appears (u spans all of the source), stage 0 included.
+    "st_funnel_ttl" -> funnelTtlOracleOver(
+      "SELECT user_id, ts, event_type, event_id, value FROM events"),
+    // the ADMITTED half of the timeout × lateness plant
+    // (streamEventsTtlLatePlant): the dropped views appear NOWHERE in
+    // the oracle — a failed engine drop walks the planted users to
+    // stage 3 / folds a third EWMA value, and the hash rejects it;
+    // literals mirror the Scala plant exactly
+    "st_funnel_ttl_late" -> funnelTtlOracleOver(ttlLatePlantedEvents),
     // the same gap sessionization, then ev_ewma's exact integer fold
     // (list_reduce seeds from the first element; // truncates like DIV)
     // restricted to each user's LAST segment
-    "st_ewma_ttl" ->
-      s"""WITH v AS (
-            SELECT user_id, event_id, ts,
-              CAST(floor(value * 1000000) AS BIGINT) AS vm
-            FROM events),
-          ordered AS (
-            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                      > ${EventStreams.StateTtlUs}
-                 THEN 1 ELSE 0 END AS brk
-            FROM v
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-          seg AS (
-            SELECT user_id, event_id, ts, vm,
-              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-            FROM ordered),
-          lastseg AS (
-            SELECT seg.user_id, seg.event_id, seg.ts, seg.vm FROM seg
-            JOIN (SELECT user_id, max(sid) AS m FROM seg GROUP BY user_id) l
-              ON seg.user_id = l.user_id AND seg.sid = l.m),
-          o AS (
-            SELECT user_id, list(vm ORDER BY ts, event_id) AS xs
-            FROM lastseg GROUP BY user_id)
-          SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
-            list_reduce(xs, (acc, x) -> (300 * x + 700 * acc) // 1000)
-              AS ewma_micro
-          FROM o""",
+    "st_ewma_ttl" -> ewmaTtlOracleOver(
+      "SELECT user_id, ts, event_type, event_id, value FROM events"),
+    "st_ewma_ttl_late" -> ewmaTtlOracleOver(ttlLatePlantedEvents),
     // same by-reference sharing: the online fold IS the batch fold
     "st_ewma" -> graft.operators.Events.oracle("ev_ewma"),
     "st_tumbling" ->

@@ -16,9 +16,12 @@ object FuzzDump {
       val p = graft.fuzz.Fuzz.genPlan(seed)
       val name = f"fz_s$seed%04d"
       try {
-        graft.fuzz.Fuzz.toDF(p, spark, sfDir).coalesce(1)
+        // the Out variants: DECIMAL result columns normalized to DOUBLE
+        // on both sides (the external pandas compare renders DuckDB
+        // decimals as floats — see Fuzz.toDFOut)
+        graft.fuzz.Fuzz.toDFOut(p, spark, sfDir).coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
-        Some(name -> graft.fuzz.Fuzz.toSql(p))
+        Some(name -> graft.fuzz.Fuzz.toSqlOut(p))
       } catch {
         // NonFatal only (r12 advice): an OOM/LinkageError must kill the
         // sweep, not leave a wounded JVM "dumping" the remaining seeds

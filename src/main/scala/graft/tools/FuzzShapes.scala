@@ -15,6 +15,12 @@ object FuzzShapes {
         case SortLimit(c, n) => s"L$n(${sig(c)})"
         case UnionAll(l, r) => s"U(${sig(l)},${sig(r)})"
         case SetOp(l, r, op) => s"S-$op(${sig(l)},${sig(r)})"
+        case WindowOp(c, pb, fn, _) =>
+          val f = fn match {
+            case RowNum => "rownum"; case RankW => "rank"
+            case DenseRankW => "dense"; case RunSumL(x) => s"runsum:${x.name}"
+          }
+          s"W-$f@${pb.name}(${sig(c)})"
       }
       println(f"$s%4d ${sig(genPlan(s))}")
     }

@@ -54,6 +54,37 @@ class FuzzQuerySpec extends SparkSpec {
     }
   }
 
+  test("three-way differential: the rendered SQL through Spark's OWN parser agrees with the interpreter") {
+    // Round 13 (r12 verdict item 3): toSql was written for DuckDB, and
+    // the DataFrame rendering is what the driver gate executes — so the
+    // DataFrame-API-vs-SQL-frontend consistency of Spark itself was
+    // exercised only by q35 and the view-pushdown spec. Running the
+    // IDENTICAL SQL text through spark.sql over raw views (the
+    // rendering casts its own columns) closes that gap for every plan
+    // the grammar can express. Dialect shims needed: exactly one —
+    // sqlType renders STRING, not VARCHAR (DuckDB aliases STRING to
+    // VARCHAR; Spark rejects bare VARCHAR without a length). Everything
+    // else (FULL JOIN, EXCEPT/INTERSECT ALL, correlated EXISTS, ||,
+    // NULLIF, TIMESTAMP literals, NULLS FIRST, ROUND, window frames)
+    // parses identically on both frontends.
+    Fuzz.catalog.keys.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val failures = (1L to 220L).flatMap { seed =>
+      val p = Fuzz.genPlan(seed)
+      val sql = Fuzz.toSql(p)
+      val got =
+        try Fuzz.canonSpark(spark.sql(sql))
+        catch { case scala.util.control.NonFatal(e) =>
+          fail(s"seed $seed failed to parse/execute via spark.sql: $e\n$sql") }
+      val exp = Fuzz.canonRef(Fuzz.eval(p, tables), p.schema)
+      if (got == exp) None
+      else Some((seed, sql, got.size, exp.size))
+    }
+    if (failures.nonEmpty)
+      fail(s"${failures.size} SQL-frontend disagreement(s); first: ${failures.head}")
+  }
+
   test("interpreter self-checks: 3VL, null groups, empty-input aggregates") {
     import Fuzz._
     // Kleene: NULL AND false = false (filter drops), NULL OR true = true
