@@ -309,6 +309,37 @@ object EventStreams {
         col("v_ts"), col("p_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution question
+    * asked the other way: EVERY view emits, with its purchase ids when
+    * matched and a NULL purchase when the watermark PROVES no
+    * qualifying purchase can still arrive. Matched pairs emit in the
+    * batch that completes them (same as [[viewPurchaseAttribution]]);
+    * the outer-NULL rows are pure watermark state machinery — a view
+    * becomes provably unmatched only once the global watermark passes
+    * `v_ts + 1 h` (the join bound) plus lateness, at which point Spark
+    * evicts it from the left state store and emits the NULL row. This
+    * eviction-triggered emission is the one stream-stream join path
+    * the inner-join gates cannot exercise: an inner join that silently
+    * drops state early still produces the right pairs on ordered
+    * arrival, but a LEFT join that evicts early emits a SPURIOUS NULL
+    * row and one that evicts late emits none — both directions are
+    * hash-visible. Same bounded-state story as the inner form: each
+    * side holds one hour + lateness per key. */
+  def viewPurchaseLeftOuter(views: DataFrame, purchases: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", lateness)
+    v.join(p, expr(
+      """v_user = p_user AND
+         p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"""), "left_outer")
+      .select(col("view_id"), col("purchase_id"),
+        col("v_user").as("user_id"), col("v_ts"), col("p_ts"))
+  }
+
   /** Idempotent micro-batch sink via foreachBatch: each batch lands in
     * its own `_batch_id=` partition with dynamic partition overwrite, so
     * REPLAYING a batch (failure between sink write and checkpoint

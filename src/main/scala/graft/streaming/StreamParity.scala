@@ -871,6 +871,69 @@ object StreamParity {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** events + TWO far-future flush sentinels, one PER JOIN SIDE. The
+    * single [[flushSentinel]] row carries `event_type = 'sentinel'`,
+    * which the interval-join queries' per-side `event_type` filters
+    * discard BEFORE the `withWatermark` operators ever see it — it
+    * can flush a single-input stateful operator but not a two-input
+    * join. This feed plants one 2030 'view' and one 2030 'purchase'
+    * (user −1), so each side's watermark column observes its own
+    * sentinel and the GLOBAL watermark (the min across both) advances
+    * past every real event. The two sentinels match each other (same
+    * user, zero time distance), so neither lingers as join state; the
+    * query drops them with the standard `user_id >= 0` guard. */
+  private[graft] def streamEventsWithJoinSentinels(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    def sent(id: Long, tpe: String): DataFrame = base.limit(1).select(
+      lit(id).as("event_id"),
+      lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+      lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+      lit(0.0).as("value"), lit("").as("props"))
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val (dir, _) = graft.ResultCache.materializeKeyed(
+      "eventsJoinSentinels/v1", Seq(base), cacheDir)(
+      base.unionByName(sent(-1L, "view")).unionByName(sent(-2L, "purchase")))
+    s.readStream.schema(base.schema).parquet(dir)
+  }
+
+  /** STREAM-STREAM LEFT OUTER interval join
+    * ([[EventStreams.viewPurchaseLeftOuter]]): every view emits — its
+    * attribution pairs when purchases landed within the following
+    * hour, or ONE NULL-purchase row once the watermark proves no
+    * match can still arrive. The outer-NULL rows only exist because
+    * the join's left state store evicted a provably-unmatchable view
+    * — eviction-triggered EMISSION, the stream-stream join path no
+    * inner gate can see: evict early ⇒ a spurious NULL row next to
+    * the real pair (hash-visible), evict late ⇒ the NULL row never
+    * emits (row-count-visible). Needs [[streamEventsWithJoinSentinels]]
+    * — with only the typed sentinel the per-side filters would starve
+    * both watermark columns and every unmatched view would sit in
+    * state forever (zero outer rows, which the oracle rejects: sf0.01
+    * has thousands of views with no same-hour purchase). Oracle is
+    * the plain LEFT JOIN with the same time bound. */
+  val intervalJoinLeftParity: Q = (s, d) => {
+    val ev = streamEventsWithJoinSentinels(s, d)
+    val out = runToTable(
+      EventStreams.viewPurchaseLeftOuter(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_interval_join_left")
+      .where(col("user_id") >= 0)
+      .select("view_id", "purchase_id", "user_id")
+    // Engagement guard (same discipline as the TTL queries' eviction
+    // requirement): the run only means something if the watermark
+    // actually flushed unmatched views — zero NULL rows would say the
+    // sentinel feed or the outer state machine silently broke, even
+    // when the matched pairs alone happen to hash-match a degenerate
+    // oracle expectation.
+    require(out.where(col("purchase_id").isNull).limit(1).count() > 0,
+      "left-outer interval join emitted no NULL rows — the watermark " +
+        "flush of unmatched view state did not engage")
+    out
+  }
+
   /** events + late plants for the SESSION-WINDOW path, four ordered
     * files: the whole corpus, a watermark-aging replay of the last
     * hour bucket (the [[streamEventsWithLatePlant]] one-batch-lag
@@ -879,13 +942,22 @@ object StreamParity {
     * (must be DROPPED; a failed drop creates a NEW session for that
     * user, emitted at the flush — an extra output row the hash
     * rejects, since the original session closed and emitted long ago)
-    * and last-hour-bucket replants (late in arrival, within the
+    * and LAST-20-MINUTE replants (late in arrival, within the
     * horizon: must be ADMITTED and MERGE into the still-open sessions,
     * raising their n_events — a wrong drop leaves the count low) —
     * then the flush sentinel. Append-mode session state is the one
     * stateful shape where a late row can do more than re-count: it can
     * fabricate or fatten a SESSION, so both failure directions change
-    * the declared session set itself. */
+    * the declared session set itself.
+    *
+    * The ADMITTED side is framed by WATERMARK DISTANCE (`ts >
+    * max(ts) − 20 min`), not by hour bucket: a row that close to the
+    * corpus max has session-window end `ts + 30 min` at least 10 min
+    * PAST the `max − 10 min` watermark for ANY corpus shape, where
+    * the earlier last-HOUR-bucket framing silently depended on where
+    * max(ts) falls inside its hour (gap 30 min < bucket 1 h) — the
+    * round-13 testdata regeneration landed max at :57 and the
+    * shape guard this framing replaces refused to build the plant. */
   private[graft] def streamEventsWithSessionLatePlant(s: SparkSession, d: String): DataFrame = {
     val base = graft.sources.Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -894,34 +966,31 @@ object StreamParity {
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
     val HourUs = 3600L * 1000000
     val GapUs = 1800L * 1000000
+    val LateSrcUs = 1200L * 1000000
     val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
-      "eventsSessionLatePlant/g1800/l600/v1", Seq(base), cacheDir) {
+      "eventsSessionLatePlant/g1800/l600/src1200/v2", Seq(base), cacheDir) {
       val mm = base.agg(
         min(unix_micros(col("ts"))).as("mn"),
         max(unix_micros(col("ts"))).as("mx")).head
       val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
       val b0 = Math.floorDiv(mnUs, HourUs)
-      val bn = Math.floorDiv(mxUs, HourUs)
       val wmUs = (mxUs / 1000L - 600000L) * 1000L
       require((b0 + 1) * HourUs + GapUs <= wmUs - 1000000L,
         "session late-plant needs the first hour's session windows " +
           "clearly behind the watermark")
-      // Mirror of the tumbling plant's last-bucket guard (r11 advice):
-      // every last-bucket row's session-window END `ts + gap` must sit
-      // clearly PAST the watermark, else engine and oracle would still
-      // agree (both drop) but the spec's `total + 2·|lastBucket|`
-      // admitted-replants expectation silently depends on where max(ts)
-      // falls inside its hour. Smallest such end is bn·hour + gap.
-      require(bn * HourUs + GapUs >= wmUs + 1000000L,
-        "session late-plant needs the last hour's session windows " +
-          "clearly past the watermark")
+      // The admitted side needs no shape guard: every source row sits
+      // within 20 min of max(ts), so its session-window end `ts + gap`
+      // is ≥ 10 min past the `max − 10 min` watermark by construction
+      // (30 − 20 − 10 = 0, plus the full 10-min lateness margin) —
+      // unlike the hour-bucket framing this replaces, whose guard
+      // tripped when a regeneration put max(ts) late in its hour.
       val bucket = expr(s"unix_micros(ts) DIV $HourUs")
       def replant(df: DataFrame, offset: Long): DataFrame =
         df.select((col("event_id") + offset).as("event_id"),
           col("ts"), col("user_id"), col("event_type"), col("value"),
           col("props"))
       val first = base.where(bucket === b0)
-      val last = base.where(bucket === bn)
+      val last = base.where(unix_micros(col("ts")) > lit(mxUs - LateSrcUs))
       Seq(base,
         replant(last, 10000000000L),
         replant(first, 20000000000L).unionByName(replant(last, 30000000000L)),
@@ -1121,6 +1190,7 @@ object StreamParity {
     "st_interval_join" -> intervalJoinParity,
     "st_interval_join_mb" -> intervalJoinMultiBatchParity,
     "st_interval_join_late" -> intervalJoinLateParity,
+    "st_interval_join_left" -> intervalJoinLeftParity,
     "st_exact_dedup" -> exactDedupParity,
     "st_exact_dedup_mb" -> exactDedupMultiBatchParity,
     "st_exact_dedup_parquet" -> exactDedupParquetParity,
@@ -1271,25 +1341,27 @@ object StreamParity {
     // the session drop rule REPLAYED over the planted multiset: the
     // aging replay (file 1) is always kept, the late batch's rows
     // survive iff ts + gap is past max(ts) − lateness (first-bucket
-    // replants die, last-bucket replants merge), then the same strict-
-    // boundary sessionization as st_sessions runs over what was kept
+    // replants die, last-20-minute replants merge — framed by
+    // watermark distance so admission holds for any corpus shape),
+    // then the same strict-boundary sessionization as st_sessions
+    // runs over what was kept
     "st_sessions_late" ->
-      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
-           b AS (SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS b0,
-                        time_bucket(INTERVAL '1 hour', max(ts)) AS bn
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w,
+                        max(ts) - INTERVAL 20 MINUTE AS src FROM events),
+           b AS (SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS b0
                  FROM events),
            kept AS (
              SELECT user_id, ts, event_id FROM events
              UNION ALL
-             SELECT user_id, ts, event_id + 10000000000 FROM events, b
-             WHERE time_bucket(INTERVAL '1 hour', ts) = b.bn
+             SELECT user_id, ts, event_id + 10000000000 FROM events, wm
+             WHERE ts > wm.src
              UNION ALL
              SELECT user_id, ts, event_id + 20000000000 FROM events, b, wm
              WHERE time_bucket(INTERVAL '1 hour', ts) = b.b0
                AND ts + INTERVAL 30 MINUTE > wm.w
              UNION ALL
-             SELECT user_id, ts, event_id + 30000000000 FROM events, b, wm
-             WHERE time_bucket(INTERVAL '1 hour', ts) = b.bn
+             SELECT user_id, ts, event_id + 30000000000 FROM events, wm
+             WHERE ts > wm.src
                AND ts + INTERVAL 30 MINUTE > wm.w),
            marked AS (
              SELECT user_id, ts, event_id,
@@ -1383,6 +1455,17 @@ object StreamParity {
          FROM admitted v JOIN admitted p
            ON v.user_id = p.user_id
           AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    // the left-outer form: every view row, matched pairs as in
+    // st_interval_join plus exactly one NULL-purchase row per view
+    // with no qualifying purchase — the rows Spark emits only on
+    // watermark-proven state eviction
+    "st_interval_join_left" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON v.user_id = p.user_id
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
     // the epoch-sliced run answers the SAME question — cross-batch
     // join state (a view held for a later batch's purchase) must not

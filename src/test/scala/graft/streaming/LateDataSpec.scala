@@ -74,19 +74,20 @@ class LateDataSpec extends SparkSpec {
     assert(lateStarts === base,
       "the session (user, start) set must be unchanged by late plants")
     // ADMISSION engaged: total event count grows by exactly the two
-    // admitted last-bucket replays (aging file + late file)
+    // admitted last-20-minute replays (aging file + late file) — the
+    // plant frames its admitted side by watermark distance, so every
+    // source row is admitted for ANY corpus shape (ts + 30 min gap is
+    // ≥ 10 min past the max − 10 min watermark)
     val ev = graft.sources.Tables.events(spark, sfDir)
     val total = ev.count()
     val mm = ev.agg(max(col("ts"))).head.getTimestamp(0)
-    val hourUs = 3600L * 1000000
-    val bn = Math.floorDiv(
-      mm.getTime / 1000 * 1000000 + mm.getNanos / 1000, hourUs)
-    val lastBucket = ev.where(
-      expr(s"unix_micros(ts) DIV $hourUs") === bn).count()
-    assert(lastBucket > 0, "degenerate corpus: empty last bucket")
-    assert(lateRows.map(_._3).sum === total + 2 * lastBucket,
+    val mxUs = mm.getTime / 1000 * 1000000 + mm.getNanos / 1000
+    val lateSrc = ev.where(
+      expr("unix_micros(ts)") > lit(mxUs - 1200L * 1000000)).count()
+    assert(lateSrc > 0, "degenerate corpus: empty last 20 minutes")
+    assert(lateRows.map(_._3).sum === total + 2 * lateSrc,
       "admitted replants must raise session counts by exactly 2x the " +
-        "last bucket")
+        "last-20-minute source")
   }
 
   test("session late plant arrives over >=4 real micro-batches") {
