@@ -67,6 +67,34 @@ import org.apache.spark.sql.{functions => F}
   *     so output multisets are deterministic; frame-boundary and
   *     ordering-tie semantics are where engines classically diverge.
   *
+  * And further (the round-12 verdict's remaining trap zones —
+  * grouping-set lattices, subqueries, HAVING, and the offset/bucket
+  * window family):
+  *
+  *   - GROUP BY ROLLUP **and CUBE** with per-key GROUPING() flags
+  *     ([[Fuzz.Rollup]]) — rolled-up NULLs vs real NULL groups across
+  *     the prefix lattice (rollup) and the full 2^n subset lattice
+  *     (cube), plus one pinned cross-engine divergence: Spark's
+  *     Expand-based grouping sets emit nothing over an empty input
+  *     where DuckDB emits the ANSI grand-total row (the SQL rendering
+  *     bridges with an EXISTS guard);
+  *   - uncorrelated SCALAR SUBQUERIES in WHERE ([[Fuzz.ScalarFilter]])
+  *     — `col <op> (SELECT agg …)`, where an empty subquery input
+  *     makes the scalar NULL and the comparison UNKNOWN; the DataFrame
+  *     rendering is a broadcast 1-row cross join while `spark.sql`
+  *     plans a true ScalarSubquery expression — two physical
+  *     strategies under one differential;
+  *   - HAVING as REAL SYNTAX: a Filter directly over an Agg (which
+  *     transform chaining generates freely) renders as a literal
+  *     HAVING clause with aggregate aliases inlined as their
+  *     aggregate expressions — ANSI HAVING resolves aggregates and
+  *     group keys, not select aliases — so both SQL frontends
+  *     exercise their HAVING resolution path;
+  *   - LAG/LEAD(col, 1) and NTILE(2|3|5) window functions — offset
+  *     functions hit ordering ties from a different side than ranks
+  *     (the predecessor of a duplicate peer), and NTILE pins the ANSI
+  *     first-(n mod k)-buckets-get-the-extra-row rule.
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -268,18 +296,76 @@ object Fuzz {
   final case class Project(child: Plan, exprs: Seq[(String, Expr)]) extends Plan {
     def schema: Seq[Field] = exprs.map { case (n, e) => Field(n, e.tpe) }
   }
+  /** Output type of an aggregate call — shared by [[Agg]] and
+    * [[Rollup]] schemas. */
+  private[fuzz] def aggOutType(a: AggFn): FType = a match {
+    case CountStar | CountCol(_) | CountDistinct(_) | SumL(_) => LongT
+    case AvgL(_) | AvgDecCents(_) => DoubleT
+    case SumDec(_) => DecT
+    case MinA(c) => c.tpe
+    case MaxA(c) => c.tpe
+  }
+
   final case class Agg(child: Plan, keys: Seq[Col],
       aggs: Seq[(String, AggFn)]) extends Plan {
     def schema: Seq[Field] =
       keys.map(k => Field(k.name, k.tpe)) ++ aggs.map { case (n, a) =>
-        Field(n, a match {
-          case CountStar | CountCol(_) | CountDistinct(_) | SumL(_) => LongT
-          case AvgL(_) | AvgDecCents(_) => DoubleT
-          case SumDec(_) => DecT
-          case MinA(c) => c.tpe
-          case MaxA(c) => c.tpe
-        })
+        Field(n, aggOutType(a))
       }
+  }
+
+  /** GROUP BY ROLLUP (round 13): the grouping-set lattice
+    * (k1..kn), (k1..kn−1), …, () in ONE node, with a `g_<key>` BIGINT
+    * GROUPING() flag per key — the flags are what make the output
+    * well-defined: a rolled-up key renders NULL, indistinguishable
+    * from a REAL NULL group without them (the classic grouping-set
+    * trap this node fuzzes). Pins one genuine cross-engine
+    * divergence: over an EMPTY input DuckDB emits the ANSI grand-total
+    * row (g=1, COUNT 0, SUM NULL) while Spark's Expand-based rollup
+    * emits NOTHING — the grammar adopts Spark's semantics and the SQL
+    * rendering bridges with an uncorrelated EXISTS guard (same
+    * discipline as the decimal-cast and HUGEINT bridges).
+    *
+    * `tag` (the generator depth) keeps flag names globally unique: a
+    * Rollup stacked on a Rollup may take the inner flag column
+    * `g1_<k>` as a KEY, and an untagged `g_<k>` flag for key `<k>`
+    * would collide with the inner flag of the same name (found by
+    * seed 10 of the first sweep).
+    *
+    * `cube = true` grades the node up to GROUP BY CUBE: the full
+    * 2^n-subset lattice instead of rollup's n+1 prefixes — same
+    * flags, same empty-input bridge, strictly more NULL-marker
+    * collisions to disambiguate. */
+  final case class Rollup(child: Plan, keys: Seq[Col],
+      aggs: Seq[(String, AggFn)], tag: String,
+      cube: Boolean) extends Plan {
+    def flagName(k: Col): String = s"g${tag}_${k.name}"
+    /** The grouping sets, as kept-key subsets in key order: rollup =
+      * prefixes longest-first; cube = every subset. */
+    def groupingSets: Seq[Seq[Col]] =
+      if (!cube) (0 to keys.size).map(n => keys.take(keys.size - n))
+      else keys.foldRight(Seq(Seq.empty[Col]))((k, acc) =>
+        acc.map(k +: _) ++ acc)
+    def schema: Seq[Field] =
+      keys.map(k => Field(k.name, k.tpe)) ++
+        keys.map(k => Field(flagName(k), LongT)) ++
+        aggs.map { case (n, a) => Field(n, aggOutType(a)) }
+  }
+
+  /** Uncorrelated scalar-subquery filter (round 13):
+    * `child WHERE col <op> (SELECT agg FROM …)`. `sub` is ALWAYS a
+    * global (keyless) [[Agg]] with one output column `alias` of
+    * `col`'s type — exactly one row by ANSI global-agg semantics, so
+    * the scalar is total: SUM/MIN/MAX over an empty subquery input is
+    * NULL (the comparison goes UNKNOWN and drops every row — the
+    * "scalar subquery over empty input" corner), COUNT is 0. The
+    * DataFrame rendering is a broadcast 1-row cross join + filter;
+    * `spark.sql` plans the same text as a true ScalarSubquery
+    * expression — two different physical strategies under one
+    * semantics, which is the point. */
+  final case class ScalarFilter(child: Plan, col: Col, op: String,
+      sub: Plan, alias: String) extends Plan {
+    def schema: Seq[Field] = child.schema
   }
   /** Equality join on an FK pair; `right` columns must be disjoint from
     * `left`'s (the generator only joins different tables). */
@@ -322,6 +408,19 @@ object Fuzz {
   /** Running SUM of a LongT column over ROWS UNBOUNDED PRECEDING →
     * CURRENT ROW. */
   final case class RunSumL(c: Col) extends WinFn
+  /** LAG(col, 1) — NULL on each partition's first row (no default).
+    * Deterministic as a multiset: the order is total up to
+    * fully-duplicate rows, and a duplicate peer's predecessor is
+    * either the identical row (same lag value) or the same distinct
+    * predecessor whichever peer comes first. */
+  final case class LagL(c: Col) extends WinFn
+  /** LEAD(col, 1) — [[LagL]]'s mirror. */
+  final case class LeadL(c: Col) extends WinFn
+  /** NTILE(n): first (count % n) buckets get the extra row — the ANSI
+    * rule both engines implement. Peers straddling a bucket boundary
+    * are interchangeable duplicates, so the output multiset is
+    * deterministic. */
+  final case class NtileW(n: Int) extends WinFn
 
   /** Window function over `PARTITION BY partBy ORDER BY <every child
     * column> ASC NULLS FIRST` (round 13, r12 verdict item 4) —
@@ -426,6 +525,21 @@ object Fuzz {
     case BoolT => "boolean"
   }
 
+  /** Spark Column for an aggregate call — shared by the Agg and Rollup
+    * renderings. */
+  private def aggToColumn(a: AggFn): Column = a match {
+    case CountStar        => F.count(F.lit(1))
+    case CountCol(x)      => F.count(F.col(x.name))
+    case CountDistinct(x) => F.countDistinct(F.col(x.name))
+    case SumL(x)          => F.sum(F.col(x.name))
+    case MinA(x)          => F.min(F.col(x.name))
+    case MaxA(x)          => F.max(F.col(x.name))
+    case AvgL(x)          => F.avg(F.col(x.name))
+    case SumDec(x)        => F.sum(F.col(x.name))
+    case AvgDecCents(x)   =>
+      F.avg((F.col(x.name) * F.lit(100)).cast("bigint"))
+  }
+
   def toDF(p: Plan, spark: SparkSession, sfDir: String): DataFrame = p match {
     case Scan(t) =>
       val raw = spark.read.parquet(s"$sfDir/$t.parquet")
@@ -438,23 +552,38 @@ object Fuzz {
         colToDF(e).as(n) }: _*)
     case Agg(c, keys, aggs) =>
       val df = toDF(c, spark, sfDir)
-      val aggCols = aggs.map { case (n, a) =>
-        (a match {
-          case CountStar        => F.count(F.lit(1))
-          case CountCol(x)      => F.count(F.col(x.name))
-          case CountDistinct(x) => F.countDistinct(F.col(x.name))
-          case SumL(x)          => F.sum(F.col(x.name))
-          case MinA(x)          => F.min(F.col(x.name))
-          case MaxA(x)          => F.max(F.col(x.name))
-          case AvgL(x)          => F.avg(F.col(x.name))
-          case SumDec(x)        => F.sum(F.col(x.name))
-          case AvgDecCents(x)   =>
-            F.avg((F.col(x.name) * F.lit(100)).cast("bigint"))
-        }).as(n)
-      }
+      val aggCols = aggs.map { case (n, a) => aggToColumn(a).as(n) }
       if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(keys.map(k => F.col(k.name)): _*)
         .agg(aggCols.head, aggCols.tail: _*)
+    case r @ Rollup(c, keys, aggs, _, cube) =>
+      val df = toDF(c, spark, sfDir)
+      // GROUPING() must ride in the agg list (it is an agg-side
+      // expression over the expanded gid), cast to BIGINT on every
+      // rendering — Spark's native grouping() is TINYINT-ish INT,
+      // DuckDB's is INT64
+      val gCols = keys.map(k =>
+        F.grouping(F.col(k.name)).cast("bigint").as(r.flagName(k)))
+      val aggCols = aggs.map { case (n, a) => aggToColumn(a).as(n) }
+      val all = gCols ++ aggCols
+      val kc = keys.map(k => F.col(k.name))
+      val grouped = if (cube) df.cube(kc: _*) else df.rollup(kc: _*)
+      grouped.agg(all.head, all.tail: _*)
+    case ScalarFilter(c, col, op, sub, alias) =>
+      val cd = toDF(c, spark, sfDir)
+      // global agg: exactly one row — the broadcast cross join is the
+      // DataFrame spelling of an uncorrelated scalar subquery
+      val sd = toDF(sub, spark, sfDir)
+      val cmp = op match {
+        case "<"  => F.col(col.name) <  F.col(alias)
+        case "<=" => F.col(col.name) <= F.col(alias)
+        case "="  => F.col(col.name) === F.col(alias)
+        case "<>" => F.col(col.name) =!= F.col(alias)
+        case ">"  => F.col(col.name) >  F.col(alias)
+        case ">=" => F.col(col.name) >= F.col(alias)
+      }
+      cd.crossJoin(F.broadcast(sd)).where(cmp)
+        .select(c.schema.map(f => F.col(f.name)): _*)
     case Join(l, r, jt, lk, rk) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
@@ -488,6 +617,9 @@ object Fuzz {
         case DenseRankW => F.dense_rank().over(w).cast("bigint")
         case RunSumL(x) => F.sum(F.col(x.name)).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case LagL(x)    => F.lag(F.col(x.name), 1).over(w)
+        case LeadL(x)   => F.lead(F.col(x.name), 1).over(w)
+        case NtileW(n)  => F.ntile(n).over(w).cast("bigint")
       }
       df.withColumn(alias, e)
   }
@@ -540,48 +672,55 @@ object Fuzz {
     case BoolT => "BOOLEAN"
   }
 
-  def exprToSql(e: Expr): String = e match {
-    case Col(n, _)  => n
-    case LitL(v)    => v.toString
-    case LitD(v)    =>
-      // round-trippable double literal (Double.toString is shortest
-      // round-trip; DuckDB parses scientific notation fine)
-      s"CAST(${v.toString} AS DOUBLE)"
-    case LitS(v)    => sqlLitS(v)
-    case d: LitDec  => s"CAST(${d.bd.toPlainString} AS DECIMAL(15,2))"
-    case LitT(v)    => s"TIMESTAMP '$v'"
-    case NullOf(t)  => s"CAST(NULL AS ${sqlType(t)})"
-    case Cond(c, a, b) =>
-      s"(CASE WHEN ${exprToSql(c)} THEN ${exprToSql(a)}" +
-        s" ELSE ${exprToSql(b)} END)"
-    case InList(x, items, neg) =>
-      s"(${exprToSql(x)} ${if (neg) "NOT IN" else "IN"} " +
-        items.map(exprToSql).mkString("(", ", ", ")") + ")"
-    case StrLen(s)  => s"CAST(length(${exprToSql(s)}) AS BIGINT)"
-    case Coalesce2(a, b) =>
-      s"COALESCE(${exprToSql(a)}, ${exprToSql(b)})"
-    case NullIf(a, b) => s"NULLIF(${exprToSql(a)}, ${exprToSql(b)})"
-    case ConcatS(l, r) => s"(${exprToSql(l)} || ${exprToSql(r)})"
-    case UpperS(s)     => s"upper(${exprToSql(s)})"
-    case Arith(op, l, r) => s"(${exprToSql(l)} $op ${exprToSql(r)})"
-    // ROUND then cast: DuckDB's narrowing decimal cast TRUNCATES
-    // (1.255 → 1.25) where Spark's rounds — ROUND is half-away-from-
-    // zero on both engines, then the cast only pins precision
-    case DecArith(op, l, r) =>
-      s"CAST(ROUND((${exprToSql(l)} $op ${exprToSql(r)}), 2)" +
-        s" AS DECIMAL(15,2))"
-    case DivD(l, r) =>
-      s"(CAST(${exprToSql(l)} AS DOUBLE)" +
-        s" / NULLIF(CAST(${exprToSql(r)} AS DOUBLE), 0.0))"
-    case Cmp(op, l, r)   => s"(${exprToSql(l)} $op ${exprToSql(r)})"
-    case IsNull(x, neg)  =>
-      s"(${exprToSql(x)} IS ${if (neg) "NOT " else ""}NULL)"
-    case And(l, r) => s"(${exprToSql(l)} AND ${exprToSql(r)})"
-    case Or(l, r)  => s"(${exprToSql(l)} OR ${exprToSql(r)})"
-    case Not(x)    => s"(NOT ${exprToSql(x)})"
-    case NullWhen(c, x) =>
-      s"(CASE WHEN ${exprToSql(c)} THEN CAST(NULL AS ${sqlType(x.tpe)})" +
-        s" ELSE ${exprToSql(x)} END)"
+  def exprToSql(e: Expr): String = exprToSql(e, Map.empty)
+
+  /** `ren` substitutes column references by name — the HAVING
+    * rendering inlines aggregate aliases as their aggregate SQL
+    * (ANSI HAVING resolves group keys and aggregate EXPRESSIONS, not
+    * select-list aliases; alias-in-HAVING is an engine extension with
+    * divergent support, so the renderer never relies on it). */
+  def exprToSql(e: Expr, ren: Map[String, String]): String = {
+    def go(e: Expr): String = e match {
+      case Col(n, _)  => ren.getOrElse(n, n)
+      case LitL(v)    => v.toString
+      case LitD(v)    =>
+        // round-trippable double literal (Double.toString is shortest
+        // round-trip; DuckDB parses scientific notation fine)
+        s"CAST(${v.toString} AS DOUBLE)"
+      case LitS(v)    => sqlLitS(v)
+      case d: LitDec  => s"CAST(${d.bd.toPlainString} AS DECIMAL(15,2))"
+      case LitT(v)    => s"TIMESTAMP '$v'"
+      case NullOf(t)  => s"CAST(NULL AS ${sqlType(t)})"
+      case Cond(c, a, b) =>
+        s"(CASE WHEN ${go(c)} THEN ${go(a)} ELSE ${go(b)} END)"
+      case InList(x, items, neg) =>
+        s"(${go(x)} ${if (neg) "NOT IN" else "IN"} " +
+          items.map(go).mkString("(", ", ", ")") + ")"
+      case StrLen(s)  => s"CAST(length(${go(s)}) AS BIGINT)"
+      case Coalesce2(a, b) => s"COALESCE(${go(a)}, ${go(b)})"
+      case NullIf(a, b) => s"NULLIF(${go(a)}, ${go(b)})"
+      case ConcatS(l, r) => s"(${go(l)} || ${go(r)})"
+      case UpperS(s)     => s"upper(${go(s)})"
+      case Arith(op, l, r) => s"(${go(l)} $op ${go(r)})"
+      // ROUND then cast: DuckDB's narrowing decimal cast TRUNCATES
+      // (1.255 → 1.25) where Spark's rounds — ROUND is half-away-from-
+      // zero on both engines, then the cast only pins precision
+      case DecArith(op, l, r) =>
+        s"CAST(ROUND((${go(l)} $op ${go(r)}), 2) AS DECIMAL(15,2))"
+      case DivD(l, r) =>
+        s"(CAST(${go(l)} AS DOUBLE)" +
+          s" / NULLIF(CAST(${go(r)} AS DOUBLE), 0.0))"
+      case Cmp(op, l, r)   => s"(${go(l)} $op ${go(r)})"
+      case IsNull(x, neg)  =>
+        s"(${go(x)} IS ${if (neg) "NOT " else ""}NULL)"
+      case And(l, r) => s"(${go(l)} AND ${go(r)})"
+      case Or(l, r)  => s"(${go(l)} OR ${go(r)})"
+      case Not(x)    => s"(NOT ${go(x)})"
+      case NullWhen(c, x) =>
+        s"(CASE WHEN ${go(c)} THEN CAST(NULL AS ${sqlType(x.tpe)})" +
+          s" ELSE ${go(x)} END)"
+    }
+    go(e)
   }
 
   private def aggToSql(a: AggFn): String = a match {
@@ -607,6 +746,22 @@ object Fuzz {
       val cols = catalog(t).map(f =>
         s"CAST(${f.name} AS ${sqlType(f.tpe)}) AS ${f.name}").mkString(", ")
       s"SELECT $cols FROM $t"
+    case Filter(Agg(c, keys, aggs), pred) =>
+      // a Filter directly over an Agg is HAVING's algebra — render it
+      // as a REAL HAVING clause so both SQL frontends exercise their
+      // HAVING resolution path (round 13). ANSI HAVING resolves group
+      // keys and aggregate EXPRESSIONS but not select-list aliases
+      // (alias support there is a divergent engine extension), so
+      // references to aggregate output columns inline as the
+      // aggregate SQL itself; works for the keyless global-agg form
+      // too (HAVING without GROUP BY)
+      val sel = (keys.map(_.name) ++
+        aggs.map { case (n, a) => s"${aggToSql(a)} AS $n" }).mkString(", ")
+      val grp = if (keys.isEmpty) ""
+        else s" GROUP BY ${keys.map(_.name).mkString(", ")}"
+      val ren = aggs.map { case (n, a) => n -> aggToSql(a) }.toMap
+      s"SELECT $sel FROM (${toSql(c)}) g_$grp" +
+        s" HAVING ${exprToSql(pred, ren)}"
     case Filter(c, pred) =>
       s"SELECT * FROM (${toSql(c)}) f_ WHERE ${exprToSql(pred)}"
     case Project(c, exprs) =>
@@ -619,6 +774,21 @@ object Fuzz {
       val grp = if (keys.isEmpty) ""
         else s" GROUP BY ${keys.map(_.name).mkString(", ")}"
       s"SELECT $sel FROM (${toSql(c)}) g_$grp"
+    case r @ Rollup(c, keys, aggs, _, cube) =>
+      val sel = (keys.map(_.name) ++
+        keys.map(k => s"CAST(GROUPING(${k.name}) AS BIGINT) AS ${r.flagName(k)}") ++
+        aggs.map { case (n, a) => s"${aggToSql(a)} AS $n" }).mkString(", ")
+      val kw = if (cube) "CUBE" else "ROLLUP"
+      val inner = s"SELECT $sel FROM (${toSql(c)}) r_ " +
+        s"GROUP BY $kw (${keys.map(_.name).mkString(", ")})"
+      // EMPTY-input bridge: DuckDB emits the ANSI grand-total row over
+      // an empty input, Spark's Expand-based rollup emits nothing — the
+      // grammar adopts Spark's semantics, so the SQL guards with an
+      // uncorrelated EXISTS over the same child (a no-op whenever the
+      // input has rows)
+      s"SELECT * FROM ($inner) re_ WHERE EXISTS (SELECT 1 FROM (${toSql(c)}) rg_)"
+    case ScalarFilter(c, col, op, sub, _) =>
+      s"SELECT * FROM (${toSql(c)}) sf_ WHERE ${col.name} $op (${toSql(sub)})"
     case Join(l, r, jt, lk, rk) => jt match {
       case "inner" =>
         s"SELECT * FROM (${toSql(l)}) jl_ JOIN (${toSql(r)}) jr_ " +
@@ -667,6 +837,9 @@ object Fuzz {
         case DenseRankW => s"CAST(DENSE_RANK() $over) AS BIGINT)"
         case RunSumL(x) => s"CAST(SUM(${x.name}) $over" +
           s" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        case LagL(x)    => s"LAG(${x.name}, 1) $over)"
+        case LeadL(x)   => s"LEAD(${x.name}, 1) $over)"
+        case NtileW(n)  => s"CAST(NTILE($n) $over) AS BIGINT)"
       }
       s"SELECT *, $call AS $alias FROM (${toSql(c)}) w_"
   }
@@ -820,6 +993,47 @@ object Fuzz {
     case other => sys.error(s"bad sort operands $other")
   }
 
+  /** ANSI aggregate evaluation over one group — shared by the Agg and
+    * Rollup interpreter cases: COUNT of nothing is 0, every other
+    * aggregate of nothing (or of an all-NULL slice) is NULL. */
+  private def evalAggs(aggs: Seq[(String, AggFn)],
+      group: Seq[Row]): Seq[(String, Option[Any])] =
+    aggs.map { case (n, a) =>
+      def vals(col: Col): Seq[Any] = group.flatMap(r => r(col.name))
+      n -> (a match {
+        case CountStar        => Some(group.size.toLong)
+        case CountCol(x)      => Some(vals(x).size.toLong)
+        case CountDistinct(x) => Some(vals(x).distinct.size.toLong)
+        case SumL(x) =>
+          val vs = vals(x).map(_.asInstanceOf[Long])
+          if (vs.isEmpty) None else Some(vs.sum)
+        case AvgL(x) =>
+          val vs = vals(x).map(_.asInstanceOf[Long])
+          if (vs.isEmpty) None
+          else Some(vs.sum.toDouble / vs.size) // exact below 2^53
+        case SumDec(x) =>
+          val vs = vals(x).map(_.asInstanceOf[java.math.BigDecimal])
+          if (vs.isEmpty) None
+          else Some(vs.reduce(_.add(_))) // exact; scale stays 2
+        case AvgDecCents(x) =>
+          // integer cents (scale-2 decimals are exact cents), then
+          // the proven AVG(BIGINT) path: exact sum, one division
+          val vs = vals(x).map(
+            _.asInstanceOf[java.math.BigDecimal]
+              .movePointRight(2).longValueExact)
+          if (vs.isEmpty) None
+          else Some(vs.sum.toDouble / vs.size)
+        case MinA(x) =>
+          val vs = vals(x).map(Some(_): Option[Any])
+          if (vs.isEmpty) None
+          else vs.min(Ordering.fromLessThan[Option[Any]](cmpOpt(_, _) < 0))
+        case MaxA(x) =>
+          val vs = vals(x).map(Some(_): Option[Any])
+          if (vs.isEmpty) None
+          else vs.max(Ordering.fromLessThan[Option[Any]](cmpOpt(_, _) < 0))
+      })
+    }
+
   def eval(p: Plan, tables: Map[String, Seq[Row]]): Seq[Row] = p match {
     case Scan(t) => tables(t)
     case Filter(c, pred) =>
@@ -829,45 +1043,45 @@ object Fuzz {
         n -> evalExpr(e, r) }.toMap)
     case Agg(c, keys, aggs) =>
       val rows = eval(c, tables)
-      def aggGroup(group: Seq[Row]): Seq[(String, Option[Any])] =
-        aggs.map { case (n, a) =>
-          def vals(col: Col): Seq[Any] = group.flatMap(r => r(col.name))
-          n -> (a match {
-            case CountStar        => Some(group.size.toLong)
-            case CountCol(x)      => Some(vals(x).size.toLong)
-            case CountDistinct(x) => Some(vals(x).distinct.size.toLong)
-            case SumL(x) =>
-              val vs = vals(x).map(_.asInstanceOf[Long])
-              if (vs.isEmpty) None else Some(vs.sum)
-            case AvgL(x) =>
-              val vs = vals(x).map(_.asInstanceOf[Long])
-              if (vs.isEmpty) None
-              else Some(vs.sum.toDouble / vs.size) // exact below 2^53
-            case SumDec(x) =>
-              val vs = vals(x).map(_.asInstanceOf[java.math.BigDecimal])
-              if (vs.isEmpty) None
-              else Some(vs.reduce(_.add(_))) // exact; scale stays 2
-            case AvgDecCents(x) =>
-              // integer cents (scale-2 decimals are exact cents), then
-              // the proven AVG(BIGINT) path: exact sum, one division
-              val vs = vals(x).map(
-                _.asInstanceOf[java.math.BigDecimal]
-                  .movePointRight(2).longValueExact)
-              if (vs.isEmpty) None
-              else Some(vs.sum.toDouble / vs.size)
-            case MinA(x) =>
-              val vs = vals(x).map(Some(_): Option[Any])
-              if (vs.isEmpty) None else vs.min(Ordering.fromLessThan[Option[Any]](cmpOpt(_, _) < 0))
-            case MaxA(x) =>
-              val vs = vals(x).map(Some(_): Option[Any])
-              if (vs.isEmpty) None else vs.max(Ordering.fromLessThan[Option[Any]](cmpOpt(_, _) < 0))
-          })
-        }
-      if (keys.isEmpty) Seq(aggGroup(rows).toMap) // global agg: ALWAYS one row
+      if (keys.isEmpty) Seq(evalAggs(aggs, rows).toMap) // global agg: ALWAYS one row
       else rows.groupBy(r => keys.map(k => r(k.name))) // NULL is a real group
         .map { case (kv, group) =>
-          (keys.map(_.name).zip(kv) ++ aggGroup(group)).toMap
+          (keys.map(_.name).zip(kv) ++ evalAggs(aggs, group)).toMap
         }.toSeq
+    case r @ Rollup(c, keys, aggs, _, _) =>
+      val rows = eval(c, tables)
+      // Spark semantics: an empty input yields NO rows, not the ANSI
+      // grand-total row (the SQL rendering bridges DuckDB with an
+      // EXISTS guard — see the node's scaladoc)
+      if (rows.isEmpty) Nil
+      else r.groupingSets.flatMap { kept =>
+        val keptSet = kept.map(_.name).toSet
+        val rolled = keys.filterNot(k => keptSet(k.name))
+        val flags: Seq[(String, Option[Any])] =
+          kept.map(k => r.flagName(k) -> (Some(0L): Option[Any])) ++
+            rolled.map(k => r.flagName(k) -> (Some(1L): Option[Any]))
+        val nulls: Seq[(String, Option[Any])] =
+          rolled.map(k => k.name -> (None: Option[Any]))
+        if (kept.isEmpty)
+          Seq((nulls ++ flags ++ evalAggs(aggs, rows)).toMap)
+        else rows.groupBy(r => kept.map(k => r(k.name)))
+          .map { case (kv, group) =>
+            (kept.map(_.name).zip(kv) ++ nulls ++ flags ++
+              evalAggs(aggs, group)).toMap
+          }.toSeq
+      }
+    case ScalarFilter(c, col, op, sub, alias) =>
+      // sub is a global agg: exactly one row always exists
+      val sv: Option[Any] = eval(sub, tables).head(alias)
+      eval(c, tables).filter { r =>
+        (for { a <- r(col.name); b <- sv } yield {
+          val cc = cmpOpt(Some(a), Some(b))
+          op match {
+            case "<" => cc < 0; case "<=" => cc <= 0; case "=" => cc == 0
+            case "<>" => cc != 0; case ">" => cc > 0; case ">=" => cc >= 0
+          }
+        }).contains(true) // UNKNOWN (NULL side) drops the row
+      }
     case Join(l, r, jt, lk, rk) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
@@ -985,6 +1199,29 @@ object Fuzz {
                 sum += v.asInstanceOf[Long]; seen = true }
               r + (alias ->
                 ((if (seen) Some(sum) else None): Option[Any]))
+            }
+          case LagL(x) =>
+            sorted.zipWithIndex.map { case (r, i) =>
+              r + (alias ->
+                (if (i == 0) None else sorted(i - 1)(x.name)))
+            }
+          case LeadL(x) =>
+            sorted.zipWithIndex.map { case (r, i) =>
+              r + (alias ->
+                (if (i == sorted.size - 1) None else sorted(i + 1)(x.name)))
+            }
+          case NtileW(n) =>
+            // ANSI: q = size / n rows per bucket, the first (size % n)
+            // buckets take one extra
+            val size = sorted.size
+            val q = size / n; val rr = size % n
+            def bucket(i: Int): Long = {
+              val cut = rr * (q + 1)
+              if (i < cut) (i / (q + 1) + 1).toLong
+              else (rr + (i - cut) / math.max(q, 1) + 1).toLong
+            }
+            sorted.zipWithIndex.map { case (r, i) =>
+              r + (alias -> (Some(bucket(i)): Option[Any]))
             }
         }
       }
@@ -1107,11 +1344,35 @@ object Fuzz {
     } else genNullInject(rnd, withFilter(Scan(pick(rnd, catalog.keys.toSeq.sorted))))
   }
 
+  /** 1-3 aggregate calls over `schema`, depth-qualified aliases — a
+    * nested Agg's keys carry the inner Agg's aliases, and a bare "a$i"
+    * would collide with them (Spark emits duplicate columns; the
+    * reference Row is a map), so every plan keeps globally unique
+    * column names. Shared by the Agg and Rollup transform cases. */
+  private def genAggList(rnd: scala.util.Random, schema: Seq[Field],
+      depth: Int): Seq[(String, AggFn)] = {
+    val nAggs = 1 + rnd.nextInt(3)
+    (0 until nAggs).map { i =>
+      val f = pick(rnd, schema)
+      val c = Col(f.name, f.tpe)
+      val fn: AggFn = f.tpe match {
+        case LongT => pick(rnd, Seq(CountStar, CountCol(c),
+          CountDistinct(c), SumL(c), MinA(c), MaxA(c), AvgL(c)))
+        case DoubleT => pick(rnd, Seq(CountCol(c), MinA(c), MaxA(c)))
+        case DecT => pick(rnd, Seq(CountCol(c), CountDistinct(c),
+          SumDec(c), MinA(c), MaxA(c), AvgDecCents(c)))
+        case _ => pick(rnd, Seq(CountStar, CountCol(c),
+          CountDistinct(c), MinA(c), MaxA(c)))
+      }
+      s"a${depth}_$i" -> fn
+    }
+  }
+
   private def genTransforms(rnd: scala.util.Random, base: Plan, depth: Int): Plan =
     if (depth <= 0) base
     else {
       val schema = base.schema
-      val next = rnd.nextInt(8) match {
+      val next = rnd.nextInt(10) match {
         case 0 => Filter(base, genPred(rnd, schema))
         case 1 => // computed projection
           val n = 1 + rnd.nextInt(math.min(4, schema.size))
@@ -1193,26 +1454,7 @@ object Fuzz {
           val keys = rnd.shuffle(keyPool.toVector)
             .take(rnd.nextInt(math.min(2, math.max(1, keyPool.size)) + 1))
             .map(f => Col(f.name, f.tpe))
-          val aggPool = schema
-          val nAggs = 1 + rnd.nextInt(3)
-          val aggs = (0 until nAggs).map { i =>
-            val f = pick(rnd, aggPool)
-            val c = Col(f.name, f.tpe)
-            val fn: AggFn = f.tpe match {
-              case LongT => pick(rnd, Seq(CountStar, CountCol(c),
-                CountDistinct(c), SumL(c), MinA(c), MaxA(c), AvgL(c)))
-              case DoubleT => pick(rnd, Seq(CountCol(c), MinA(c), MaxA(c)))
-              case DecT => pick(rnd, Seq(CountCol(c), CountDistinct(c),
-                SumDec(c), MinA(c), MaxA(c), AvgDecCents(c)))
-              case _ => pick(rnd, Seq(CountStar, CountCol(c),
-                CountDistinct(c), MinA(c), MaxA(c)))
-            }
-            // depth-qualified alias: a nested Agg's keys carry the inner
-            // Agg's aliases, and a bare "a$i" would collide with them
-            // (Spark emits duplicate columns; the reference Row is a
-            // map) — every plan keeps globally unique column names
-            s"a${depth}_$i" -> fn
-          }
+          val aggs = genAggList(rnd, schema, depth)
           if (keys.isEmpty && aggs.isEmpty) base else Agg(base, keys, aggs)
         case 3 => Distinct(base)
         case 4 => SortLimit(base, pick(rnd, Seq(1, 5, 17, 200)))
@@ -1237,13 +1479,59 @@ object Fuzz {
           else {
             val pb = pick(rnd, parts)
             val longs = schema.filter(_.tpe == LongT)
-            val fn: WinFn = rnd.nextInt(4) match {
+            def lcol() = Col(pick(rnd, longs).name, LongT)
+            val fn: WinFn = rnd.nextInt(7) match {
               case 0 => RowNum
               case 1 => RankW
               case 2 => DenseRankW
-              case _ => RunSumL(Col(pick(rnd, longs).name, LongT))
+              case 3 => LagL(lcol())
+              case 4 => LeadL(lcol())
+              case 5 => NtileW(pick(rnd, Seq(2, 3, 5)))
+              case _ => RunSumL(lcol())
             }
             WindowOp(base, Col(pb.name, LongT), fn, s"w$depth")
+          }
+        case 8 =>
+          // GROUP BY ROLLUP/CUBE over 1-2 non-double keys (0 keys would
+          // just be the global Agg case 2 already covers); grouping
+          // flags disambiguate rolled-up NULLs from real NULL groups
+          val keyPool = schema.filter(f => f.tpe != DoubleT)
+          if (keyPool.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val keys = rnd.shuffle(keyPool.toVector)
+              .take(1 + rnd.nextInt(math.min(2, keyPool.size)))
+              .map(f => Col(f.name, f.tpe))
+            Rollup(base, keys, genAggList(rnd, schema, depth),
+              depth.toString, cube = rnd.nextBoolean())
+          }
+        case 9 =>
+          // uncorrelated scalar-subquery filter: col <op> (SELECT agg
+          // FROM <any table with a same-type column>); the subquery
+          // input is sometimes filtered — possibly to nothing, hitting
+          // the NULL-scalar (UNKNOWN comparison) corner
+          val candidates = schema.filter(_.tpe != BoolT)
+          if (candidates.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val f = pick(rnd, candidates)
+            val subCols = (for {
+              (t, fs) <- catalog.toSeq.sortBy(_._1)
+              sf <- fs if sf.tpe == f.tpe
+            } yield (t, sf)).toVector
+            val (st, sf) = pick(rnd, subCols)
+            val subChild: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(st), genPred(rnd, catalog(st)))
+              else Scan(st)
+            val sc = Col(sf.name, sf.tpe)
+            val fn: AggFn = f.tpe match {
+              case LongT => pick(rnd, Seq(SumL(sc), MinA(sc), MaxA(sc),
+                CountCol(sc)))
+              case DecT  => pick(rnd, Seq(SumDec(sc), MinA(sc), MaxA(sc)))
+              case _     => pick(rnd, Seq(MinA(sc), MaxA(sc)))
+            }
+            val alias = s"sq${depth}_0"
+            val op = pick(rnd, Seq("<", "<=", "=", "<>", ">", ">="))
+            ScalarFilter(base, Col(f.name, f.tpe), op,
+              Agg(subChild, Nil, Seq(alias -> fn)), alias)
           }
       }
       genTransforms(rnd, next, depth - 1)
@@ -1262,5 +1550,7 @@ object Fuzz {
     case UnionAll(l, r)     => Seq(l, r)
     case SetOp(l, r, _)     => Seq(l, r)
     case WindowOp(c, _, _, _) => Seq(c)
+    case Rollup(c, _, _, _, _) => Seq(c)
+    case ScalarFilter(c, _, _, sub, _) => Seq(c, sub)
   }
 }

@@ -11,35 +11,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A seed names the same plan for as long as the GRAMMAR is unchanged
   * (java.util.Random's LCG is spec-pinned); extending the grammar
   * re-maps every seed, so declared seeds are re-chosen and re-verified
-  * whenever the grammar grows (round 12 grew it three times; round 13
-  * extends it into the previously-excluded trap zones: DECIMAL(15,2)
-  * columns with ROUND-closed arithmetic, guarded double division,
-  * cents-integer AVG over decimal, and window functions — see the
-  * [[Fuzz]] scaladoc). Current seeds, re-verified against the
-  * 1500-seed DuckDB sweep (1498 pass; the 2 fails are an adjudicated
-  * DuckDB 1.0.0 optimizer bug — `PRAGMA disable_optimizer` runs both,
-  * and `FuzzCheckOne` shows Spark ≡ interpreter on them), chosen so
-  * each exercises a round-13 feature:
+  * whenever the grammar grows. Round 13 grew it twice: first into the
+  * DECIMAL(15,2) / guarded-division / cents-AVG / rank-window trap
+  * zones, then into ROLLUP + CUBE grouping-set lattices with
+  * GROUPING() flags, uncorrelated scalar subqueries, literal HAVING
+  * rendering, and LAG/LEAD/NTILE — see the [[Fuzz]] scaladoc.
+  * Current seeds, re-verified against the 1500-seed DuckDB sweep
+  * (1498/1498 dumped seeds pass; the other 2 — seeds 648 and 1153,
+  * both ROLLUP-over-UNION-of-projections shapes off a parquet scan —
+  * crash SPARK'S OWN optimizer with PLAN_VALIDATION_FAILED in
+  * RemoveRedundantAliases on both the DataFrame and `spark.sql`
+  * paths: an adjudicated Spark 4.1.2 bug, minimal repro + the
+  * rule-exclusion semantics check pinned in `FuzzQuerySpec`), chosen
+  * so each exercises a revision feature:
   *
-  *   - 17:  DECIMAL arithmetic that goes NEGATIVE (l_quantity − 900.00
-  *          → ROUND half-away-from-zero on a negative value, where
-  *          DuckDB's bare cast truncation would diverge) under decimal
-  *          NULL-injection and COALESCE repair;
-  *   - 30:  DENSE_RANK partitioned by l_partkey ordered by every
-  *          lineitem column incl. the DECIMALs, UNION ALL, then a
-  *          COALESCE(decimal, literal) projection — window ties +
-  *          decimal ordering + the boundary double cast;
-  *   - 446: grouped AVG(CAST(l_extendedprice*100 AS BIGINT)) — the
-  *          cents-integer AVG discipline next to COUNT over a
-  *          null-injected timestamp;
-  *   - 621: running-sum ROWS frame over part, then division by the
-  *          LITERAL ZERO — the NULLIF guard must produce an all-NULL
-  *          double column (not an error, not ±Inf) on both engines.
+  *   - 21:  ROLLUP over a UNION ALL of CUBEs on supplier — both
+  *          grouping-set lattices stacked, the WORKING neighbor of
+  *          the adjudicated optimizer-crash shape;
+  *   - 27:  LEAD over a self-union of region projections, then
+  *          DISTINCT — offset-function predecessor ties under
+  *          duplicate peers;
+  *   - 66:  2-key CUBE over filtered region with both GROUPING()
+  *          flags — rolled-up NULL vs real NULL disambiguation;
+  *   - 93:  NESTED scalar subqueries (one comparison per nesting
+  *          level, each against a 1-row global aggregate) over a
+  *          dense_rank window on a LEFT join — the NULL-scalar
+  *          UNKNOWN-comparison corner (0 rows on both engines, by
+  *          agreement not by accident);
+  *   - 116: NTILE(3) partitioned by o_custkey over a self-union of
+  *          orders projections — the first-(n mod k)-buckets-get-the-
+  *          extra-row rule at 20k-row scale;
+  *   - 263: Filter directly over a grouped Agg — rendered as a
+  *          LITERAL `HAVING` clause (aggregate aliases inlined as
+  *          their aggregate expressions) through BOTH SQL frontends.
   */
 object FuzzQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val seeds = Seq(17L, 30L, 446L, 621L)
+  private val seeds = Seq(21L, 27L, 66L, 93L, 116L, 263L)
 
   private def name(seed: Long): String = s"fz_seed$seed"
 

@@ -997,7 +997,86 @@ object Pipeline {
       .withColumn("kept", !col("text_dup") && !col("sem_dup"))
   }
 
+  /** Z-order (Morton-curve) data-layout audit — the file-clustering
+    * decision a 100 TB lakehouse makes so min/max footer stats can
+    * SKIP files for multi-dimensional predicates (the public technique
+    * behind Delta/Iceberg `OPTIMIZE ZORDER BY`; Morton 1966). Events
+    * are placed on a 2-D curve over (user_id, hour-index) by bit
+    * interleaving — bit i of user_id lands at z-bit 2i, bit i of the
+    * hour at 2i+1 — so consecutive z-ranges are small RECTANGLES in
+    * (user, time) space instead of full-width time stripes.
+    *
+    * Raw values never interleave directly: with skewed dimension
+    * ranges (15 users vs 720 hours at sf0.001) the narrow dimension's
+    * bits all sit at the BOTTOM of z and every practical z-range
+    * degenerates to a time-major stripe — zero extra pruning (the
+    * first cut of this operator measured exactly that, 208 = 208
+    * rows). So each dimension first BIT-NORMALIZES to a fixed 8-bit
+    * grid, `b = (256·(v − lo)) div (hi − lo + 1)` over the global
+    * min/max (one 1-row agg, broadcast) — the same move production
+    * z-order implementations make by interleaving per-column range
+    * ids instead of raw values. Balanced bits ⇒ the curve prunes both
+    * dimensions at EVERY scale factor.
+    *
+    * The declared output is the per-file-block stats table a skipping
+    * reader consults, for BOTH layouts: 32×32-bucket z tiles
+    * (`tile = z >> 10` — an 8×8 grid over the normalized space) vs
+    * 32-bucket time stripes (`tile = hb >> 5`), each with row count
+    * and min/max of both RAW columns, plus `probed` — the exact
+    * min/max overlap test a reader runs for the fixed rectangle query
+    * `user_id IN [40,80] AND hr IN [200,330]`. The z layout probes
+    * O(query area) tiles; the linear layout probes every stripe the
+    * time range touches across ALL users — the pruning asymmetry IS
+    * the result (and the spec asserts it on real repartitionByRange
+    * layouts at equal file counts).
+    *
+    * 100 TB shape: the bounds are one partial-agg'd 1-row broadcast;
+    * each leg is then one narrow integer projection + one
+    * map-side-partial groupBy; output is O(tile grid) rows,
+    * independent of row count. The write path this audits is
+    * `repartitionByRange(z) + sortWithinPartitions(z)` before the
+    * sink — no extra shuffle beyond the range partitioner. All
+    * arithmetic is integer bit ops and integer division,
+    * bit-identical cross-engine. */
+  private val hrExpr =
+    "CAST(floor(unix_timestamp(ts)/3600) AS BIGINT) - 473352"
+  private[graft] val zBitsSpark: String = (0 until 8).map(i =>
+    s"(shiftleft(shiftright(ub, $i) & 1, ${2 * i}) + " +
+      s"shiftleft(shiftright(hb, $i) & 1, ${2 * i + 1}))").mkString(" + ")
+  /** (user_id, hr, ub, hb, z): raw dims, 8-bit normalized buckets,
+    * 16-bit Morton code. */
+  private[graft] def zorderBase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).selectExpr("user_id", s"($hrExpr) AS hr")
+    val bounds = ev.agg(
+      min("user_id").as("u_lo"), max("user_id").as("u_hi"),
+      min("hr").as("h_lo"), max("hr").as("h_hi"))
+    ev.crossJoin(broadcast(bounds))
+      .selectExpr("user_id", "hr",
+        "(256 * (user_id - u_lo)) div (u_hi - u_lo + 1) AS ub",
+        "(256 * (hr - h_lo)) div (h_hi - h_lo + 1) AS hb")
+      .selectExpr("user_id", "hr", "ub", "hb",
+        s"CAST(($zBitsSpark) AS BIGINT) AS z")
+  }
+
+  private val zorder: Q = (s, d) => {
+    val base = zorderBase(s, d)
+    def leg(label: String, tile: Column, src: DataFrame): DataFrame =
+      src.groupBy(tile.as("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+          min(col("hr")).as("min_h"), max(col("hr")).as("max_h"))
+        .withColumn("layout", lit(label))
+    leg("zorder", expr("shiftright(z, 10)"), base)
+      .unionByName(leg("linear", expr("shiftright(hb, 5)"), base))
+      .withColumn("probed",
+        !(col("max_u") < 40 || col("min_u") > 80 ||
+          col("max_h") < 200 || col("min_h") > 330))
+      .select("layout", "tile", "n_rows", "min_u", "max_u",
+        "min_h", "max_h", "probed")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pl_zorder" -> zorder,
     "pl_dedup_signals" -> dedupSignals,
     "pl_skew_census" -> skewCensus,
     "pl_url_canon" -> urlCanon,
@@ -1070,7 +1149,40 @@ object Pipeline {
         FROM ex JOIN dup USING (g)
         GROUP BY doc_id, n_grams"""
 
+  /** DuckDB twin of [[zBitsSpark]] (operator syntax; same integer
+    * semantics bit for bit). */
+  private val zBitsDuck: String = (0 until 8).map(i =>
+    s"((((ub >> $i) & 1) << ${2 * i}) + (((hb >> $i) & 1) << ${2 * i + 1}))")
+    .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "pl_zorder" ->
+      s"""WITH ev AS (
+            SELECT user_id,
+              CAST(floor(epoch(ts)/3600) AS BIGINT) - 473352 AS hr
+            FROM events),
+          b AS (SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+              min(hr) AS h_lo, max(hr) AS h_hi FROM ev),
+          nb AS (SELECT user_id, hr,
+              (256 * (user_id - u_lo)) // (u_hi - u_lo + 1) AS ub,
+              (256 * (hr - h_lo)) // (h_hi - h_lo + 1) AS hb
+            FROM ev, b),
+          zb AS (SELECT user_id, hr, hb, CAST(($zBitsDuck) AS BIGINT) AS z
+            FROM nb),
+          tiles AS (
+            SELECT 'zorder' AS layout, z >> 10 AS tile, count(*) AS n_rows,
+              min(user_id) AS min_u, max(user_id) AS max_u,
+              min(hr) AS min_h, max(hr) AS max_h
+            FROM zb GROUP BY 2
+            UNION ALL
+            SELECT 'linear' AS layout, hb >> 5 AS tile, count(*) AS n_rows,
+              min(user_id) AS min_u, max(user_id) AS max_u,
+              min(hr) AS min_h, max(hr) AS max_h
+            FROM zb GROUP BY 2)
+          SELECT layout, tile, n_rows, min_u, max_u, min_h, max_h,
+            NOT (max_u < 40 OR min_u > 80 OR max_h < 200 OR min_h > 330)
+              AS probed
+          FROM tiles""",
     // both drop-list closures (textual Jaccard + semantic cosine) as
     // prefixed CTEs from their owning operators, joined onto one scan
     "pl_dedup_signals" ->

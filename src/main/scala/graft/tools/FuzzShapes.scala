@@ -15,10 +15,15 @@ object FuzzShapes {
         case SortLimit(c, n) => s"L$n(${sig(c)})"
         case UnionAll(l, r) => s"U(${sig(l)},${sig(r)})"
         case SetOp(l, r, op) => s"S-$op(${sig(l)},${sig(r)})"
+        case Rollup(c, k, a, _, cube) => s"${if (cube) "C" else "R"}${k.size}k${a.size}a(${sig(c)})"
+        case ScalarFilter(c, col, op, sub, _) =>
+          s"SQ-${col.name}$op(${sig(c)},${sig(sub)})"
         case WindowOp(c, pb, fn, _) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"
             case DenseRankW => "dense"; case RunSumL(x) => s"runsum:${x.name}"
+            case LagL(x) => s"lag:${x.name}"; case LeadL(x) => s"lead:${x.name}"
+            case NtileW(n) => s"ntile$n"
           }
           s"W-$f@${pb.name}(${sig(c)})"
       }

@@ -125,4 +125,37 @@ class FuzzQuerySpec extends SparkSpec {
       assert(check(j).isEmpty, s"join type $jt")
     }
   }
+
+  test("adjudicated Spark 4.1.2 optimizer bug: RemoveRedundantAliases invalidates ROLLUP-over-UNION plans") {
+    // The 1500-seed sweep surfaced 2 seeds (648, 1153) whose plans
+    // crash Spark's OWN optimizer — PLAN_VALIDATION_FAILED_RULE_IN_
+    // BATCH from RemoveRedundantAliases ("previously resolved and now
+    // became unresolved") — on BOTH the DataFrame and spark.sql paths,
+    // so it is an engine bug, not a renderer bug. Minimal repro
+    // (shrunk by hand from seed 648): parquet scan → identity-aliased
+    // projection → UNION ALL of it with a filtered copy → GROUP BY
+    // ROLLUP with an aggregate over a rollup KEY. A LocalRelation
+    // source does NOT trip it — the file relation is part of the
+    // trigger. Pinned so a Spark upgrade that fixes it surfaces here
+    // (this test will fail → remove the pin and the exclusion).
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("supplier_bugpin")
+    val proj = "SELECT s_suppkey AS s_suppkey, s_name AS s_name" +
+      " FROM supplier_bugpin"
+    val repro = s"SELECT s_suppkey, s_name, MAX(s_suppkey) m FROM " +
+      s"(($proj) UNION ALL (SELECT * FROM ($proj) f_ WHERE s_suppkey > 10)) u " +
+      "GROUP BY ROLLUP (s_suppkey, s_name)"
+    val e = intercept[Exception](spark.sql(repro).collect())
+    assert(e.getMessage.contains("PLAN_VALIDATION_FAILED"), e.getMessage)
+    // Semantics adjudication: with the offending rule excluded, both
+    // crashing seeds execute and AGREE with the reference interpreter
+    // — the mirror of round 12's DuckDB disable_optimizer adjudication.
+    val key = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(key,
+      "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases")
+    try Seq(648L, 1153L).foreach { seed =>
+      val p = Fuzz.genPlan(seed)
+      assert(check(p).isEmpty, s"seed $seed differs under rule exclusion")
+    } finally spark.conf.unset(key)
+  }
 }

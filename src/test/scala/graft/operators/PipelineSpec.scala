@@ -531,4 +531,91 @@ class PipelineSpec extends SparkSpec {
     assert(meanSample > meanAll,
       s"sample mean $meanSample not above corpus mean $meanAll")
   }
+
+  test("zorder: interleave round-trips, tiles partition the data, probe set is sound") {
+    val df = Pipeline.queries("pl_zorder")(spark, sfDir)
+    val rows = df.collect()
+    // (user_id, hr, ub, hb, z)
+    val base = Pipeline.zorderBase(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    base.foreach { case (u, h, ub, hb, z) =>
+      // normalized buckets stay on the 8-bit grid and are monotone
+      // images of the raw values
+      assert(ub >= 0 && ub < 256 && hb >= 0 && hb < 256, s"($ub,$hb)")
+      // the Morton code de-interleaves back to exactly (ub, hb)
+      def unpick(z: Long, off: Int): Long =
+        (0 until 8).map(i => ((z >> (2 * i + off)) & 1L) << i).sum
+      assert(unpick(z, 0) == ub && unpick(z, 1) == hb,
+        s"z=$z did not round-trip ($ub,$hb)")
+    }
+    // normalization is monotone: sort by raw value ⇒ buckets sorted
+    assert(base.sortBy(_._1).map(_._3).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)), "ub not monotone in user_id")
+    assert(base.sortBy(_._2).map(_._4).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)), "hb not monotone in hr")
+    // both layouts partition the corpus: tile row counts sum to N
+    Seq("zorder", "linear").foreach { lay =>
+      val n = rows.filter(_.getString(0) == lay).map(_.getLong(2)).sum
+      assert(n == base.length, s"$lay tiles cover $n of ${base.length}")
+    }
+    // the probed flag is exactly the reader's min/max overlap test
+    rows.foreach { r =>
+      val want = !(r.getLong(4) < 40 || r.getLong(3) > 80 ||
+        r.getLong(6) < 200 || r.getLong(5) > 330)
+      assert(r.getBoolean(7) == want, s"probed flag drifted on $r")
+    }
+    // probe soundness: every event inside the query rectangle lives in
+    // a probed tile (min/max skipping must never skip a hit)
+    val hits = base.filter { case (u, h, _, _, _) =>
+      u >= 40 && u <= 80 && h >= 200 && h <= 330 }
+    Seq(("zorder", (t: (Long, Long, Long, Long, Long)) => t._5 >> 10),
+        ("linear", (t: (Long, Long, Long, Long, Long)) => t._4 >> 5)).foreach {
+      case (lay, tileOf) =>
+        val probed = rows.filter(r => r.getString(0) == lay && r.getBoolean(7))
+          .map(_.getLong(1)).toSet
+        assert(hits.forall(t => probed(tileOf(t))), s"$lay skipped a hit")
+    }
+  }
+
+  test("zorder: the z-sorted physical layout prunes more rows than the time-sorted one") {
+    // the operator audits tile stats; this drives the REAL layout
+    // decision it stands for — repartitionByRange on z vs on hr, then
+    // per-partition (≈ per-file) min/max footer stats, then the
+    // skipping reader's overlap test for one rectangle. 96 files over
+    // the balanced 16-bit z space gives each file a z-span ≈ 2^9.4 —
+    // small enough that files constrain BOTH normalized dimensions
+    // (the raw-value interleave this operator first shipped failed
+    // exactly here: the 15-user dimension's bits all sat below any
+    // practical file span and z-files were time stripes). Rectangle
+    // user∈[2,5], hr∈[200,330] sits inside sf0.001's populated range
+    // (15 users).
+    val base = Pipeline.zorderBase(spark, sfDir)
+    def scannedRows(sortCol: String): Long = {
+      val parts = base.repartitionByRange(96, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .mapPartitions { it =>
+          val rs = it.toVector
+          if (rs.isEmpty) Iterator.empty
+          else {
+            val us = rs.map(_.getLong(0)); val hs = rs.map(_.getLong(1))
+            Iterator.single((us.min, us.max, hs.min, hs.max, rs.size.toLong))
+          }
+        }(org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long)])
+        .collect()
+      parts.filter { case (minU, maxU, minH, maxH, _) =>
+        !(maxU < 2L || minU > 5L || maxH < 200L || minH > 330L)
+      }.map(_._5).sum
+    }
+    val zScanned = scannedRows("z")
+    val linScanned = scannedRows("hr")
+    // both layouts must at least find every hit
+    val hits = base.where(col("user_id").between(2, 5) &&
+      col("hr").between(200, 330)).count()
+    assert(hits > 0, "degenerate fixture: rectangle selects nothing")
+    assert(zScanned >= hits && linScanned >= hits)
+    assert(zScanned < linScanned,
+      s"z layout scanned $zScanned rows, time layout $linScanned — " +
+        "the Morton curve must prune the user dimension too")
+  }
 }
