@@ -340,6 +340,32 @@ object EventStreams {
         col("v_user").as("user_id"), col("v_ts"), col("p_ts"))
   }
 
+  /** FULL OUTER stream-stream interval join — both directions of
+    * [[viewPurchaseLeftOuter]]'s eviction-triggered emission at once:
+    * unmatched VIEWS emit a NULL-purchase row when the watermark
+    * passes `v_ts + 1 h` (left state eviction), and unmatched
+    * PURCHASES emit a NULL-view row when it passes `p_ts` (right
+    * state eviction — a purchase's candidate views all precede it, so
+    * it is provably unmatched as soon as its own timestamp is behind
+    * the watermark). The two sides evict on DIFFERENT schedules,
+    * which is exactly what the gate pins: swapping the eviction
+    * bounds fabricates or loses NULL rows on one side only. */
+  def viewPurchaseFullOuter(views: DataFrame, purchases: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", lateness)
+    v.join(p, expr(
+      """v_user = p_user AND
+         p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"""), "full_outer")
+      .select(col("view_id"), col("purchase_id"),
+        coalesce(col("v_user"), col("p_user")).as("user_id"),
+        col("v_ts"), col("p_ts"))
+  }
+
   /** Idempotent micro-batch sink via foreachBatch: each batch lands in
     * its own `_batch_id=` partition with dynamic partition overwrite, so
     * REPLAYING a batch (failure between sink write and checkpoint

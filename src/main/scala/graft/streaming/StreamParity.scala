@@ -934,6 +934,32 @@ object StreamParity {
     out
   }
 
+  /** STREAM-STREAM FULL OUTER interval join
+    * ([[EventStreams.viewPurchaseFullOuter]]): both eviction-emission
+    * directions at once — unmatched views flush as NULL-purchase rows
+    * on the LEFT state store's schedule (`v_ts + 1 h` behind the
+    * watermark) and unmatched purchases flush as NULL-view rows on the
+    * RIGHT store's earlier schedule (`p_ts` behind it, since all of a
+    * purchase's candidate views precede it). Same dual-sentinel feed
+    * and `user_id >= 0` guard as the left-outer gate; both NULL
+    * directions are REQUIRED non-empty per run. */
+  val intervalJoinFullParity: Q = (s, d) => {
+    val ev = streamEventsWithJoinSentinels(s, d)
+    val out = runToTable(
+      EventStreams.viewPurchaseFullOuter(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_interval_join_full")
+      .where(col("user_id") >= 0)
+      .select("view_id", "purchase_id", "user_id")
+    Seq("purchase_id", "view_id").foreach { c =>
+      require(out.where(col(c).isNull).limit(1).count() > 0,
+        s"full-outer interval join emitted no NULL-$c rows — one " +
+          "side's watermark state flush did not engage")
+    }
+    out
+  }
+
   /** events + late plants for the SESSION-WINDOW path, four ordered
     * files: the whole corpus, a watermark-aging replay of the last
     * hour bucket (the [[streamEventsWithLatePlant]] one-batch-lag
@@ -1191,6 +1217,7 @@ object StreamParity {
     "st_interval_join_mb" -> intervalJoinMultiBatchParity,
     "st_interval_join_late" -> intervalJoinLateParity,
     "st_interval_join_left" -> intervalJoinLeftParity,
+    "st_interval_join_full" -> intervalJoinFullParity,
     "st_exact_dedup" -> exactDedupParity,
     "st_exact_dedup_mb" -> exactDedupMultiBatchParity,
     "st_exact_dedup_parquet" -> exactDedupParquetParity,
@@ -1465,6 +1492,15 @@ object StreamParity {
            v.user_id AS user_id
          FROM (SELECT * FROM events WHERE event_type = 'view') v
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON v.user_id = p.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    // the full-outer form adds the other eviction direction: one
+    // NULL-view row per purchase with no qualifying preceding view
+    "st_interval_join_full" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           coalesce(v.user_id, p.user_id) AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON v.user_id = p.user_id
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
     // the epoch-sliced run answers the SAME question — cross-batch
