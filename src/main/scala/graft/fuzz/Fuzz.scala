@@ -95,6 +95,17 @@ import org.apache.spark.sql.{functions => F}
   *     (the predecessor of a duplicate peer), and NTILE pins the ANSI
   *     first-(n mod k)-buckets-get-the-extra-row rule.
   *
+  * A third round-13 revision adds the last classic subquery trap:
+  *
+  *   - `key [NOT] IN (SELECT k FROM …)` membership subqueries
+  *     ([[Fuzz.InSub]]) — the NULL-AWARE semantics no semi/anti
+  *     equi-join can express (`NOT IN` over a subquery bearing one
+  *     NULL drops every row; over an EMPTY subquery keeps every row,
+  *     NULL keys included). The DataFrame rendering hand-builds the
+  *     3VL as semi/anti joins with explicit IS NULL disjuncts while
+  *     `spark.sql` takes Spark's dedicated null-aware anti-join path
+  *     — two physical strategies under one differential, again.
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -367,6 +378,29 @@ object Fuzz {
       sub: Plan, alias: String) extends Plan {
     def schema: Seq[Field] = child.schema
   }
+  /** Correlated membership subquery (round 13, third grammar
+    * revision): `child WHERE key [NOT] IN (SELECT subKey FROM sub)` —
+    * the NULL-AWARE membership test, ANSI's most notorious subquery
+    * trap. `x IN S` is TRUE on a match; FALSE only when x is non-NULL
+    * and S contains no NULL (or S is EMPTY — then FALSE for every x,
+    * even a NULL one); UNKNOWN otherwise. So `NOT IN` over a subquery
+    * that can produce a single NULL silently drops EVERY row — the
+    * corner no semi/anti equi-join (= EXISTS/NOT EXISTS, already in
+    * the grammar) can reach. The three renderings take three genuinely
+    * different routes to one semantics: the DataFrame side builds the
+    * positive form as a LEFT SEMI equi-join and the negated form as a
+    * LEFT ANTI join on `key = subKey OR key IS NULL OR subKey IS NULL`
+    * (an anti join keeps a row iff NO right row satisfies the
+    * condition — exactly ANSI NOT IN, including the empty-subquery
+    * keep-everything case); `spark.sql` plans the literal
+    * `NOT IN (SELECT …)` text through Spark's dedicated null-aware
+    * anti-join path; DuckDB plans a mark join. `sub` always projects
+    * to the single generator-unique column `subKey`, so the join
+    * condition can never collide with a child column. */
+  final case class InSub(child: Plan, key: Col, sub: Plan, subKey: Col,
+      negated: Boolean) extends Plan {
+    def schema: Seq[Field] = child.schema
+  }
   /** Equality join on an FK pair; `right` columns must be disjoint from
     * `left`'s (the generator only joins different tables). */
   final case class Join(left: Plan, right: Plan, joinType: String,
@@ -584,6 +618,14 @@ object Fuzz {
       }
       cd.crossJoin(F.broadcast(sd)).where(cmp)
         .select(c.schema.map(f => F.col(f.name)): _*)
+    case InSub(c, key, sub, subKey, neg) =>
+      val cd = toDF(c, spark, sfDir)
+      val sd = toDF(sub, spark, sfDir)
+      if (!neg) cd.join(sd, cd(key.name) === sd(subKey.name), "left_semi")
+      else cd.join(sd,
+        cd(key.name) === sd(subKey.name) ||
+          cd(key.name).isNull || sd(subKey.name).isNull,
+        "left_anti")
     case Join(l, r, jt, lk, rk) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
@@ -789,6 +831,10 @@ object Fuzz {
       s"SELECT * FROM ($inner) re_ WHERE EXISTS (SELECT 1 FROM (${toSql(c)}) rg_)"
     case ScalarFilter(c, col, op, sub, _) =>
       s"SELECT * FROM (${toSql(c)}) sf_ WHERE ${col.name} $op (${toSql(sub)})"
+    case InSub(c, key, sub, subKey, neg) =>
+      s"SELECT * FROM (${toSql(c)}) in_ WHERE ${key.name} " +
+        s"${if (neg) "NOT IN" else "IN"} " +
+        s"(SELECT ${subKey.name} FROM (${toSql(sub)}) ins_)"
     case Join(l, r, jt, lk, rk) => jt match {
       case "inner" =>
         s"SELECT * FROM (${toSql(l)}) jl_ JOIN (${toSql(r)}) jr_ " +
@@ -1082,6 +1128,22 @@ object Fuzz {
           }
         }).contains(true) // UNKNOWN (NULL side) drops the row
       }
+    case InSub(c, key, sub, subKey, neg) =>
+      val subVals = eval(sub, tables).map(_(subKey.name))
+      val present = subVals.flatten.toSet
+      val hasNull = subVals.exists(_.isEmpty)
+      eval(c, tables).filter { r =>
+        // ANSI 3VL membership: TRUE on a match; FALSE only for a
+        // non-NULL key against a NULL-free subquery (or ANY key —
+        // NULL included — against an EMPTY one); else UNKNOWN
+        val in: Option[Boolean] = r(key.name) match {
+          case Some(v) if present.contains(v) => Some(true)
+          case _ if subVals.isEmpty           => Some(false)
+          case Some(_) if !hasNull            => Some(false)
+          case _                              => None
+        }
+        (if (neg) in.map(!_) else in).contains(true)
+      }
     case Join(l, r, jt, lk, rk) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
@@ -1372,7 +1434,7 @@ object Fuzz {
     if (depth <= 0) base
     else {
       val schema = base.schema
-      val next = rnd.nextInt(10) match {
+      val next = rnd.nextInt(11) match {
         case 0 => Filter(base, genPred(rnd, schema))
         case 1 => // computed projection
           val n = 1 + rnd.nextInt(math.min(4, schema.size))
@@ -1533,6 +1595,39 @@ object Fuzz {
             ScalarFilter(base, Col(f.name, f.tpe), op,
               Agg(subChild, Nil, Seq(alias -> fn)), alias)
           }
+        case 10 =>
+          // key [NOT] IN (SELECT k FROM dim): the null-aware membership
+          // subquery. The sub source is restricted to the three smallest
+          // dimensions (region/nation/supplier) — the negated DataFrame
+          // rendering is a nested-loop anti join, and a fact-sized sub
+          // would make a declared seed a scale hazard instead of a
+          // semantics probe. The sub key null-injects half the time:
+          // `NOT IN` over a NULL-bearing subquery (drops EVERY row) is
+          // the trap this node exists to fuzz; the other half is
+          // FK-vs-PK shaped, so positive IN hits real matches.
+          val keyPool = schema.filter(_.tpe == LongT)
+          if (keyPool.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val key = pick(rnd, keyPool)
+            val subCols = (for {
+              t <- Vector("region", "nation", "supplier")
+              sf <- catalog(t) if sf.tpe == LongT
+            } yield (t, sf))
+            val (st, sf) = pick(rnd, subCols)
+            val subChild: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(st), genPred(rnd, catalog(st)))
+              else Scan(st)
+            val alias = s"ik${depth}_0"
+            val kexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(sf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(sf.name, LongT))
+              } else Col(sf.name, LongT)
+            InSub(base, Col(key.name, LongT),
+              Project(subChild, Seq(alias -> kexpr)), Col(alias, LongT),
+              negated = rnd.nextBoolean())
+          }
       }
       genTransforms(rnd, next, depth - 1)
     }
@@ -1552,5 +1647,6 @@ object Fuzz {
     case WindowOp(c, _, _, _) => Seq(c)
     case Rollup(c, _, _, _, _) => Seq(c)
     case ScalarFilter(c, _, _, sub, _) => Seq(c, sub)
+    case InSub(c, _, sub, _, _) => Seq(c, sub)
   }
 }

@@ -608,6 +608,83 @@ object Pipeline {
         s"CAST(size(slice(ts, start + 1, $ChunkSize)) AS BIGINT) AS n_chunk_tokens",
         s"md5(CAST(array_join(slice(ts, start + 1, $ChunkSize), ' ') AS BINARY)) AS chunk_fp")
 
+  /** Passage-level dedup WITH document reassembly — the FineWeb/
+    * RefinedWeb-style rewrite step ("remove duplicated passages, keep
+    * the document"): [[spanDupes]] DETECTS duplicated spans; this op
+    * REMOVES them and puts the document back together. Documents split
+    * into fixed [[PassageW]]-word passages (the corpus has no paragraph
+    * marks, so the block grid is the deterministic passage structure —
+    * the same shuffle-friendly stand-in for suffix-array substring
+    * surgery as [[spanDupes]], Lee et al. 2022). A passage OCCURRENCE
+    * survives iff its text is corpus-unique or it is the canonical
+    * (minimum (doc_id, idx), encoded as one BIGINT) occurrence; each
+    * doc reports kept/dropped counts and its REASSEMBLED text, passages
+    * back in original order. A doc whose every passage is a
+    * non-canonical duplicate disappears entirely — whole-doc exact
+    * dedup is this op's degenerate case.
+    *
+    * 100 TB shape: one census groupBy on the 128-bit passage
+    * fingerprint with map-side partials (keeper = a combinable MIN over
+    * the encoded occurrence key — the [[skewCensus]] argmax
+    * discipline); occurrences rejoin the census by fingerprint (AQE
+    * broadcasts the shrunken census when it fits); reassembly shuffles
+    * (doc_id, idx, passage) once — the same cost class as [[chunk]]'s
+    * output, and strictly narrower than shipping raw documents. No
+    * corpus-wide window, no all-pairs join, no driver materialization. */
+  private val PassageW = 16
+  /** The passage-occurrence frame both rewrite ops share: one row per
+    * (doc, passage-grid cell) with the passage text and fingerprint. */
+  private def passageOcc(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(tokExpr).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("doc_id"), col("ts"),
+        expr(s"CAST((size(ts) - 1) DIV $PassageW AS BIGINT) + 1")
+          .as("n_passages"),
+        explode(expr(s"sequence(0L, CAST((size(ts) - 1) DIV $PassageW AS BIGINT))"))
+          .as("idx"))
+      .selectExpr("doc_id", "n_passages", "idx",
+        s"array_join(slice(ts, CAST(idx * $PassageW + 1 AS INT), $PassageW), ' ') AS passage")
+      .withColumn("fp", md5(col("passage").cast("binary")))
+
+  /** Reassemble kept passage occurrences back into documents. */
+  private def reassemble(kept: DataFrame): DataFrame =
+    kept.groupBy("doc_id", "n_passages")
+      .agg(count(lit(1)).as("kept"),
+        sort_array(collect_list(struct(col("idx"), col("passage")))).as("ps"))
+      .selectExpr("doc_id", "n_passages", "kept",
+        "n_passages - kept AS dropped",
+        "array_join(transform(ps, p -> p.passage), ' ') AS clean_text")
+
+  private val passageDedup: Q = (s, d) => {
+    val occ = passageOcc(s, d)
+    val census = occ.groupBy("fp").agg(
+      count(lit(1)).as("df"),
+      min(col("doc_id") * 1000000 + col("idx")).as("keeper"))
+    reassemble(occ.join(census, "fp")
+      .where(col("df") === 1 ||
+        col("doc_id") * 1000000 + col("idx") === col("keeper")))
+  }
+
+  /** Boilerplate-passage removal — [[passageDedup]]'s indiscriminate
+    * sibling (the CCNet/RefinedWeb paragraph rule: text repeated across
+    * enough DISTINCT documents is template/navigation boilerplate, not
+    * content, and no occurrence deserves to survive — there is no
+    * canonical copy of a cookie banner). A passage dies in EVERY doc,
+    * canonical included, when it appears in ≥ [[BoilerplateDf]]
+    * distinct docs; the census key is distinct-doc frequency, not
+    * occurrence count, so a passage repeated WITHIN one doc is content
+    * (a chorus, a table header) and survives. Same census/rejoin/
+    * reassembly shape and scale story as [[passageDedup]]. */
+  private val BoilerplateDf = 3
+  private val boilerplate: Q = (s, d) => {
+    val occ = passageOcc(s, d)
+    val census = occ.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    reassemble(occ.join(census, "fp")
+      .where(col("ndocs") < BoilerplateDf))
+  }
+
   /** CDC snapshot diff — the incremental-ingestion primitive: given two
     * snapshots of a mutable upstream table, classify every key as
     * added / removed / changed / unchanged. Snapshots are derived
@@ -1094,6 +1171,8 @@ object Pipeline {
     "pl_mix_weights" -> mixWeights,
     "pl_source_cap" -> sourceCap,
     "pl_span_dupes" -> spanDupes,
+    "pl_passage_dedup" -> passageDedup,
+    "pl_boilerplate" -> boilerplate,
     "pl_quality_sample" -> qualitySample,
     "pl_weighted_sample" -> weightedSample,
     "pl_corpus_report" -> corpusReport,
@@ -1289,6 +1368,49 @@ object Pipeline {
             TRUE AS mass_close, TRUE AS prefix_sound
           FROM documents""",
     "pl_span_dupes" -> spanDupesSql,
+    "pl_passage_dedup" ->
+      s"""WITH tok AS (
+            SELECT doc_id, $duckTok ts FROM documents),
+          occ AS (
+            SELECT doc_id, n_passages, idx,
+              array_to_string(ts[(idx*$PassageW+1):(idx*$PassageW+$PassageW)], ' ') AS passage
+            FROM (SELECT doc_id, ts, ((len(ts)-1)//$PassageW)+1 AS n_passages,
+                         unnest(range(0, ((len(ts)-1)//$PassageW)+1)) AS idx
+                  FROM tok WHERE len(ts) > 0) z),
+          census AS (
+            SELECT md5(passage) AS fp, count(*) AS df,
+                   min(doc_id * 1000000 + idx) AS keeper
+            FROM occ GROUP BY 1),
+          kept AS (
+            SELECT o.* FROM (SELECT *, md5(passage) AS fp FROM occ) o
+            JOIN census c USING (fp)
+            WHERE c.df = 1 OR o.doc_id * 1000000 + o.idx = c.keeper)
+          SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
+            CAST(count(*) AS BIGINT) AS kept,
+            CAST(n_passages - count(*) AS BIGINT) AS dropped,
+            string_agg(passage, ' ' ORDER BY idx) AS clean_text
+          FROM kept GROUP BY doc_id, n_passages""",
+    "pl_boilerplate" ->
+      s"""WITH tok AS (
+            SELECT doc_id, $duckTok ts FROM documents),
+          occ AS (
+            SELECT doc_id, n_passages, idx,
+              array_to_string(ts[(idx*$PassageW+1):(idx*$PassageW+$PassageW)], ' ') AS passage
+            FROM (SELECT doc_id, ts, ((len(ts)-1)//$PassageW)+1 AS n_passages,
+                         unnest(range(0, ((len(ts)-1)//$PassageW)+1)) AS idx
+                  FROM tok WHERE len(ts) > 0) z),
+          census AS (
+            SELECT md5(passage) AS fp, count(DISTINCT doc_id) AS ndocs
+            FROM occ GROUP BY 1),
+          kept AS (
+            SELECT o.* FROM (SELECT *, md5(passage) AS fp FROM occ) o
+            JOIN census c USING (fp)
+            WHERE c.ndocs < $BoilerplateDf)
+          SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
+            CAST(count(*) AS BIGINT) AS kept,
+            CAST(n_passages - count(*) AS BIGINT) AS dropped,
+            string_agg(passage, ' ' ORDER BY idx) AS clean_text
+          FROM kept GROUP BY doc_id, n_passages""",
     "pl_chunk" ->
       s"""WITH tok AS (
             SELECT doc_id, $duckTok AS ts FROM documents),

@@ -18,6 +18,8 @@ object FuzzShapes {
         case Rollup(c, k, a, _, cube) => s"${if (cube) "C" else "R"}${k.size}k${a.size}a(${sig(c)})"
         case ScalarFilter(c, col, op, sub, _) =>
           s"SQ-${col.name}$op(${sig(c)},${sig(sub)})"
+        case InSub(c, key, sub, _, neg) =>
+          s"IN${if (neg) "!" else ""}-${key.name}(${sig(c)},${sig(sub)})"
         case WindowOp(c, pb, fn, _) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"

@@ -126,6 +126,45 @@ class FuzzQuerySpec extends SparkSpec {
     }
   }
 
+  test("InSub self-checks: NOT IN null-awareness in all three renderings") {
+    import Fuzz._
+    // NULL-injected outer key over customer (every 3rd key NULL)
+    val cust = Project(Scan("customer"), Seq(
+      "ck" -> NullWhen(Cmp("=", Arith("%", Col("c_custkey", LongT), LitL(3L)),
+        LitL(0L)), Col("c_nationkey", LongT))))
+    val custRows = toDF(cust, spark, sfDir).count()
+    // (1) sub bearing a NULL: NOT IN must drop EVERY row (UNKNOWN or
+    // FALSE for all); IN keeps exactly the matches
+    val subNull = Project(Scan("nation"), Seq("ik9_0" -> NullWhen(
+      Cmp("=", Arith("%", Col("n_nationkey", LongT), LitL(5L)), LitL(0L)),
+      Col("n_nationkey", LongT))))
+    val notInNull = InSub(cust, Col("ck", LongT), subNull,
+      Col("ik9_0", LongT), negated = true)
+    assert(check(notInNull).isEmpty)
+    assert(canonSpark(toDF(notInNull, spark, sfDir)).isEmpty,
+      "NOT IN over a NULL-bearing subquery must drop every row")
+    assert(check(notInNull.copy(negated = false)).isEmpty)
+    // (2) EMPTY sub: NOT IN keeps every row — NULL keys included
+    // (x IN (empty) = FALSE, not UNKNOWN); IN keeps none
+    val subEmpty = Project(
+      Filter(Scan("region"), Cmp("<", Col("r_regionkey", LongT), LitL(0L))),
+      Seq("ik9_0" -> (Col("r_regionkey", LongT): Expr)))
+    val notInEmpty = InSub(cust, Col("ck", LongT), subEmpty,
+      Col("ik9_0", LongT), negated = true)
+    assert(check(notInEmpty).isEmpty)
+    assert(canonSpark(toDF(notInEmpty, spark, sfDir)).size == custRows,
+      "NOT IN (empty) must keep every row, NULL keys included")
+    assert(check(notInEmpty.copy(negated = false)).isEmpty)
+    assert(canonSpark(toDF(notInEmpty.copy(negated = false), spark, sfDir)).isEmpty)
+    // (3) the same NULL-bearing NOT IN through Spark's SQL frontend
+    // (null-aware anti join) agrees: zero rows
+    catalog.keys.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    assert(canonSpark(spark.sql(toSql(notInNull))).isEmpty,
+      "spark.sql NOT IN over a NULL-bearing subquery must drop every row")
+  }
+
   test("adjudicated Spark 4.1.2 optimizer bug: RemoveRedundantAliases invalidates ROLLUP-over-UNION plans") {
     // The 1500-seed sweep surfaced 2 seeds (648, 1153) whose plans
     // crash Spark's OWN optimizer — PLAN_VALIDATION_FAILED_RULE_IN_
@@ -147,15 +186,29 @@ class FuzzQuerySpec extends SparkSpec {
       "GROUP BY ROLLUP (s_suppkey, s_name)"
     val e = intercept[Exception](spark.sql(repro).collect())
     assert(e.getMessage.contains("PLAN_VALIDATION_FAILED"), e.getMessage)
-    // Semantics adjudication: with the offending rule excluded, both
-    // crashing seeds execute and AGREE with the reference interpreter
-    // — the mirror of round 12's DuckDB disable_optimizer adjudication.
+    // Semantics adjudication: with the offending rule excluded, the
+    // crash shape executes and AGREES with the reference interpreter —
+    // the mirror of round 12's DuckDB disable_optimizer adjudication.
+    // The shape is pinned as an EXPLICIT Plan AST (the grammar's own
+    // rendering of the minimal repro), not by seed: grammar revisions
+    // remap every seed, but the adjudicated bug is about the SHAPE
+    // (originally surfaced by sweep seeds 648/1153 of the second
+    // round-13 revision).
+    import Fuzz._
+    val idProj = Project(Scan("supplier"), Seq(
+      "s_suppkey" -> (Col("s_suppkey", LongT): Expr),
+      "s_name" -> (Col("s_name", StringT): Expr)))
+    val crashShape = Rollup(
+      UnionAll(idProj, Filter(idProj, Cmp(">", Col("s_suppkey", LongT), LitL(10L)))),
+      Seq(Col("s_suppkey", LongT), Col("s_name", StringT)),
+      Seq("m" -> MaxA(Col("s_suppkey", LongT))), "9", cube = false)
+    val e2 = intercept[Exception](toDF(crashShape, spark, sfDir).collect())
+    assert(e2.getMessage.contains("PLAN_VALIDATION_FAILED"), e2.getMessage)
     val key = "spark.sql.optimizer.excludedRules"
     spark.conf.set(key,
       "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases")
-    try Seq(648L, 1153L).foreach { seed =>
-      val p = Fuzz.genPlan(seed)
-      assert(check(p).isEmpty, s"seed $seed differs under rule exclusion")
-    } finally spark.conf.unset(key)
+    try assert(check(crashShape).isEmpty,
+      "crash shape differs under rule exclusion")
+    finally spark.conf.unset(key)
   }
 }

@@ -618,4 +618,80 @@ class PipelineSpec extends SparkSpec {
       s"z layout scanned $zScanned rows, time layout $linScanned — " +
         "the Morton curve must prune the user dimension too")
   }
+
+  test("passage_dedup: planted fixture — exact copy vanishes, shared block excised, tail block survives") {
+    import spark.implicits._
+    // Hand-built corpus on the 16-word passage grid: A = X+Y, B = exact
+    // copy of A (later id), C = Z then X again (its second passage's
+    // canonical lives in A), D = unique with a 4-word tail block.
+    def block(tag: String): String =
+      (0 until 16).map(i => s"$tag$i").mkString(" ")
+    val (bx, by, bz) = (block("x"), block("y"), block("z"))
+    val dTail = (0 until 20).map(i => s"d$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("passagededup").toString
+    Seq(
+      (10L, s"$bx $by", "en", "web", 0L),
+      (11L, s"$bx $by", "en", "web", 0L), // exact copy — must VANISH
+      (12L, s"$bz $bx", "en", "web", 0L), // keeps Z, loses shared X
+      (13L, dTail, "en", "web", 0L))      // untouched, 2 passages (16+4)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.queries("pl_passage_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(!out.contains(11L), "the exact copy must disappear entirely")
+    assert(out(10L) === ((2L, 2L, 0L, s"$bx $by")), "canonical doc intact")
+    assert(out(12L) === ((2L, 1L, 1L, bz)),
+      "doc 12 must keep only its unique Z passage")
+    assert(out(13L) === ((2L, 2L, 0L, dTail)),
+      "unique doc with a short tail passage must reassemble verbatim")
+  }
+
+  test("boilerplate: 3-doc passage dies everywhere, within-doc repeat survives") {
+    import spark.implicits._
+    def block(tag: String): String =
+      (0 until 16).map(i => s"$tag$i").mkString(" ")
+    val (bb, bw) = (block("bb"), block("bw"))
+    val dir = java.nio.file.Files.createTempDirectory("boilerplate").toString
+    Seq(
+      (20L, s"$bb ${block("f")}", "en", "web", 0L),
+      (21L, s"$bb ${block("g")}", "en", "web", 0L),
+      (22L, s"$bb ${block("h")}", "en", "web", 0L), // bb in 3 docs → boilerplate
+      (23L, s"$bw $bw", "en", "web", 0L))           // within-doc repeat: content
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Pipeline.queries("pl_boilerplate")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // the shared banner dies in ALL THREE docs — no canonical survivor
+    assert(out(20L) === ((1L, 1L, block("f"))))
+    assert(out(21L) === ((1L, 1L, block("g"))))
+    assert(out(22L) === ((1L, 1L, block("h"))))
+    // a passage repeated WITHIN one doc is content, both copies stay
+    assert(out(23L) === ((2L, 0L, s"$bw $bw")))
+    // contrast: passage_dedup on the same corpus KEEPS one canonical bb
+    // and collapses the within-doc repeat to its first copy
+    val dd = Pipeline.queries("pl_passage_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(dd(20L) === ((2L, 0L, s"$bb ${block("f")}")))
+    assert(dd(21L) === ((1L, 1L, block("g"))))
+    assert(dd(23L) === ((1L, 1L, bw)))
+  }
+
+  test("passage_dedup: untouched corpus docs reassemble verbatim") {
+    val out = Pipeline.queries("pl_passage_dedup")(spark, sfDir)
+    val orig = graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "array_join(filter(split(text, ' '), t -> t <> ''), ' ') AS norm")
+    val joined = out.join(orig, "doc_id").cache()
+    val untouched = joined.where(col("dropped") === 0)
+    assert(untouched.count() > 0)
+    assert(untouched.where(col("clean_text") =!= col("norm")).count() === 0,
+      "dropped=0 docs must reassemble to the token-normalized original")
+    // touched docs shrink: clean_text is a strict prefix-free reduction
+    assert(joined.where(col("dropped") > 0 &&
+      length(col("clean_text")) >= length(col("norm"))).count() === 0)
+    joined.unpersist()
+  }
 }

@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Dev tool: pin of an adjudicated DuckDB 1.0.0 wrong-result optimizer
+bug the round-13 fuzz grammar revision caught (the third engine-bug
+adjudication after round 12's DuckDB HUGEINT widening and Spark 4.1.2's
+RemoveRedundantAliases crash).
+
+Shape: a Filter over a UNION ALL of grouped aggregates, where the
+predicate pairs an equality with a NEGATED inequality over the same
+column pair —
+
+    WITH g AS (SELECT k, MIN(k) m FROM t GROUP BY k)
+    SELECT * FROM ((SELECT * FROM g) UNION ALL (SELECT * FROM g WHERE ...)) u
+    WHERE m = k AND NOT (m >= k)
+
+The predicate is unsatisfiable (= TRUE implies >= TRUE), yet DuckDB
+1.0.0's optimizer returns every m = k row: the NOT(...) conjunct is
+dropped (equality propagation + negation pushdown interact badly across
+the union boundary). `PRAGMA disable_optimizer` returns the correct
+empty set, and both Spark and the in-repo reference interpreter agree
+with the empty set — adjudication: oracle-engine bug, not a renderer or
+engine-under-test defect. Surfaced by fuzz seed 27 of the third
+round-13 grammar revision (shape U(U(A,F(A)),F(U(A,F(A)))) on region).
+
+Run: python3 tools/duckdb_bugpin.py
+Prints BUG-PRESENT while the installed DuckDB is affected. When a
+DuckDB upgrade fixes it, this prints BUG-FIXED — then remove this pin
+and re-admit such seeds to the declared set.
+"""
+import duckdb
+
+con = duckdb.connect()
+con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (0),(1),(2),(3),(4)) v(k)")
+sql = """
+WITH g AS (SELECT k, MIN(k) m FROM t GROUP BY k)
+SELECT * FROM ((SELECT * FROM g) UNION ALL (SELECT * FROM g WHERE k > 0)) u
+WHERE m = k AND NOT (m >= k)
+"""
+rows = con.execute(sql).fetchall()
+con.execute("PRAGMA disable_optimizer")
+rows_noopt = con.execute(sql).fetchall()
+print(f"duckdb {duckdb.__version__}: optimized={len(rows)} rows, "
+      f"unoptimized={len(rows_noopt)} rows (correct answer: 0)")
+assert rows_noopt == [], "disable_optimizer no longer returns the correct empty set?!"
+print("BUG-PRESENT" if rows else "BUG-FIXED — remove this pin")
