@@ -11,44 +11,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A seed names the same plan for as long as the GRAMMAR is unchanged
   * (java.util.Random's LCG is spec-pinned); extending the grammar
   * re-maps every seed, so declared seeds are re-chosen and re-verified
-  * whenever the grammar grows. Round 13 grew it twice: first into the
+  * whenever the grammar grows. Round 13 grew it three times: into the
   * DECIMAL(15,2) / guarded-division / cents-AVG / rank-window trap
-  * zones, then into ROLLUP + CUBE grouping-set lattices with
+  * zones; then into ROLLUP + CUBE grouping-set lattices with
   * GROUPING() flags, uncorrelated scalar subqueries, literal HAVING
-  * rendering, and LAG/LEAD/NTILE — see the [[Fuzz]] scaladoc.
-  * Current seeds, re-verified against the 1500-seed DuckDB sweep
-  * (1498/1498 dumped seeds pass; the other 2 — seeds 648 and 1153,
-  * both ROLLUP-over-UNION-of-projections shapes off a parquet scan —
-  * crash SPARK'S OWN optimizer with PLAN_VALIDATION_FAILED in
-  * RemoveRedundantAliases on both the DataFrame and `spark.sql`
-  * paths: an adjudicated Spark 4.1.2 bug, minimal repro + the
-  * rule-exclusion semantics check pinned in `FuzzQuerySpec`), chosen
-  * so each exercises a revision feature:
+  * rendering, and LAG/LEAD/NTILE; then into null-aware `[NOT] IN
+  * (SELECT …)` membership subqueries — see the [[Fuzz]] scaladoc.
+  * Current seeds, re-verified against the 1500-seed DuckDB sweep of
+  * the THIRD revision's map (1498/1499 dumped seeds pass; seed 577 is
+  * the adjudicated Spark 4.1.2 RemoveRedundantAliases optimizer crash,
+  * pinned as an explicit Plan AST in `FuzzQuerySpec`; seed 27 is an
+  * adjudicated DUCKDB 1.0.0 wrong-result optimizer bug — a
+  * `x = y AND NOT (x >= y)` filter over a UNION ALL of aggregates
+  * returns the x = y rows, i.e. the negated conjunct is dropped;
+  * `PRAGMA disable_optimizer` agrees with Spark AND the reference
+  * interpreter, minimal repro pinned in `tools/duckdb_bugpin.py`),
+  * chosen so each exercises a revision feature WITH non-trivial
+  * output (the previous pick left 4/6 seeds at zero rows — legitimate
+  * agreements, but a 0=0 hash-match gates less than a populated one):
   *
-  *   - 21:  ROLLUP over a UNION ALL of CUBEs on supplier — both
-  *          grouping-set lattices stacked, the WORKING neighbor of
-  *          the adjudicated optimizer-crash shape;
-  *   - 27:  LEAD over a self-union of region projections, then
-  *          DISTINCT — offset-function predecessor ties under
-  *          duplicate peers;
-  *   - 66:  2-key CUBE over filtered region with both GROUPING()
-  *          flags — rolled-up NULL vs real NULL disambiguation;
-  *   - 93:  NESTED scalar subqueries (one comparison per nesting
-  *          level, each against a 1-row global aggregate) over a
-  *          dense_rank window on a LEFT join — the NULL-scalar
-  *          UNKNOWN-comparison corner (0 rows on both engines, by
-  *          agreement not by accident);
-  *   - 116: NTILE(3) partitioned by o_custkey over a self-union of
-  *          orders projections — the first-(n mod k)-buckets-get-the-
-  *          extra-row rule at 20k-row scale;
-  *   - 263: Filter directly over a grouped Agg — rendered as a
-  *          LITERAL `HAVING` clause (aggregate aliases inlined as
-  *          their aggregate expressions) through BOTH SQL frontends.
+  *   - 2:   1-key CUBE with 3 aggregates over doubly-filtered
+  *          lineitem — the grouping-set lattice at fact scale
+  *          (1150 rows at sf0.001);
+  *   - 70:  NOT IN over a LEFT join of lineitem with filtered orders,
+  *          probed against a filtered supplier subquery — the
+  *          null-aware anti join at fact scale, output ~5k rows;
+  *   - 114: scalar-subquery `<>` filter (1-row global aggregate of
+  *          lineitem) over a SEMI join — correlated-EXISTS machinery
+  *          under an UNKNOWN-propagating comparison, ~5k rows;
+  *   - 220: NOT IN whose outer key is a GROUPING() FLAG of a ROLLUP
+  *          over filtered region — rolled-up lattice markers probed
+  *          through null-aware membership (3 rows, every lattice
+  *          level represented);
+  *   - 247: LAG over an aggregate column of a 2-key CUBE on distinct
+  *          filtered lineitem — offset-function predecessor ties over
+  *          grouping-set output, 304 rows;
+  *   - 327: positive IN whose key is an NTILE(2) bucket over orders —
+  *          the first-(n mod k)-buckets rule feeding a membership
+  *          semi-join, 1500 rows;
+  *   - 336: Filter directly over a grouped Agg inside an EXCEPT ALL —
+  *          rendered as a LITERAL `HAVING` clause (aggregate aliases
+  *          inlined as aggregate expressions) through BOTH SQL
+  *          frontends, composed with multiset set-op semantics,
+  *          150 rows.
   */
 object FuzzQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val seeds = Seq(21L, 27L, 66L, 93L, 116L, 263L)
+  private val seeds = Seq(2L, 70L, 114L, 220L, 247L, 327L, 336L)
 
   private def name(seed: Long): String = s"fz_seed$seed"
 
