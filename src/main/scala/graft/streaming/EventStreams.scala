@@ -366,6 +366,31 @@ object EventStreams {
         col("v_ts"), col("p_ts"))
   }
 
+  /** LEFT SEMI stream-stream interval join — the remaining member of
+    * Spark's supported stream-stream join matrix (inner, left/full
+    * outer, left semi): a view emits AT MOST ONCE, iff at least one
+    * qualifying purchase lands within the following hour. Distinct
+    * semantics no other gate in the family can see: a view with three
+    * matching purchases emits three pairs under the inner join but ONE
+    * row here, and the once-only contract spans micro-batches — the
+    * matched flag must persist in the left state store so a second
+    * purchase arriving in a LATER batch cannot re-emit the view
+    * (duplicate emission is row-count-visible against the EXISTS
+    * oracle). Bounded state exactly as the inner form. */
+  def viewPurchaseSemi(views: DataFrame, purchases: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", lateness)
+    v.join(p, expr(
+      """v_user = p_user AND
+         p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"""), "left_semi")
+      .select(col("view_id"), col("v_user").as("user_id"), col("v_ts"))
+  }
+
   /** Idempotent micro-batch sink via foreachBatch: each batch lands in
     * its own `_batch_id=` partition with dynamic partition overwrite, so
     * REPLAYING a batch (failure between sink write and checkpoint

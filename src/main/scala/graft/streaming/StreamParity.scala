@@ -960,6 +960,24 @@ object StreamParity {
     out
   }
 
+  /** STREAM-STREAM LEFT SEMI interval join
+    * ([[EventStreams.viewPurchaseSemi]]): each view with ≥1 qualifying
+    * purchase emits exactly once. The oracle is the EXISTS form, so a
+    * semi path that re-emits a view on its second match (the
+    * cross-batch matched-flag bug) fails on row count, and one that
+    * emits unmatched views fails on membership. Same dual-sentinel
+    * feed and guard as the outer gates. */
+  val intervalJoinSemiParity: Q = (s, d) => {
+    val ev = streamEventsWithJoinSentinels(s, d)
+    runToTable(
+      EventStreams.viewPurchaseSemi(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_interval_join_semi")
+      .where(col("user_id") >= 0)
+      .select("view_id", "user_id")
+  }
+
   /** events + late plants for the SESSION-WINDOW path, four ordered
     * files: the whole corpus, a watermark-aging replay of the last
     * hour bucket (the [[streamEventsWithLatePlant]] one-batch-lag
@@ -1218,6 +1236,7 @@ object StreamParity {
     "st_interval_join_late" -> intervalJoinLateParity,
     "st_interval_join_left" -> intervalJoinLeftParity,
     "st_interval_join_full" -> intervalJoinFullParity,
+    "st_interval_join_semi" -> intervalJoinSemiParity,
     "st_exact_dedup" -> exactDedupParity,
     "st_exact_dedup_mb" -> exactDedupMultiBatchParity,
     "st_exact_dedup_parquet" -> exactDedupParquetParity,
@@ -1503,6 +1522,15 @@ object StreamParity {
          FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
            ON v.user_id = p.user_id
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    // the semi form: one row per view with at least one qualifying
+    // purchase — re-emission on a second match breaks the row count
+    "st_interval_join_semi" ->
+      """SELECT v.event_id AS view_id, v.user_id AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         WHERE EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)""",
     // the epoch-sliced run answers the SAME question — cross-batch
     // join state (a view held for a later batch's purchase) must not
     // change the matched pair set
