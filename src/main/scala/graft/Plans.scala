@@ -69,9 +69,10 @@ object Plans {
     "mm_codec_roundtrip",   // real encode→decode→hash, narrow zero-shuffle pass
     "q01_pricing_summary_orc", // same Q1 plan shape off an ORC scan (pushdown)
     "mm_frame_dupes_real",  // real multi-frame decode → hash → capped pair join
-    "fz_seed21",            // fuzz grammar: ROLLUP over a union of CUBEs
+    "fz_seed70",            // fuzz grammar: null-aware NOT IN at fact scale
     "st_ewma_ttl",          // bounded-state fold: EventTimeTimeout eviction
     "pl_zorder",            // bit-normalized Morton tiles: 1-row bounds broadcast
+    "pl_passage_dedup",     // passage census + fp rejoin + ordered reassembly
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,
