@@ -96,7 +96,7 @@ object ResultCache {
     * holder's LIVE lock, re-opening the two-concurrent-writers window
     * the atomic steal exists to close. [[releaseIfOwned]] deletes only
     * while the file still carries the releaser's own token. */
-  private def tryAcquire(lock: java.nio.file.Path, token: String): Boolean =
+  private[graft] def tryAcquire(lock: java.nio.file.Path, token: String): Boolean =
     try {
       Files.write(lock, token.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -133,7 +133,7 @@ object ResultCache {
     * off. (The read-then-delete window is microseconds against a steal
     * precondition of [[StaleLockMs]] of silence, so the residual race
     * requires a second full staleness period inside it.) */
-  private def releaseIfOwned(lock: java.nio.file.Path, token: String): Unit =
+  private[graft] def releaseIfOwned(lock: java.nio.file.Path, token: String): Unit =
     try {
       if (new String(Files.readAllBytes(lock), "UTF-8") == token)
         Files.deleteIfExists(lock)

@@ -260,4 +260,29 @@ class ResultCacheSpec extends SparkSpec {
     assert(back.count() == 25)
     assert(back.where(col("_valid") === true).count() == 13)
   }
+
+  test("release is ownership-checked: a resumed holder whose lock was stolen backs off") {
+    // r12 advice (low): a holder paused past StaleLockMs (STW pause —
+    // the heartbeat thread pauses with it) gets its lock stolen; on
+    // resume its finally-release must NOT delete the thief's LIVE
+    // lock, or a third process could acquire and overwrite-write
+    // concurrently with the thief. The per-acquisition token makes
+    // release a compare-and-delete.
+    val lock = java.nio.file.Files
+      .createTempDirectory("graft-rc-token").resolve("entry.lock")
+    assert(ResultCache.tryAcquire(lock, "tokenA"), "first acquire")
+    // the steal, condensed: the thief's ATOMIC_MOVE removes A's stale
+    // lock and re-creates it carrying the thief's own token
+    java.nio.file.Files.delete(lock)
+    assert(ResultCache.tryAcquire(lock, "tokenB"), "thief acquire")
+    // A resumes and releases — B's live lock must survive, verbatim
+    ResultCache.releaseIfOwned(lock, "tokenA")
+    assert(java.nio.file.Files.exists(lock),
+      "resumed holder deleted the thief's live lock")
+    assert(new String(java.nio.file.Files.readAllBytes(lock),
+      "UTF-8") == "tokenB")
+    // the rightful holder's release still works
+    ResultCache.releaseIfOwned(lock, "tokenB")
+    assert(!java.nio.file.Files.exists(lock))
+  }
 }
