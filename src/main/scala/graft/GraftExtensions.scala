@@ -65,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // size(array_intersect(a, b)) → intersection_size(a, b): the Jaccard
     // verification kernel, allocation-free.
     ext.injectOptimizerRule(_ => RewriteIntersectionSize)
+    // whole-operator extension tier: the native merge AS-OF join
+    // (graft.plans.AsOfJoinPlan → AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -73,6 +73,7 @@ object Plans {
     "st_ewma_ttl",          // bounded-state fold: EventTimeTimeout eviction
     "pl_zorder",            // bit-normalized Morton tiles: 1-row bounds broadcast
     "pl_passage_dedup",     // passage census + fp rejoin + ordered reassembly
+    "adv_asof_join_native", // custom AsOfJoinExec: 2 exchanges + 2 sorts, zip merge
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,

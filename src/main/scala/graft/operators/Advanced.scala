@@ -39,6 +39,30 @@ object Advanced {
         col("last_view.vid").as("view_id"), col("last_view.vts").as("view_ts"))
   }
 
+  /** The SAME as-of question through the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinExec]]: custom logical node + planner
+    * strategy + merge exec registered via `SparkSessionExtensions`) —
+    * the extension tier below composed built-ins, kept under the same
+    * DuckDB `ASOF LEFT JOIN` oracle as [[asofViewPurchase]] so both
+    * formulations are hash-pinned to one semantics. Tiebreak by
+    * view event_id replays the window form's (ts, tag, event_id)
+    * ordering exactly. Two hash exchanges + two sorts (the sort-merge
+    * shape) instead of union + window buffer. */
+  private val asofViewPurchaseNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    graft.plans.AsOf.join(purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTime = "ts", rightTime = "view_ts",
+        rightTiebreak = Seq("view_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** RANGE JOIN via bucketization: pairs of events from one user within
     * 5 minutes. Naive |Δt| ≤ g self-join is O(n²) per user; bucketizing
     * ts into g-width buckets and joining each event to its own + next
@@ -277,6 +301,7 @@ object Advanced {
     "adv_freq_items" -> frequentItems,
     "adv_percentiles" -> percentiles,
     "adv_asof_join" -> asofViewPurchase,
+    "adv_asof_join_native" -> asofViewPurchaseNative,
     "adv_range_join" -> eventPairsWithin5m,
     "adv_grouping_sets" -> groupingSets,
     "adv_approx_distinct" -> approxDistinct,
@@ -286,6 +311,14 @@ object Advanced {
 
   val oracle: Map[String, String] = Map(
     "adv_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           v.event_id AS view_id, v.ts AS view_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    // the native merge exec answers the SAME question under the SAME
+    // oracle — two formulations, one hash-pinned semantics
+    "adv_asof_join_native" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
            v.event_id AS view_id, v.ts AS view_ts
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

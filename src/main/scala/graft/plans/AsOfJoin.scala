@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Native AS-OF JOIN — the one operator in this engine built as a
+  * whole custom operator (logical node + planner strategy + physical
+  * exec, registered through `SparkSessionExtensions`), the extension
+  * tier below composed built-ins and custom expressions. The composed
+  * form ([[graft.operators.Advanced]] `adv_asof_join`: union both
+  * sides, tag, `last(..., ignoreNulls)` over a row frame, filter the
+  * probe tag) is correct and one-shuffle, but it materializes the
+  * union (every probe row carries the build row's struct through the
+  * window buffer) and pays the window machinery for what is really a
+  * single forward merge. This exec IS that merge: both sides
+  * hash-clustered on the key and sorted by (key, time), one linear
+  * zip per partition, O(1) state — the classic sorted as-of
+  * (kdb/QuestDB/Pandas `merge_asof` semantics: for each left row, the
+  * LATEST right row with the same key and `right.time <= left.time`).
+  *
+  * Semantics pinned:
+  *   - LEFT OUTER: every left row emits exactly once; no qualifying
+  *     right row → right columns NULL.
+  *   - NULL left key or NULL left time: matches nothing (ANSI
+  *     comparison), emits with NULLs. NULL right keys/times are
+  *     skipped (never candidates). NULLS FIRST ordering makes both
+  *     cheap: null rows drain before real ones.
+  *   - Ties (equal key+time on the right): the LAST row in the
+  *     right-side sort order wins, so callers pass `rightTiebreak`
+  *     columns to make that order total — the declared query breaks
+  *     by event_id, matching the window composition bit-for-bit.
+  *
+  * 100 TB shape: exactly the two hash exchanges + two sorts a
+  * sort-merge join would pay (EnsureRequirements plans them from the
+  * declared [[AsOfJoinExec.requiredChildDistribution]]); no union
+  * fan-in, no window buffer, no struct carry. Keys cluster by the
+  * join key so partition counts scale with the data; per-partition
+  * state is ONE buffered right row. */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-cluster both sides on the key — EnsureRequirements inserts the
+  // hash exchanges (or reuses compatible child partitioning, e.g. a
+  // bucketed scan) exactly as it would for a sort-merge join
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey), false, None) ::
+    ClusteredDistribution(Seq(rightKey), false, None) :: Nil
+
+  // the merge needs (key, time) order; the right side's total order is
+  // the tie RULE (last-in-order wins), so the caller's tiebreak columns
+  // ride in the required ordering and the sort pays for determinism
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+        rightTiebreak.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  private def ordinalOf(e: Expression, side: Seq[Attribute]): Int = {
+    val a = e.asInstanceOf[Attribute]
+    val i = side.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"as-of expression $e not found in ${side.mkString(",")}")
+    i
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    Seq(leftKey, rightKey).foreach(e => require(e.dataType == LongType,
+      s"as-of key must be LongType, got ${e.dataType}"))
+    Seq(leftTime, rightTime).foreach(e => require(
+      e.dataType == TimestampType || e.dataType == LongType,
+      s"as-of time must be Timestamp/Long, got ${e.dataType}"))
+    val lk = ordinalOf(leftKey, left.output)
+    val lt = ordinalOf(leftTime, left.output)
+    val rk = ordinalOf(rightKey, right.output)
+    val rt = ordinalOf(rightTime, right.output)
+    val leftSchema = left.output
+    // the projection must BIND the right side as nullable — the
+    // null-fill row feeds these ordinals, and a non-nullable bound
+    // reference would elide the null check and read garbage zeros
+    val rightSchema = right.output.map(_.withNullability(true))
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val proj = UnsafeProjection.create(allOut, leftSchema ++ rightSchema)
+      val joiner = new JoinedRow
+      val rightNulls = new GenericInternalRow(rightSchema.size)
+      // one-row merge state: the latest CONSUMED qualifying right row
+      var lastMatch: InternalRow = null
+      var lastMatchKey = 0L
+      // the peeked-but-unconsumed right row (safe to hold un-copied:
+      // child iterators only reuse the row object on the NEXT next())
+      var pending: InternalRow = null
+      def peek(): InternalRow = {
+        if (pending == null && rIt.hasNext) pending = rIt.next()
+        pending
+      }
+      lIt.map { l =>
+        val matched =
+          if (l.isNullAt(lk) || l.isNullAt(lt)) null // UNKNOWN: no match
+          else {
+            val k = l.getLong(lk); val t = l.getLong(lt)
+            var r = peek()
+            var continue = r != null
+            while (continue) {
+              // null right key/time sorts first (NULLS FIRST) and never
+              // qualifies — consume and discard
+              if (r.isNullAt(rk)) { pending = null }
+              else {
+                val rkV = r.getLong(rk)
+                if (rkV < k) pending = null // behind: discard
+                else if (rkV == k && !r.isNullAt(rt) && r.getLong(rt) <= t) {
+                  // qualifying: consume; last consumed in order wins ties
+                  lastMatch = r.copy(); lastMatchKey = rkV; pending = null
+                } else if (rkV == k && r.isNullAt(rt)) pending = null
+                else continue = false // right is ahead of this left row
+              }
+              if (continue) { r = peek(); continue = r != null }
+            }
+            if (lastMatch != null && lastMatchKey == k) lastMatch else null
+          }
+        proj(joiner(l, if (matched == null) rightNulls else matched))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: [[AsOfJoinPlan]] → [[AsOfJoinExec]]. Registered in
+  * [[graft.GraftExtensions]] via `injectPlannerStrategy`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lkey, rkey, ltime, rtime, tb) =>
+      AsOfJoinExec(lkey, rkey, ltime, rtime, tb,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API: `AsOf.join(probe, build, ...)` — column names resolved
+  * against each side, right side re-aliased to fresh attribute ids so
+  * self-as-of (both sides carved from one DataFrame, the common case)
+  * never collides. */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // fresh exprIds on the build side (Alias allocates new ids), so a
+    // self-join's duplicate attribute ids can't reach the analyzer
+    val r = right.select(right.columns.toIndexedSeq.map(c =>
+      col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        sys.error(s"as-of column $name not in ${p.output.map(_.name)}"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      rightTiebreak.map(attr(rPlan, _)))
+    org.apache.spark.sql.GraftDatasetBridge.ofRows(left.sparkSession, plan)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The native whole-operator as-of join ([[AsOfJoinExec]]): semantics
+  * pinned against the window composition and hand-traced fixtures,
+  * plan shape pinned against the sort-merge contract. */
+class AsOfJoinPlanSpec extends SparkSpec {
+
+  private def nativeAsOf = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    AsOf.join(purchases, views, "user_id", "v_user", "ts", "view_ts",
+      Seq("view_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("view_id"), col("view_ts"))
+  }
+
+  test("native as-of equals the window composition row-for-row on the corpus") {
+    val native = nativeAsOf
+    val composed = graft.operators.Advanced.queries("adv_asof_join")(spark, sfDir)
+    assert(native.count() > 0)
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
+  test("plan shape: AsOfJoinExec with the sort-merge contract — 2 exchanges, 2 sorts, no window, no union") {
+    val df = nativeAsOf
+    df.collect() // materialize so AQE finalizes
+    // AQE's toString prints Final AND Initial plans — assert on the final
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges\n$plan")
+    val sorts = raw"\bSort \[".r.findAllIn(plan).size
+    assert(sorts == 2, s"expected 2 sorts, got $sorts\n$plan")
+    assert(!plan.contains("Window"), "native path must not plan a window")
+    assert(!plan.contains("Union"), "native path must not plan a union")
+  }
+
+  test("fixtures: latest-at-or-before match, tie goes to max tiebreak, null keys/times never match, empty build side") {
+    import spark.implicits._
+    def probe(rows: (java.lang.Long, java.lang.Long, Long)*) =
+      rows.toDF("k", "t", "pid")
+        .select(col("k"), timestamp_micros(col("t")).as("t"), col("pid"))
+    def build(rows: (java.lang.Long, java.lang.Long, Long)*) =
+      rows.toDF("bk", "bt", "vid")
+        .select(col("bk"), timestamp_micros(col("bt")).as("bt"), col("vid"))
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      AsOf.join(l, r, "k", "bk", "t", "bt", Seq("vid"))
+        .select("pid", "vid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+    // key 1: views at t=10 (vid 100), t=20 (vid 200, 201 — tie), t=40
+    val b = build((1L, 10L, 100L), (1L, 20L, 201L), (1L, 20L, 200L),
+      (1L, 40L, 400L), (2L, 5L, 500L),
+      (null, 1L, 900L), (3L, null, 901L)) // null key/time: never match
+    val l = probe((1L, 20L, 1L), (1L, 39L, 2L), (1L, 45L, 3L),
+      (1L, 5L, 4L), (2L, 5L, 5L), (3L, 50L, 6L),
+      (null, 50L, 7L), (9L, null, 8L))
+    val got = run(l, b)
+    assert(got(1L) == 201L, "equal-ts tie must take the max tiebreak id")
+    assert(got(2L) == 201L, "t=39 still sees the t=20 winner")
+    assert(got(3L) == 400L)
+    assert(got(4L) == -1L, "no view at or before t=5")
+    assert(got(5L) == 500L, "equal ts qualifies (>= bound)")
+    assert(got(6L) == -1L, "a null-time build row never matches")
+    assert(got(7L) == -1L, "null probe key matches nothing")
+    assert(got(8L) == -1L, "null probe time matches nothing")
+    // empty build side: every probe row emits with a NULL match
+    val empty = run(l, b.where(col("vid") < 0))
+    assert(empty.values.forall(_ == -1L) && empty.size == l.count())
+  }
+}
