@@ -77,4 +77,37 @@ class AsOfJoinPlanSpec extends SparkSpec {
     val empty = run(l, b.where(col("vid") < 0))
     assert(empty.values.forall(_ == -1L) && empty.size == l.count())
   }
+
+  test("bucketed inputs satisfy the exec's distribution: ZERO exchanges — the 100 TB win the window form cannot have") {
+    // The isolated A/B at sf0.1 prices the native exec ~0.2 s behind
+    // the union+window composition (two exchanges vs one, interpreted
+    // merge vs codegen'd window) — the native form's case is at SCALE:
+    // its ClusteredDistribution is satisfiable by storage layout, so
+    // over bucketed(+sorted) tables the as-of join plans NO exchange at
+    // all, while the composition must shuffle the union no matter how
+    // the inputs are laid out.
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    graft.sources.Sinks.bucketedTable(
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      "asof_purchases_b", "user_id", 8)
+    graft.sources.Sinks.bucketedTable(
+      ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("event_id").as("view_id")),
+      "asof_views_b", "v_user", 8)
+    val df = AsOf.join(
+      spark.table("asof_purchases_b"), spark.table("asof_views_b"),
+      "user_id", "v_user", "ts", "view_ts", Seq("view_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of join still shuffles:\n$plan")
+    // and it still answers exactly like the shuffled form
+    val viaShuffle = nativeAsOf.select("purchase_id", "view_id")
+    val viaBuckets = df.select(col("event_id").as("purchase_id"), col("view_id"))
+    assert(viaBuckets.exceptAll(viaShuffle).count() === 0)
+    assert(viaShuffle.exceptAll(viaBuckets).count() === 0)
+  }
 }
