@@ -106,6 +106,19 @@ import org.apache.spark.sql.{functions => F}
   *     `spark.sql` takes Spark's dedicated null-aware anti-join path
   *     — two physical strategies under one differential, again.
   *
+  * A fourth round-13 revision adds two boundary-rule zones:
+  *
+  *   - `LIMIT n OFFSET m` ([[Fuzz.SortLimit]] grows an offset) — ANSI
+  *     applies OFFSET before LIMIT whatever the clause order, and an
+  *     offset past the input is an empty result, not an error (the
+  *     generator includes offset 100000 to force that corner);
+  *   - RANGE-frame running SUM ([[Fuzz.RunSumRangeL]]) — the ANSI
+  *     default frame, whose CURRENT ROW bound includes every PEER of
+  *     the current row: on duplicate rows each peer carries the whole
+  *     group's sum where the ROWS twin gives each a distinct prefix —
+  *     the classic frame-semantics divergence, now differentially
+  *     fuzzed against its ROWS sibling in one grammar.
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -413,10 +426,15 @@ object Fuzz {
   final case class Distinct(child: Plan) extends Plan {
     def schema: Seq[Field] = child.schema
   }
-  /** ORDER BY every column (NULLS FIRST) then LIMIT — deterministic as
-    * a multiset: distinct rows are totally ordered, equal rows are
-    * interchangeable. */
-  final case class SortLimit(child: Plan, n: Int) extends Plan {
+  /** ORDER BY every column (NULLS FIRST) then LIMIT n OFFSET m —
+    * deterministic as a multiset: distinct rows are totally ordered,
+    * equal rows are interchangeable (a window of duplicates straddling
+    * the offset or limit boundary swaps interchangeable rows only).
+    * OFFSET (round 13, fourth revision) pins the skip-then-take order
+    * of operations: ANSI applies OFFSET before LIMIT regardless of
+    * clause spelling, and an offset past the input is an empty result,
+    * not an error. */
+  final case class SortLimit(child: Plan, n: Int, offset: Int) extends Plan {
     def schema: Seq[Field] = child.schema
   }
   final case class UnionAll(l: Plan, r: Plan) extends Plan {
@@ -442,6 +460,15 @@ object Fuzz {
   /** Running SUM of a LongT column over ROWS UNBOUNDED PRECEDING →
     * CURRENT ROW. */
   final case class RunSumL(c: Col) extends WinFn
+  /** Running SUM over RANGE UNBOUNDED PRECEDING → CURRENT ROW (round
+    * 13, fourth revision) — the ANSI DEFAULT frame when ORDER BY is
+    * present, and the one place the ROWS twin above diverges: RANGE's
+    * CURRENT ROW bound includes every PEER of the current row, so on
+    * duplicate rows each peer gets the whole group's sum where ROWS
+    * gives each a different prefix. Fully-duplicate peers all carry
+    * the same value, so the output multiset stays deterministic
+    * WITHOUT the interchangeability argument ROWS needs. */
+  final case class RunSumRangeL(c: Col) extends WinFn
   /** LAG(col, 1) — NULL on each partition's first row (no default).
     * Deterministic as a multiset: the order is total up to
     * fully-duplicate rows, and a duplicate peer's predecessor is
@@ -635,9 +662,11 @@ object Fuzz {
       }
       ld.join(rd, ld(lk.name) === rd(rk.name), st)
     case Distinct(c) => toDF(c, spark, sfDir).distinct()
-    case SortLimit(c, n) =>
+    case SortLimit(c, n, off) =>
       val df = toDF(c, spark, sfDir)
-      df.orderBy(df.columns.map(cn => F.col(cn).asc_nulls_first): _*).limit(n)
+      val sorted =
+        df.orderBy(df.columns.map(cn => F.col(cn).asc_nulls_first): _*)
+      (if (off > 0) sorted.offset(off) else sorted).limit(n)
     case UnionAll(l, r) =>
       toDF(l, spark, sfDir).unionAll(toDF(r, spark, sfDir))
     case SetOp(l, r, op) =>
@@ -659,6 +688,8 @@ object Fuzz {
         case DenseRankW => F.dense_rank().over(w).cast("bigint")
         case RunSumL(x) => F.sum(F.col(x.name)).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case RunSumRangeL(x) => F.sum(F.col(x.name)).over(
+          w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
         case LagL(x)    => F.lag(F.col(x.name), 1).over(w)
         case LeadL(x)   => F.lead(F.col(x.name), 1).over(w)
         case NtileW(n)  => F.ntile(n).over(w).cast("bigint")
@@ -853,12 +884,13 @@ object Fuzz {
           s"(${toSql(r)}) jr_ WHERE jl_.${lk.name} = jr_.${rk.name})"
     }
     case Distinct(c) => s"SELECT DISTINCT * FROM (${toSql(c)}) d_"
-    case SortLimit(c, n) =>
+    case SortLimit(c, n, off) =>
       // Spark's ASC default is NULLS FIRST; DuckDB's is NULLS LAST —
       // the SQL must say it explicitly or the LIMIT keeps different rows
       val cols = p.schema.map(f => s"${f.name} ASC NULLS FIRST")
         .mkString(", ")
-      s"SELECT * FROM (${toSql(c)}) s_ ORDER BY $cols LIMIT $n"
+      val offSql = if (off > 0) s" OFFSET $off" else ""
+      s"SELECT * FROM (${toSql(c)}) s_ ORDER BY $cols LIMIT $n$offSql"
     case UnionAll(l, r) => s"(${toSql(l)}) UNION ALL (${toSql(r)})"
     case SetOp(l, r, op) =>
       val kw = op match {
@@ -883,6 +915,8 @@ object Fuzz {
         case DenseRankW => s"CAST(DENSE_RANK() $over) AS BIGINT)"
         case RunSumL(x) => s"CAST(SUM(${x.name}) $over" +
           s" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        case RunSumRangeL(x) => s"CAST(SUM(${x.name}) $over" +
+          s" RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
         case LagL(x)    => s"LAG(${x.name}, 1) $over)"
         case LeadL(x)   => s"LEAD(${x.name}, 1) $over)"
         case NtileW(n)  => s"CAST(NTILE($n) $over) AS BIGINT)"
@@ -1186,12 +1220,12 @@ object Fuzz {
           !lr(lk.name).exists(k => index.contains(k)))
       }
     case Distinct(c) => eval(c, tables).distinct // NULLs collapse (SQL DISTINCT)
-    case SortLimit(c, n) =>
+    case SortLimit(c, n, off) =>
       val fields = p.schema.map(_.name)
       eval(c, tables).sortWith { (a, b) =>
         val it = fields.iterator.map(f => cmpOpt(a(f), b(f))).dropWhile(_ == 0)
         if (it.hasNext) it.next() < 0 else false
-      }.take(n)
+      }.drop(off).take(n) // ANSI: OFFSET applies before LIMIT
     case UnionAll(l, r) => eval(l, tables) ++ eval(r, tables)
     case SetOp(l, r, op) =>
       // Row is Map[name, Option[value]], so == already treats NULL as
@@ -1262,6 +1296,25 @@ object Fuzz {
               r + (alias ->
                 ((if (seen) Some(sum) else None): Option[Any]))
             }
+          case RunSumRangeL(x) =>
+            // RANGE CURRENT ROW includes every PEER: the frame ends at
+            // the current row's last duplicate, so a whole peer group
+            // carries one value (and the NULL-skip rule still applies)
+            var sum = 0L; var seen = false
+            var i = 0
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (i < sorted.size) {
+              var j = i
+              while (j < sorted.size && peers(sorted(j), sorted(i))) {
+                sorted(j)(x.name).foreach { v =>
+                  sum += v.asInstanceOf[Long]; seen = true }
+                j += 1
+              }
+              val v: Option[Any] = if (seen) Some(sum) else None
+              (i until j).foreach(k => out += (sorted(k) + (alias -> v)))
+              i = j
+            }
+            out.toSeq
           case LagL(x) =>
             sorted.zipWithIndex.map { case (r, i) =>
               r + (alias ->
@@ -1519,7 +1572,10 @@ object Fuzz {
           val aggs = genAggList(rnd, schema, depth)
           if (keys.isEmpty && aggs.isEmpty) base else Agg(base, keys, aggs)
         case 3 => Distinct(base)
-        case 4 => SortLimit(base, pick(rnd, Seq(1, 5, 17, 200)))
+        case 4 => SortLimit(base, pick(rnd, Seq(1, 5, 17, 200)),
+          // offset 0 two slots in three (plain LIMIT stays common);
+          // 100000 hits the offset-past-input empty-result corner
+          pick(rnd, Seq(0, 0, 3, 20, 100000)))
         case 5 => UnionAll(base, Filter(base, genPred(rnd, schema)))
         case 6 =>
           // base ∖ σ(base) keeps the rows where the predicate is FALSE
@@ -1542,13 +1598,14 @@ object Fuzz {
             val pb = pick(rnd, parts)
             val longs = schema.filter(_.tpe == LongT)
             def lcol() = Col(pick(rnd, longs).name, LongT)
-            val fn: WinFn = rnd.nextInt(7) match {
+            val fn: WinFn = rnd.nextInt(8) match {
               case 0 => RowNum
               case 1 => RankW
               case 2 => DenseRankW
               case 3 => LagL(lcol())
               case 4 => LeadL(lcol())
               case 5 => NtileW(pick(rnd, Seq(2, 3, 5)))
+              case 6 => RunSumRangeL(lcol())
               case _ => RunSumL(lcol())
             }
             WindowOp(base, Col(pb.name, LongT), fn, s"w$depth")
@@ -1641,7 +1698,7 @@ object Fuzz {
     case Agg(c, _, _)       => Seq(c)
     case Join(l, r, _, _, _) => Seq(l, r)
     case Distinct(c)        => Seq(c)
-    case SortLimit(c, _)    => Seq(c)
+    case SortLimit(c, _, _) => Seq(c)
     case UnionAll(l, r)     => Seq(l, r)
     case SetOp(l, r, _)     => Seq(l, r)
     case WindowOp(c, _, _, _) => Seq(c)

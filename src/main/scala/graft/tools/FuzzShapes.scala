@@ -12,7 +12,8 @@ object FuzzShapes {
         case Agg(c, k, a) => s"A${k.size}k${a.size}a(${sig(c)})"
         case Join(l, r, jt, _, _) => s"J-$jt(${sig(l)},${sig(r)})"
         case Distinct(c) => s"D(${sig(c)})"
-        case SortLimit(c, n) => s"L$n(${sig(c)})"
+        case SortLimit(c, n, off) =>
+          s"L$n${if (off > 0) s"o$off" else ""}(${sig(c)})"
         case UnionAll(l, r) => s"U(${sig(l)},${sig(r)})"
         case SetOp(l, r, op) => s"S-$op(${sig(l)},${sig(r)})"
         case Rollup(c, k, a, _, cube) => s"${if (cube) "C" else "R"}${k.size}k${a.size}a(${sig(c)})"
@@ -24,6 +25,7 @@ object FuzzShapes {
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"
             case DenseRankW => "dense"; case RunSumL(x) => s"runsum:${x.name}"
+            case RunSumRangeL(x) => s"rangesum:${x.name}"
             case LagL(x) => s"lag:${x.name}"; case LeadL(x) => s"lead:${x.name}"
             case NtileW(n) => s"ntile$n"
           }

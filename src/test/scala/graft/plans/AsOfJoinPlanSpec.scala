@@ -86,6 +86,17 @@ class AsOfJoinPlanSpec extends SparkSpec {
     // over bucketed(+sorted) tables the as-of join plans NO exchange at
     // all, while the composition must shuffle the union no matter how
     // the inputs are laid out.
+    // clear orphan warehouse locations from any earlier run (the
+    // SinksSpec discipline: DROP TABLE can't remove a location whose
+    // catalog entry died with a previous derby instance)
+    for (t <- Seq("asof_purchases_b", "asof_views_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val ev = graft.sources.Tables.events(spark, sfDir)
     graft.sources.Sinks.bucketedTable(
       ev.where(col("event_type") === "purchase")

@@ -42,3 +42,32 @@ print(f"duckdb {duckdb.__version__}: optimized={len(rows)} rows, "
       f"unoptimized={len(rows_noopt)} rows (correct answer: 0)")
 assert rows_noopt == [], "disable_optimizer no longer returns the correct empty set?!"
 print("BUG-PRESENT" if rows else "BUG-FIXED — remove this pin")
+
+# ---------------------------------------------------------------------------
+# Bug 2 (round-13 fourth grammar revision, sweep seed 734): the optimizer
+# THROWS "Invalid Input Error: Type mismatch for SET OPERATION" on a
+# `col NOT IN (literals…, NULL)` filter over a FROM-subquery wrapping a
+# UNION ALL whose first operand carries ORDER BY … LIMIT 1 OFFSET 100000
+# (over a 17-column lineitem⋈orders projection with CASE-NULL-injected
+# DECIMAL/TIMESTAMP columns — a narrower repro does not trip it).
+# `PRAGMA disable_optimizer` runs the identical text and returns the
+# correct empty result, agreeing with Spark and the reference
+# interpreter — an optimizer-phase binder crash, not a renderer defect.
+# The full rendered SQL is pinned in duckdb_bugpin_setop.sql; it needs
+# the sf0.001 testdata tables.
+import os
+sql2 = open(os.path.join(os.path.dirname(__file__),
+                         "duckdb_bugpin_setop.sql")).read()
+con2 = duckdb.connect()
+for t in ["lineitem", "orders"]:
+    con2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                 f"'/root/testdata/sf0.001/{t}.parquet'")
+try:
+    n = len(con2.execute(sql2).fetchall())
+    print(f"setop pin: optimizer ran, {n} rows — BUG-FIXED, remove this pin")
+except Exception as e:
+    assert "Type mismatch for SET OPERATION" in str(e), e
+    con2.execute("PRAGMA disable_optimizer")
+    assert con2.execute(sql2).fetchall() == [], \
+        "disable_optimizer no longer returns the Spark-agreeing empty set?!"
+    print("setop pin: BUG-PRESENT (optimizer throws; no-opt agrees with Spark)")
