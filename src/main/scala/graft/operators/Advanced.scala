@@ -63,6 +63,28 @@ object Advanced {
         col("view_id"), col("view_ts"))
   }
 
+  /** FORWARD as-of through the same native exec: for every VIEW, the
+    * NEXT purchase at-or-after by the same user — the conversion-lag
+    * question. Backward ASOF (both DuckDB's operator and the window
+    * composition) cannot ask this without re-sorting time descending;
+    * the native exec flips the merge rule instead
+    * ([[graft.plans.AsOf.joinForward]], ties to the MINIMUM
+    * (ts, event_id)). The DuckDB oracle is the LATERAL-limit-1 form —
+    * a genuinely different algorithm (per-row ordered subquery) under
+    * the same semantics. */
+  private val asofViewPurchaseForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    graft.plans.AsOf.joinForward(views, purchases,
+        "user_id", "p_user", "ts", "purchase_ts", Seq("purchase_id"))
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** RANGE JOIN via bucketization: pairs of events from one user within
     * 5 minutes. Naive |Δt| ≤ g self-join is O(n²) per user; bucketizing
     * ts into g-width buckets and joining each event to its own + next
@@ -302,6 +324,7 @@ object Advanced {
     "adv_percentiles" -> percentiles,
     "adv_asof_join" -> asofViewPurchase,
     "adv_asof_join_native" -> asofViewPurchaseNative,
+    "adv_asof_join_forward" -> asofViewPurchaseForward,
     "adv_range_join" -> eventPairsWithin5m,
     "adv_grouping_sets" -> groupingSets,
     "adv_approx_distinct" -> approxDistinct,
@@ -324,6 +347,18 @@ object Advanced {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    // forward as-of: DuckDB's ASOF is backward-only, so the oracle is
+    // the LATERAL ordered-limit-1 spelling of "next purchase at or
+    // after" — a different algorithm under the same semantics
+    "adv_asof_join_forward" ->
+      """SELECT v.event_id AS view_id, v.user_id,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         LEFT JOIN LATERAL (
+           SELECT * FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+             AND p.ts >= v.ts
+           ORDER BY p.ts, p.event_id LIMIT 1) p ON true""",
     "adv_range_join" ->
       """SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
            (abs(epoch_us(a.ts) - epoch_us(b.ts)) / 1000000) AS gap_sec

@@ -49,7 +49,8 @@ final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTiebreak: Seq[Expression]) extends BinaryNode {
+    rightTiebreak: Seq[Expression],
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -61,6 +62,7 @@ final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -124,7 +126,9 @@ final case class AsOfJoinExec(
       lIt.map { l =>
         val matched =
           if (l.isNullAt(lk) || l.isNullAt(lt)) null // UNKNOWN: no match
-          else {
+          else if (!forward) {
+            // BACKWARD (latest right with rt <= lt): consume every
+            // qualifying row; the last consumed in sort order wins ties
             val k = l.getLong(lk); val t = l.getLong(lt)
             var r = peek()
             var continue = r != null
@@ -144,6 +148,30 @@ final case class AsOfJoinExec(
               if (continue) { r = peek(); continue = r != null }
             }
             if (lastMatch != null && lastMatchKey == k) lastMatch else null
+          } else {
+            // FORWARD (earliest right with rt >= lt): discard rows
+            // strictly behind, then the FIRST unconsumed row is the
+            // match iff it carries this key — it is NOT consumed, since
+            // a later left row (larger lt) may share it; left rows are
+            // ascending, so discarded rows can never serve later lefts
+            val k = l.getLong(lk); val t = l.getLong(lt)
+            var r = peek()
+            var continue = r != null
+            while (continue) {
+              if (r.isNullAt(rk)) { pending = null }
+              else {
+                val rkV = r.getLong(rk)
+                if (rkV < k ||
+                    (rkV == k && (r.isNullAt(rt) || r.getLong(rt) < t)))
+                  pending = null // behind (or never-qualifying null time)
+                else continue = false
+              }
+              if (continue) { r = peek(); continue = r != null }
+            }
+            val cand = peek()
+            if (cand != null && !cand.isNullAt(rk) && cand.getLong(rk) == k)
+              cand // first in sort order = min tiebreak wins
+            else null
           }
         proj(joiner(l, if (matched == null) rightNulls else matched))
       }
@@ -159,8 +187,8 @@ final case class AsOfJoinExec(
   * [[graft.GraftExtensions]] via `injectPlannerStrategy`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lkey, rkey, ltime, rtime, tb) =>
-      AsOfJoinExec(lkey, rkey, ltime, rtime, tb,
+    case AsOfJoinPlan(l, r, lkey, rkey, ltime, rtime, tb, fwd) =>
+      AsOfJoinExec(lkey, rkey, ltime, rtime, tb, fwd,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -174,7 +202,8 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil,
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     // fresh exprIds on the build side (Alias allocates new ids), so a
     // self-join's duplicate attribute ids can't reach the analyzer
@@ -188,7 +217,22 @@ object AsOf {
     val plan = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      rightTiebreak.map(attr(rPlan, _)))
+      rightTiebreak.map(attr(rPlan, _)), forward)
     org.apache.spark.sql.GraftDatasetBridge.ofRows(left.sparkSession, plan)
   }
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with the
+    * same key and `right.time >= left.time` — the time-to-NEXT-event
+    * question (conversion lag, next-error-after-deploy) that backward
+    * ASOF cannot ask; ties go to the FIRST row in the right-side sort
+    * order (min tiebreak). Same distribution/ordering contract; the
+    * merge holds no copied state at all (the candidate is the peeked
+    * head of the sorted build side, shared by every left row it
+    * answers). */
+  def joinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightTiebreak, forward = true)
 }

@@ -78,6 +78,34 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(empty.values.forall(_ == -1L) && empty.size == l.count())
   }
 
+  test("forward fixtures: earliest-at-or-after match, tie goes to MIN tiebreak, nulls never match") {
+    import spark.implicits._
+    def probe(rows: (java.lang.Long, java.lang.Long, Long)*) =
+      rows.toDF("k", "t", "pid")
+        .select(col("k"), timestamp_micros(col("t")).as("t"), col("pid"))
+    def build(rows: (java.lang.Long, java.lang.Long, Long)*) =
+      rows.toDF("bk", "bt", "vid")
+        .select(col("bk"), timestamp_micros(col("bt")).as("bt"), col("vid"))
+    val b = build((1L, 10L, 100L), (1L, 20L, 201L), (1L, 20L, 200L),
+      (1L, 40L, 400L), (2L, 5L, 500L),
+      (null, 1L, 900L), (3L, null, 901L))
+    val l = probe((1L, 20L, 1L), (1L, 39L, 2L), (1L, 45L, 3L),
+      (1L, 5L, 4L), (2L, 5L, 5L), (3L, 50L, 6L),
+      (null, 50L, 7L), (9L, null, 8L))
+    val got = AsOf.joinForward(l, b, "k", "bk", "t", "bt", Seq("vid"))
+      .select("pid", "vid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    assert(got(1L) == 200L,
+      "equal-ts tie must take the MIN tiebreak id (contrast: backward takes 201)")
+    assert(got(2L) == 400L, "t=39 → next is t=40")
+    assert(got(3L) == -1L, "nothing at or after t=45")
+    assert(got(4L) == 100L, "t=5 → next is t=10")
+    assert(got(5L) == 500L, "equal ts qualifies (>= bound)")
+    assert(got(6L) == -1L, "a null-time build row never matches")
+    assert(got(7L) == -1L && got(8L) == -1L, "null probe key/time match nothing")
+  }
+
   test("bucketed inputs satisfy the exec's distribution: ZERO exchanges — the 100 TB win the window form cannot have") {
     // The isolated A/B at sf0.1 prices the native exec ~0.2 s behind
     // the union+window composition (two exchanges vs one, interpreted
