@@ -85,6 +85,31 @@ object Advanced {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** TOLERANCE-BOUNDED as-of (pandas `merge_asof(tolerance=…)`): the
+    * latest prior view only counts within the previous HOUR — the
+    * batch twin of `st_interval_join`'s attribution bound, asked the
+    * as-of way (ONE nearest view per purchase, or NULL when the
+    * nearest is stale) instead of the join way (every pair). Same
+    * native exec, one extra bound check at match time: if the NEAREST
+    * at-or-before row is outside the bound, no older row can be
+    * inside it, so the check never changes which row matches — only
+    * whether it does. */
+  private val asofViewPurchaseWindow: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    graft.plans.AsOf.join(purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTime = "ts", rightTime = "view_ts",
+        rightTiebreak = Seq("view_id"),
+        toleranceUs = Some(3600L * 1000000L))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** RANGE JOIN via bucketization: pairs of events from one user within
     * 5 minutes. Naive |Δt| ≤ g self-join is O(n²) per user; bucketizing
     * ts into g-width buckets and joining each event to its own + next
@@ -325,6 +350,7 @@ object Advanced {
     "adv_asof_join" -> asofViewPurchase,
     "adv_asof_join_native" -> asofViewPurchaseNative,
     "adv_asof_join_forward" -> asofViewPurchaseForward,
+    "adv_asof_join_window" -> asofViewPurchaseWindow,
     "adv_range_join" -> eventPairsWithin5m,
     "adv_grouping_sets" -> groupingSets,
     "adv_approx_distinct" -> approxDistinct,
@@ -347,6 +373,18 @@ object Advanced {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    // tolerance-bounded as-of: nearest prior view, but only within the
+    // hour (the st_interval_join attribution bound as-of style) — the
+    // LATERAL keeps the bound inside its ordered-limit-1 subquery
+    "adv_asof_join_window" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           v.event_id AS view_id, v.ts AS view_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN LATERAL (
+           SELECT * FROM events v
+           WHERE v.event_type = 'view' AND v.user_id = p.user_id
+             AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+           ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON true""",
     // forward as-of: DuckDB's ASOF is backward-only, so the oracle is
     // the LATERAL ordered-limit-1 spelling of "next purchase at or
     // after" — a different algorithm under the same semantics

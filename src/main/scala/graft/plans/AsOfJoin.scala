@@ -50,7 +50,8 @@ final case class AsOfJoinPlan(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression],
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    toleranceUs: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -63,6 +64,7 @@ final case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression],
     forward: Boolean,
+    toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -147,7 +149,14 @@ final case class AsOfJoinExec(
               }
               if (continue) { r = peek(); continue = r != null }
             }
-            if (lastMatch != null && lastMatchKey == k) lastMatch else null
+            // tolerance: the latest qualifying row still loses if it is
+            // farther back than the bound (merge_asof semantics — the
+            // match is the nearest-at-or-before, never an older one
+            // "within" the bound)
+            if (lastMatch != null && lastMatchKey == k &&
+                toleranceUs.forall(t - lastMatch.getLong(rt) <= _))
+              lastMatch
+            else null
           } else {
             // FORWARD (earliest right with rt >= lt): discard rows
             // strictly behind, then the FIRST unconsumed row is the
@@ -169,7 +178,8 @@ final case class AsOfJoinExec(
               if (continue) { r = peek(); continue = r != null }
             }
             val cand = peek()
-            if (cand != null && !cand.isNullAt(rk) && cand.getLong(rk) == k)
+            if (cand != null && !cand.isNullAt(rk) && cand.getLong(rk) == k &&
+                toleranceUs.forall(cand.getLong(rt) - t <= _))
               cand // first in sort order = min tiebreak wins
             else null
           }
@@ -187,8 +197,8 @@ final case class AsOfJoinExec(
   * [[graft.GraftExtensions]] via `injectPlannerStrategy`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lkey, rkey, ltime, rtime, tb, fwd) =>
-      AsOfJoinExec(lkey, rkey, ltime, rtime, tb, fwd,
+    case AsOfJoinPlan(l, r, lkey, rkey, ltime, rtime, tb, fwd, tol) =>
+      AsOfJoinExec(lkey, rkey, ltime, rtime, tb, fwd, tol,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -203,7 +213,8 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTiebreak: Seq[String] = Nil,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     // fresh exprIds on the build side (Alias allocates new ids), so a
     // self-join's duplicate attribute ids can't reach the analyzer
@@ -217,7 +228,7 @@ object AsOf {
     val plan = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      rightTiebreak.map(attr(rPlan, _)), forward)
+      rightTiebreak.map(attr(rPlan, _)), forward, toleranceUs)
     org.apache.spark.sql.GraftDatasetBridge.ofRows(left.sparkSession, plan)
   }
 

@@ -106,6 +106,32 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(got(7L) == -1L && got(8L) == -1L, "null probe key/time match nothing")
   }
 
+  test("tolerance fixtures: nearest-or-nothing — a stale nearest match nulls out, never falls back to an older row") {
+    import spark.implicits._
+    def probe(rows: (java.lang.Long, java.lang.Long, Long)*) =
+      rows.toDF("k", "t", "pid")
+        .select(col("k"), timestamp_micros(col("t")).as("t"), col("pid"))
+    def build(rows: (java.lang.Long, java.lang.Long, Long)*) =
+      rows.toDF("bk", "bt", "vid")
+        .select(col("bk"), timestamp_micros(col("bt")).as("bt"), col("vid"))
+    val b = build((1L, 10L, 100L), (1L, 30L, 300L))
+    val l = probe((1L, 31L, 1L), (1L, 45L, 2L), (1L, 29L, 3L))
+    def run(tol: Long) =
+      AsOf.join(l, b, "k", "bk", "t", "bt", Seq("vid"),
+        toleranceUs = Some(tol))
+        .select("pid", "vid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+    val tight = run(5L)
+    assert(tight(1L) == 300L, "t=31: nearest (t=30) is within 5")
+    assert(tight(2L) == -1L,
+      "t=45: nearest (t=30) is 15 away — outside 5, and the t=10 row " +
+        "must NOT be consulted as a fallback")
+    assert(tight(3L) == -1L, "t=29: nearest at-or-before is t=10, 19 away")
+    val loose = run(25L)
+    assert(loose(2L) == 300L && loose(3L) == 100L)
+  }
+
   test("bucketed inputs satisfy the exec's distribution: ZERO exchanges — the 100 TB win the window form cannot have") {
     // The isolated A/B at sf0.1 prices the native exec ~0.2 s behind
     // the union+window composition (two exchanges vs one, interpreted
