@@ -74,6 +74,7 @@ object Plans {
     "pl_zorder",            // bit-normalized Morton tiles: 1-row bounds broadcast
     "pl_passage_dedup",     // passage census + fp rejoin + ordered reassembly
     "adv_asof_join_native", // custom AsOfJoinExec: 2 exchanges + 2 sorts, zip merge
+    "adv_asof_join_window", // same exec, tolerance bound: plan identical to native
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,
