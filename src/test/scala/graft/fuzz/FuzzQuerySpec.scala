@@ -39,8 +39,8 @@ class FuzzQuerySpec extends SparkSpec {
     cur
   }
 
-  test("differential fuzz: 220 seeded plans agree between Spark and the reference interpreter") {
-    val failures = (1L to 220L).flatMap { seed =>
+  test("differential fuzz: 400 seeded plans agree between Spark and the reference interpreter") {
+    val failures = (1L to 400L).flatMap { seed =>
       val p = Fuzz.genPlan(seed)
       check(p).map(msg => (seed, p, msg))
     }
@@ -70,7 +70,7 @@ class FuzzQuerySpec extends SparkSpec {
     Fuzz.catalog.keys.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
-    val failures = (1L to 220L).flatMap { seed =>
+    val failures = (1L to 400L).flatMap { seed =>
       val p = Fuzz.genPlan(seed)
       val sql = Fuzz.toSql(p)
       val got =
