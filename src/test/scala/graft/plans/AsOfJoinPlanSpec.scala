@@ -130,6 +130,15 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(tight(3L) == -1L, "t=29: nearest at-or-before is t=10, 19 away")
     val loose = run(25L)
     assert(loose(2L) == 300L && loose(3L) == 100L)
+    // forward + tolerance composes: next-at-or-after, but only nearby
+    val fwd = AsOf.join(l, b, "k", "bk", "t", "bt", Seq("vid"),
+      forward = true, toleranceUs = Some(5L))
+      .select("pid", "vid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    assert(fwd(3L) == 300L, "t=29: next (t=30) is within 5 ahead")
+    assert(fwd(1L) == -1L, "t=31: nothing at-or-after within 5")
+    assert(fwd(2L) == -1L, "t=45: nothing at-or-after at all")
   }
 
   test("bucketed inputs satisfy the exec's distribution: ZERO exchanges — the 100 TB win the window form cannot have") {
