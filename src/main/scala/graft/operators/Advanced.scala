@@ -110,6 +110,62 @@ object Advanced {
         col("view_id"), col("view_ts"))
   }
 
+  /** STRING-KEYED as-of through the native exec — the round-13 verdict
+    * item 2 gate: [[graft.plans.AsOfJoinExec]] now takes any orderable
+    * key type (interpreted ordering over the merge, analysis-time type
+    * check in [[graft.plans.AsOf.join]]), and this query proves the
+    * non-Long path end-to-end under the DuckDB hash oracle. Same
+    * view→purchase question, keyed by an injective string user tag —
+    * the string sort order (u10 < u2) differs from the numeric one,
+    * which is exactly the point: only key EQUALITY plus time order may
+    * matter to the result. */
+  private val asofViewPurchaseStrKey: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("user_tag", concat(lit("u"), col("user_id").cast("string")))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_tag"), col("ts"), col("event_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_tag").as("v_tag"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    graft.plans.AsOf.join(purchases, views,
+        leftKey = "user_tag", rightKey = "v_tag",
+        leftTime = "ts", rightTime = "view_ts",
+        rightTiebreak = Seq("view_id"))
+      .select(col("event_id").as("purchase_id"), col("user_tag"),
+        col("view_id"), col("view_ts"))
+  }
+
+  /** BUCKETED as-of — the native exec's 100 TB case, under the driver
+    * gate (round-13 verdict item 1): both sides written as bucketed
+    * (+sorted) tables on the join key, read back through the catalog,
+    * and joined with [[graft.plans.AsOf.join]]. The exec's
+    * `ClusteredDistribution` is satisfied by the storage layout, so
+    * the plan carries ZERO exchanges (pinned in `AsOfJoinPlanSpec`) —
+    * the structural win the union+window composition can never have,
+    * since it must shuffle the union regardless of layout. The write
+    * is the once-per-ingest cost a 100 TB deployment pays at load
+    * time; here it is part of the query so the gate stays
+    * self-contained. */
+  private val asofViewPurchaseBucketed: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    graft.sources.Sinks.bucketedTable(
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      "asof_purch_g", "user_id", 8)
+    graft.sources.Sinks.bucketedTable(
+      ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+          col("event_id").as("view_id")),
+      "asof_views_g", "v_user", 8)
+    graft.plans.AsOf.join(
+        s.table("asof_purch_g"), s.table("asof_views_g"),
+        leftKey = "user_id", rightKey = "v_user",
+        leftTime = "ts", rightTime = "view_ts",
+        rightTiebreak = Seq("view_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** RANGE JOIN via bucketization: pairs of events from one user within
     * 5 minutes. Naive |Δt| ≤ g self-join is O(n²) per user; bucketizing
     * ts into g-width buckets and joining each event to its own + next
@@ -351,6 +407,8 @@ object Advanced {
     "adv_asof_join_native" -> asofViewPurchaseNative,
     "adv_asof_join_forward" -> asofViewPurchaseForward,
     "adv_asof_join_window" -> asofViewPurchaseWindow,
+    "adv_asof_join_strkey" -> asofViewPurchaseStrKey,
+    "adv_asof_join_bucketed" -> asofViewPurchaseBucketed,
     "adv_range_join" -> eventPairsWithin5m,
     "adv_grouping_sets" -> groupingSets,
     "adv_approx_distinct" -> approxDistinct,
@@ -368,6 +426,25 @@ object Advanced {
     // the native merge exec answers the SAME question under the SAME
     // oracle — two formulations, one hash-pinned semantics
     "adv_asof_join_native" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           v.event_id AS view_id, v.ts AS view_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    // string-keyed native as-of: DuckDB's ASOF over the same injective
+    // string tag — key equality is all the key contributes
+    "adv_asof_join_strkey" ->
+      """SELECT p.event_id AS purchase_id, p.user_tag,
+           v.event_id AS view_id, v.ts AS view_ts
+         FROM (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_tag, ts, event_id
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+           (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_tag, ts, event_id
+            FROM events WHERE event_type = 'view') v
+           ON p.user_tag = v.user_tag AND p.ts >= v.ts""",
+    // bucketed zero-exchange native as-of: the layout changes the PLAN
+    // (no exchange), never the ANSWER — same oracle as the shuffled form
+    "adv_asof_join_bucketed" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
            v.event_id AS view_id, v.ts AS view_ts
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

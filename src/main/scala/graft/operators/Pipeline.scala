@@ -658,12 +658,16 @@ object Pipeline {
 
   private val passageDedup: Q = (s, d) => {
     val occ = passageOcc(s, d)
+    // keeper = combinable MIN over the (doc_id, idx) struct — struct
+    // comparison is lexicographic on both engines, so no arithmetic
+    // encoding (which collides past 10⁶ passages/doc and overflows
+    // Long near doc_id 9.2e12 — the r13 advice item)
     val census = occ.groupBy("fp").agg(
       count(lit(1)).as("df"),
-      min(col("doc_id") * 1000000 + col("idx")).as("keeper"))
+      min(struct(col("doc_id"), col("idx"))).as("keeper"))
     reassemble(occ.join(census, "fp")
       .where(col("df") === 1 ||
-        col("doc_id") * 1000000 + col("idx") === col("keeper")))
+        struct(col("doc_id"), col("idx")) === col("keeper")))
   }
 
   /** Boilerplate-passage removal — [[passageDedup]]'s indiscriminate
@@ -1379,12 +1383,12 @@ object Pipeline {
                   FROM tok WHERE len(ts) > 0) z),
           census AS (
             SELECT md5(passage) AS fp, count(*) AS df,
-                   min(doc_id * 1000000 + idx) AS keeper
+                   min({'d': doc_id, 'i': idx}) AS keeper
             FROM occ GROUP BY 1),
           kept AS (
             SELECT o.* FROM (SELECT *, md5(passage) AS fp FROM occ) o
             JOIN census c USING (fp)
-            WHERE c.df = 1 OR o.doc_id * 1000000 + o.idx = c.keeper)
+            WHERE c.df = 1 OR {'d': o.doc_id, 'i': o.idx} = c.keeper)
           SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
             CAST(count(*) AS BIGINT) AS kept,
             CAST(n_passages - count(*) AS BIGINT) AS dropped,

@@ -5,12 +5,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
-  SortOrder, UnsafeProjection}
+  RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
 
 /** Native AS-OF JOIN — the one operator in this engine built as a
   * whole custom operator (logical node + planner strategy + physical
@@ -96,11 +98,15 @@ final case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
-    Seq(leftKey, rightKey).foreach(e => require(e.dataType == LongType,
-      s"as-of key must be LongType, got ${e.dataType}"))
-    Seq(leftTime, rightTime).foreach(e => require(
-      e.dataType == TimestampType || e.dataType == LongType,
-      s"as-of time must be Timestamp/Long, got ${e.dataType}"))
+    // defense in depth — AsOf.join already rejected these at
+    // analysis time with a caller-facing message
+    AsOf.validateTypes(leftKey.dataType, rightKey.dataType,
+      leftTime.dataType, rightTime.dataType)
+    val keyDt: DataType = leftKey.dataType
+    // interpreted total order over the key type (any orderable
+    // atomic/struct type — string, int, date, decimal, …); Long keys
+    // pay one box per comparison, noise next to the per-row copy
+    val keyOrd: Ordering[Any] = TypeUtils.getInterpretedOrdering(keyDt)
     val lk = ordinalOf(leftKey, left.output)
     val lt = ordinalOf(leftTime, left.output)
     val rk = ordinalOf(rightKey, right.output)
@@ -117,12 +123,17 @@ final case class AsOfJoinExec(
       val rightNulls = new GenericInternalRow(rightSchema.size)
       // one-row merge state: the latest CONSUMED qualifying right row
       var lastMatch: InternalRow = null
-      var lastMatchKey = 0L
-      // the peeked-but-unconsumed right row (safe to hold un-copied:
-      // child iterators only reuse the row object on the NEXT next())
+      var lastMatchKey: Any = null
+      // the peeked-but-unconsumed right row. COPIED at peek time:
+      // SparkPlan.execute() does not promise the returned row object
+      // survives the next next() (SortExec/ColumnarToRow happen to
+      // keep it valid one step, but a sort-elided bucketed scan path
+      // need not), and `pending`/`lastMatch` are held across many left
+      // rows. One copy per right-row advance, ~the cost the backward
+      // path already paid per qualifying row.
       var pending: InternalRow = null
       def peek(): InternalRow = {
-        if (pending == null && rIt.hasNext) pending = rIt.next()
+        if (pending == null && rIt.hasNext) pending = rIt.next().copy()
         pending
       }
       lIt.map { l =>
@@ -131,7 +142,7 @@ final case class AsOfJoinExec(
           else if (!forward) {
             // BACKWARD (latest right with rt <= lt): consume every
             // qualifying row; the last consumed in sort order wins ties
-            val k = l.getLong(lk); val t = l.getLong(lt)
+            val k = l.get(lk, keyDt); val t = l.getLong(lt)
             var r = peek()
             var continue = r != null
             while (continue) {
@@ -139,12 +150,14 @@ final case class AsOfJoinExec(
               // qualifies — consume and discard
               if (r.isNullAt(rk)) { pending = null }
               else {
-                val rkV = r.getLong(rk)
-                if (rkV < k) pending = null // behind: discard
-                else if (rkV == k && !r.isNullAt(rt) && r.getLong(rt) <= t) {
-                  // qualifying: consume; last consumed in order wins ties
-                  lastMatch = r.copy(); lastMatchKey = rkV; pending = null
-                } else if (rkV == k && r.isNullAt(rt)) pending = null
+                val rkV = r.get(rk, keyDt)
+                val c = keyOrd.compare(rkV, k)
+                if (c < 0) pending = null // behind: discard
+                else if (c == 0 && !r.isNullAt(rt) && r.getLong(rt) <= t) {
+                  // qualifying: consume; last consumed in order wins
+                  // ties (r is already a private copy from peek())
+                  lastMatch = r; lastMatchKey = rkV; pending = null
+                } else if (c == 0 && r.isNullAt(rt)) pending = null
                 else continue = false // right is ahead of this left row
               }
               if (continue) { r = peek(); continue = r != null }
@@ -153,7 +166,7 @@ final case class AsOfJoinExec(
             // farther back than the bound (merge_asof semantics — the
             // match is the nearest-at-or-before, never an older one
             // "within" the bound)
-            if (lastMatch != null && lastMatchKey == k &&
+            if (lastMatch != null && keyOrd.compare(lastMatchKey, k) == 0 &&
                 toleranceUs.forall(t - lastMatch.getLong(rt) <= _))
               lastMatch
             else null
@@ -163,22 +176,24 @@ final case class AsOfJoinExec(
             // match iff it carries this key — it is NOT consumed, since
             // a later left row (larger lt) may share it; left rows are
             // ascending, so discarded rows can never serve later lefts
-            val k = l.getLong(lk); val t = l.getLong(lt)
+            val k = l.get(lk, keyDt); val t = l.getLong(lt)
             var r = peek()
             var continue = r != null
             while (continue) {
               if (r.isNullAt(rk)) { pending = null }
               else {
-                val rkV = r.getLong(rk)
-                if (rkV < k ||
-                    (rkV == k && (r.isNullAt(rt) || r.getLong(rt) < t)))
+                val rkV = r.get(rk, keyDt)
+                val c = keyOrd.compare(rkV, k)
+                if (c < 0 ||
+                    (c == 0 && (r.isNullAt(rt) || r.getLong(rt) < t)))
                   pending = null // behind (or never-qualifying null time)
                 else continue = false
               }
               if (continue) { r = peek(); continue = r != null }
             }
             val cand = peek()
-            if (cand != null && !cand.isNullAt(rk) && cand.getLong(rk) == k &&
+            if (cand != null && !cand.isNullAt(rk) &&
+                keyOrd.compare(cand.get(rk, keyDt), k) == 0 &&
                 toleranceUs.forall(cand.getLong(rt) - t <= _))
               cand // first in sort order = min tiebreak wins
             else null
@@ -209,6 +224,23 @@ object AsOfJoinStrategy extends SparkStrategy {
   * self-as-of (both sides carved from one DataFrame, the common case)
   * never collides. */
 object AsOf {
+  /** Shared type contract, enforced at ANALYSIS time in [[join]] (a
+    * bad caller gets an immediate, named error — not a task failure
+    * minutes into a 100 TB run) and re-checked in the exec as defense:
+    * keys must be ONE orderable type on both sides (string, int, long,
+    * date, decimal, struct, …); times must be Timestamp or Long
+    * (physical int64 — the tolerance bound is µs arithmetic). */
+  private[plans] def validateTypes(lk: DataType, rk: DataType,
+      lt: DataType, rt: DataType): Unit = {
+    require(DataTypeUtils.sameType(lk, rk),
+      s"as-of key types must match on both sides, got $lk vs $rk")
+    require(RowOrdering.isOrderable(lk),
+      s"as-of key type must be orderable, got $lk")
+    Seq(lt, rt).foreach(t => require(
+      t == TimestampType || t == LongType,
+      s"as-of time must be Timestamp/Long, got $t"))
+  }
+
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
@@ -225,6 +257,8 @@ object AsOf {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         sys.error(s"as-of column $name not in ${p.output.map(_.name)}"))
+    validateTypes(attr(lPlan, leftKey).dataType, attr(rPlan, rightKey).dataType,
+      attr(lPlan, leftTime).dataType, attr(rPlan, rightTime).dataType)
     val plan = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
@@ -237,9 +271,8 @@ object AsOf {
     * question (conversion lag, next-error-after-deploy) that backward
     * ASOF cannot ask; ties go to the FIRST row in the right-side sort
     * order (min tiebreak). Same distribution/ordering contract; the
-    * merge holds no copied state at all (the candidate is the peeked
-    * head of the sorted build side, shared by every left row it
-    * answers). */
+    * merge's only state is the peeked head of the sorted build side
+    * (one private copy), shared by every left row it answers. */
   def joinForward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

@@ -78,8 +78,19 @@ object Sinks {
   def bucketedTable(df: DataFrame, table: String, key: String, n: Int,
       sortBy: Option[String] = None): Unit = {
     // Overwrite alone leaves an orphan location if prior metadata was
-    // lost (fresh derby catalog, surviving warehouse dir) — drop first.
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    // lost (fresh in-memory catalog, surviving warehouse dir) — drop
+    // the catalog entry AND clear the location: a location whose table
+    // died with a previous session makes saveAsTable throw
+    // LOCATION_ALREADY_EXISTS.
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+        .getPath, table)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
     val w = df.write.mode(SaveMode.Overwrite).format("parquet").bucketBy(n, key)
     sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }

@@ -141,6 +141,53 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(fwd(2L) == -1L, "t=45: nothing at-or-after at all")
   }
 
+  test("generalized keys: string-keyed merge matches the Long-keyed answer; mismatched/unorderable keys fail at JOIN TIME, not task time") {
+    import spark.implicits._
+    // same fixture as the backward test, keys mapped through an
+    // injective string tag whose sort order (k10 < k2) differs from
+    // the numeric one — only key EQUALITY may matter
+    def tag(c: org.apache.spark.sql.Column) =
+      concat(lit("k"), c.cast("string"))
+    val b = Seq((1L, 10L, 100L), (1L, 20L, 201L), (1L, 20L, 200L),
+      (1L, 40L, 400L), (2L, 5L, 500L), (10L, 7L, 700L))
+      .toDF("bk", "bt", "vid")
+      .select(tag(col("bk")).as("bk"), timestamp_micros(col("bt")).as("bt"),
+        col("vid"))
+    val l = Seq((1L, 20L, 1L), (1L, 45L, 2L), (2L, 5L, 3L), (10L, 8L, 4L),
+      (3L, 50L, 5L))
+      .toDF("k", "t", "pid")
+      .select(tag(col("k")).as("k"), timestamp_micros(col("t")).as("t"),
+        col("pid"))
+    val got = AsOf.join(l, b, "k", "bk", "t", "bt", Seq("vid"))
+      .select("pid", "vid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    assert(got == Map(1L -> 201L, 2L -> 400L, 3L -> 500L, 4L -> 700L,
+      5L -> -1L))
+    // mismatched key types: rejected when join() is CALLED (the
+    // analysis-time contract of AsOf.validateTypes), not mid-task
+    val longProbe = Seq((1L, 20L, 1L)).toDF("k", "t", "pid")
+      .select(col("k"), timestamp_micros(col("t")).as("t"), col("pid"))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(longProbe, b, "k", "bk", "t", "bt")
+    }
+    assert(e1.getMessage.contains("key types must match"))
+    // unorderable key (map type): same analysis-time rejection
+    val mapProbe = longProbe.select(
+      map(col("k"), col("k")).as("k"), col("t"), col("pid"))
+    val mapBuild = b.select(map(col("vid"), col("vid")).as("bk"),
+      col("bt"), col("vid"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(mapProbe, mapBuild, "k", "bk", "t", "bt")
+    }
+    assert(e2.getMessage.contains("orderable"))
+    // bad time type: same analysis-time rejection
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.join(l.withColumn("t", lit("oops")), b, "k", "bk", "t", "bt")
+    }
+    assert(e3.getMessage.contains("Timestamp/Long"))
+  }
+
   test("bucketed inputs satisfy the exec's distribution: ZERO exchanges — the 100 TB win the window form cannot have") {
     // The isolated A/B at sf0.1 prices the native exec ~0.2 s behind
     // the union+window composition (two exchanges vs one, interpreted

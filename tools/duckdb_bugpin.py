@@ -54,14 +54,19 @@ print("BUG-PRESENT" if rows else "BUG-FIXED — remove this pin")
 # correct empty result, agreeing with Spark and the reference
 # interpreter — an optimizer-phase binder crash, not a renderer defect.
 # The full rendered SQL is pinned in duckdb_bugpin_setop.sql; it needs
-# the sf0.001 testdata tables.
+# the sf0.001 testdata tables — pass the sf dir as argv[1] or
+# GRAFT_SF_DIR (default matches this box's layout, like the Scala
+# specs' sfDir default).
 import os
+import sys
+sf_dir = (sys.argv[1] if len(sys.argv) > 1
+          else os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 sql2 = open(os.path.join(os.path.dirname(__file__),
                          "duckdb_bugpin_setop.sql")).read()
 con2 = duckdb.connect()
 for t in ["lineitem", "orders"]:
     con2.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                 f"'/root/testdata/sf0.001/{t}.parquet'")
+                 f"'{os.path.join(sf_dir, t)}.parquet'")
 try:
     n = len(con2.execute(sql2).fetchall())
     print(f"setop pin: optimizer ran, {n} rows — BUG-FIXED, remove this pin")
