@@ -1177,9 +1177,24 @@ object StreamParity {
         -> "true")
 
   private def sessionUnderRocksDb(s: SparkSession, d: String, name: String,
+      extraConfs: (String, String)*): DataFrame =
+    runUnderRocksDb(s,
+      EventStreams.sessionCounts(streamEventsEpochsWithSentinel(s, d)),
+      name, extraConfs: _*)
+      .where(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events")
+
+  /** Run any streaming frame to completion under the ROCKSDB
+    * state-store provider (plus `extraConfs`), REQUIRING the provider
+    * engaged (RocksDB custom metrics in the progress log) — shared by
+    * the session rows and the stream-stream JOIN rows: the join's
+    * four per-side stores are the BIGGER 100 TB state (every in-horizon
+    * view/purchase buffered, vs one open session per user), so the
+    * provider swap must be proven there too, not only on aggregation
+    * state. Returns the raw memory-sink table; callers project. */
+  private def runUnderRocksDb(s: SparkSession, df: DataFrame, name: String,
       extraConfs: (String, String)*): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val df = EventStreams.sessionCounts(streamEventsEpochsWithSentinel(s, d))
     val qn = s"${name}_${runSeq.incrementAndGet()}"
     val confs = Seq(
       "spark.sql.shuffle.partitions" -> StatePartitions.toString,
@@ -1198,8 +1213,42 @@ object StreamParity {
       _.customMetrics.keySet().asScala.exists(_.toLowerCase.contains("rocksdb")))
     require(engaged, "RocksDB state store provider did not engage — " +
       "no rocksdb custom metrics in the query progress")
-    s.table(qn).where(col("user_id") >= 0)
-      .select("user_id", "session_start", "session_end", "n_events")
+    s.table(qn)
+  }
+
+  /** [[intervalJoinMultiBatchParity]] under the ROCKSDB provider — the
+    * round-13 verdict item 4: cross-batch JOIN state (views held in the
+    * left store across epoch boundaries until their purchases arrive)
+    * living in RocksDB instead of the on-heap default, under the same
+    * shared `st_interval_join` oracle. Provider engagement is required,
+    * and the epoch feed guarantees the state is actually exercised
+    * (pairs straddle micro-batches by construction). */
+  val intervalJoinRocksDbParity: Q = (s, d) => {
+    val ev = streamEventsEpochsWithSentinel(s, d)
+    runUnderRocksDb(s,
+      EventStreams.viewPurchaseAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_interval_join_rocksdb")
+      .select("purchase_id", "view_id", "user_id")
+  }
+
+  /** [[intervalJoinRocksDbParity]] with CHANGELOG CHECKPOINTING — join
+    * state is where changelog mode matters most at scale (the stores
+    * hold a full horizon of events; snapshot-per-commit cost is
+    * proportional to that state, changelog cost to the batch's
+    * changes). Checkpoint mechanics must never be a semantics knob:
+    * same oracle, same answer. */
+  val intervalJoinChangelogParity: Q = (s, d) => {
+    val ev = streamEventsEpochsWithSentinel(s, d)
+    runUnderRocksDb(s,
+      EventStreams.viewPurchaseAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_interval_join_changelog",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")
+      .select("purchase_id", "view_id", "user_id")
   }
 
   /** Stream-stream interval join under the LATE-PLANTED arrival
@@ -1233,6 +1282,8 @@ object StreamParity {
     "st_tumbling_late" -> tumblingLateParity,
     "st_interval_join" -> intervalJoinParity,
     "st_interval_join_mb" -> intervalJoinMultiBatchParity,
+    "st_interval_join_rocksdb" -> intervalJoinRocksDbParity,
+    "st_interval_join_changelog" -> intervalJoinChangelogParity,
     "st_interval_join_late" -> intervalJoinLateParity,
     "st_interval_join_left" -> intervalJoinLeftParity,
     "st_interval_join_full" -> intervalJoinFullParity,
@@ -1535,6 +1586,23 @@ object StreamParity {
     // join state (a view held for a later batch's purchase) must not
     // change the matched pair set
     "st_interval_join_mb" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    // the RocksDB/changelog runs swap the state-store PROVIDER under
+    // the epoch-sliced join — an execution knob, never a semantics
+    // knob: same cross-batch question, same oracle
+    "st_interval_join_rocksdb" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    "st_interval_join_changelog" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
            p.user_id AS user_id
          FROM events v JOIN events p
