@@ -75,6 +75,8 @@ object Plans {
     "pl_passage_dedup",     // passage census + fp rejoin + ordered reassembly
     "adv_asof_join_native", // custom AsOfJoinExec: 2 exchanges + 2 sorts, zip merge
     "adv_asof_join_window", // same exec, tolerance bound: plan identical to native
+    "adv_asof_join_bucketed", // same exec over bucketed tables: ZERO exchanges
+    "adv_asof_join_nearest",  // nearest direction: one drain serves both sides
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,

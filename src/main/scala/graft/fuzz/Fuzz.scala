@@ -119,6 +119,26 @@ import org.apache.spark.sql.{functions => F}
   *     the classic frame-semantics divergence, now differentially
   *     fuzzed against its ROWS sibling in one grammar.
   *
+  * A fifth revision (round 14, r13 verdict item 3) closes the last
+  * named exclusions:
+  *
+  *   - DISTINCT aggregates `SUM(DISTINCT)` / `AVG(DISTINCT)` over Long
+  *     columns ([[Fuzz.SumDistinctL]]/[[Fuzz.AvgDistinctL]]) — Spark
+  *     plans these through Expand + two-phase aggregation, a separate
+  *     physical path from plain aggregation and a classic divergence
+  *     zone next to grouping sets; the distinct sum stays inside
+  *     int64/2^53 under the literal caps;
+  *   - `FIRST_VALUE`/`LAST_VALUE` with EXPLICIT frames
+  *     ([[Fuzz.FirstValL]]/[[Fuzz.LastValL]]/[[Fuzz.LastValRangeL]]):
+  *     ROWS head-anchored, ROWS tail-anchored, and the RANGE default
+  *     frame whose CURRENT ROW bound extends through every peer — the
+  *     LAST_VALUE trap where the default frame does NOT mean "last in
+  *     partition";
+  *   - ORDER BY … NULLS LAST variants on both [[Fuzz.SortLimit]] and
+  *     the window ordering — each engine has the OPPOSITE ASC default,
+  *     and the direction changes which rows a LIMIT keeps and every
+  *     window value whenever NULLs are present.
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -307,6 +327,22 @@ object Fuzz {
     * integer sum below 2^53, one deterministic division. Result is in
     * CENTS (a DOUBLE), consistently in all three renderings. */
   final case class AvgDecCents(c: Col) extends AggFn { val name = "avg_cents" }
+  /** SUM(DISTINCT) over a Long column (round 14, fifth revision) —
+    * Spark plans DISTINCT aggregates through an Expand + two-phase
+    * aggregation, a genuinely different physical path from plain SUM
+    * (and a classic divergence zone when DISTINCT aggs mix with
+    * grouping sets); distinct Long values keep the sum inside int64
+    * under the grammar's literal caps. */
+  final case class SumDistinctL(c: Col) extends AggFn {
+    val name = "sum_distinct"
+  }
+  /** AVG(DISTINCT) over a Long column — the distinct sum stays
+    * integer-exact below 2^53 and the one division is deterministic,
+    * same argument as [[AvgL]]; rides the same Expand path as
+    * [[SumDistinctL]]. */
+  final case class AvgDistinctL(c: Col) extends AggFn {
+    val name = "avg_distinct"
+  }
 
   // --------------------------------------------------------------- plans
 
@@ -323,8 +359,9 @@ object Fuzz {
   /** Output type of an aggregate call — shared by [[Agg]] and
     * [[Rollup]] schemas. */
   private[fuzz] def aggOutType(a: AggFn): FType = a match {
-    case CountStar | CountCol(_) | CountDistinct(_) | SumL(_) => LongT
-    case AvgL(_) | AvgDecCents(_) => DoubleT
+    case CountStar | CountCol(_) | CountDistinct(_) | SumL(_) |
+         SumDistinctL(_) => LongT
+    case AvgL(_) | AvgDecCents(_) | AvgDistinctL(_) => DoubleT
     case SumDec(_) => DecT
     case MinA(c) => c.tpe
     case MaxA(c) => c.tpe
@@ -426,15 +463,20 @@ object Fuzz {
   final case class Distinct(child: Plan) extends Plan {
     def schema: Seq[Field] = child.schema
   }
-  /** ORDER BY every column (NULLS FIRST) then LIMIT n OFFSET m —
-    * deterministic as a multiset: distinct rows are totally ordered,
-    * equal rows are interchangeable (a window of duplicates straddling
-    * the offset or limit boundary swaps interchangeable rows only).
-    * OFFSET (round 13, fourth revision) pins the skip-then-take order
-    * of operations: ANSI applies OFFSET before LIMIT regardless of
-    * clause spelling, and an offset past the input is an empty result,
-    * not an error. */
-  final case class SortLimit(child: Plan, n: Int, offset: Int) extends Plan {
+  /** ORDER BY every column (NULLS FIRST, or NULLS LAST when
+    * `nullsLast` — round 14, fifth revision: the null-ordering
+    * direction changes WHICH rows the limit keeps whenever NULLs are
+    * in play, and each engine has the OPPOSITE ASC default, so both
+    * spellings must be explicit and both must be fuzzed) then LIMIT n
+    * OFFSET m — deterministic as a multiset: distinct rows are totally
+    * ordered, equal rows are interchangeable (a window of duplicates
+    * straddling the offset or limit boundary swaps interchangeable
+    * rows only). OFFSET (round 13, fourth revision) pins the
+    * skip-then-take order of operations: ANSI applies OFFSET before
+    * LIMIT regardless of clause spelling, and an offset past the input
+    * is an empty result, not an error. */
+  final case class SortLimit(child: Plan, n: Int, offset: Int,
+      nullsLast: Boolean = false) extends Plan {
     def schema: Seq[Field] = child.schema
   }
   final case class UnionAll(l: Plan, r: Plan) extends Plan {
@@ -482,6 +524,26 @@ object Fuzz {
     * are interchangeable duplicates, so the output multiset is
     * deterministic. */
   final case class NtileW(n: Int) extends WinFn
+  /** FIRST_VALUE(col) with an EXPLICIT `ROWS UNBOUNDED PRECEDING →
+    * CURRENT ROW` frame (round 14, fifth revision) — every row sees
+    * the partition head's value; RESPECT NULLS (both engines'
+    * default), so a NULL head propagates. Explicit-frame value
+    * functions are the remaining window family the grammar had not
+    * fuzzed (r13 verdict item 3). */
+  final case class FirstValL(c: Col) extends WinFn
+  /** LAST_VALUE(col) with an EXPLICIT `ROWS CURRENT ROW → UNBOUNDED
+    * FOLLOWING` frame — every row sees the partition tail's value
+    * (the spelling that actually answers "last in partition", which
+    * the default frame notoriously does not). */
+  final case class LastValL(c: Col) extends WinFn
+  /** LAST_VALUE(col) over `RANGE UNBOUNDED PRECEDING → CURRENT ROW` —
+    * the ANSI DEFAULT frame's trap: CURRENT ROW in RANGE mode extends
+    * through every PEER, so the value is the current row's LAST
+    * duplicate, not the row itself — on this grammar's
+    * order-by-everything discipline peers are full duplicates, so
+    * the output is deterministic while the frame arithmetic is
+    * genuinely exercised. */
+  final case class LastValRangeL(c: Col) extends WinFn
 
   /** Window function over `PARTITION BY partBy ORDER BY <every child
     * column> ASC NULLS FIRST` (round 13, r12 verdict item 4) —
@@ -501,7 +563,7 @@ object Fuzz {
     * pin them). A NULL partition key is ONE partition (grouping
     * equality, like GROUP BY — the opposite of join equality). */
   final case class WindowOp(child: Plan, partBy: Col, fn: WinFn,
-      alias: String) extends Plan {
+      alias: String, nullsLast: Boolean = false) extends Plan {
     def schema: Seq[Field] = child.schema :+ Field(alias, LongT)
   }
 
@@ -599,6 +661,10 @@ object Fuzz {
     case SumDec(x)        => F.sum(F.col(x.name))
     case AvgDecCents(x)   =>
       F.avg((F.col(x.name) * F.lit(100)).cast("bigint"))
+    case SumDistinctL(x)  => F.sum_distinct(F.col(x.name))
+    // no avg_distinct in functions — the expression form plans the
+    // same DISTINCT aggregate
+    case AvgDistinctL(x)  => F.expr(s"avg(DISTINCT ${x.name})")
   }
 
   def toDF(p: Plan, spark: SparkSession, sfDir: String): DataFrame = p match {
@@ -662,10 +728,10 @@ object Fuzz {
       }
       ld.join(rd, ld(lk.name) === rd(rk.name), st)
     case Distinct(c) => toDF(c, spark, sfDir).distinct()
-    case SortLimit(c, n, off) =>
+    case SortLimit(c, n, off, nl) =>
       val df = toDF(c, spark, sfDir)
-      val sorted =
-        df.orderBy(df.columns.map(cn => F.col(cn).asc_nulls_first): _*)
+      val sorted = df.orderBy(df.columns.map(cn =>
+        if (nl) F.col(cn).asc_nulls_last else F.col(cn).asc_nulls_first): _*)
       (if (off > 0) sorted.offset(off) else sorted).limit(n)
     case UnionAll(l, r) =>
       toDF(l, spark, sfDir).unionAll(toDF(r, spark, sfDir))
@@ -677,11 +743,13 @@ object Fuzz {
         case "intersect_all" => ld.intersectAll(rd)
         case "except_all"    => ld.exceptAll(rd)
       }
-    case WindowOp(c, pb, fn, alias) =>
+    case WindowOp(c, pb, fn, alias, nl) =>
       import org.apache.spark.sql.expressions.Window
       val df = toDF(c, spark, sfDir)
       val w = Window.partitionBy(F.col(pb.name))
-        .orderBy(c.schema.map(f => F.col(f.name).asc_nulls_first): _*)
+        .orderBy(c.schema.map(f =>
+          if (nl) F.col(f.name).asc_nulls_last
+          else F.col(f.name).asc_nulls_first): _*)
       val e = fn match {
         case RowNum     => F.row_number().over(w).cast("bigint")
         case RankW      => F.rank().over(w).cast("bigint")
@@ -693,6 +761,12 @@ object Fuzz {
         case LagL(x)    => F.lag(F.col(x.name), 1).over(w)
         case LeadL(x)   => F.lead(F.col(x.name), 1).over(w)
         case NtileW(n)  => F.ntile(n).over(w).cast("bigint")
+        case FirstValL(x) => F.first(F.col(x.name)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case LastValL(x)  => F.last(F.col(x.name)).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        case LastValRangeL(x) => F.last(F.col(x.name)).over(
+          w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
       }
       df.withColumn(alias, e)
   }
@@ -812,6 +886,9 @@ object Fuzz {
     // differs (Spark 25,2 / DuckDB 38,2) — identical as a scale-2 value
     case SumDec(x)        => s"SUM(${x.name})"
     case AvgDecCents(x)   => s"AVG(CAST((${x.name} * 100) AS BIGINT))"
+    // same HUGEINT cast discipline as SumL
+    case SumDistinctL(x)  => s"CAST(SUM(DISTINCT ${x.name}) AS BIGINT)"
+    case AvgDistinctL(x)  => s"AVG(DISTINCT ${x.name})"
   }
 
   def toSql(p: Plan): String = p match {
@@ -884,11 +961,11 @@ object Fuzz {
           s"(${toSql(r)}) jr_ WHERE jl_.${lk.name} = jr_.${rk.name})"
     }
     case Distinct(c) => s"SELECT DISTINCT * FROM (${toSql(c)}) d_"
-    case SortLimit(c, n, off) =>
+    case SortLimit(c, n, off, nl) =>
       // Spark's ASC default is NULLS FIRST; DuckDB's is NULLS LAST —
       // the SQL must say it explicitly or the LIMIT keeps different rows
-      val cols = p.schema.map(f => s"${f.name} ASC NULLS FIRST")
-        .mkString(", ")
+      val dir = if (nl) "ASC NULLS LAST" else "ASC NULLS FIRST"
+      val cols = p.schema.map(f => s"${f.name} $dir").mkString(", ")
       val offSql = if (off > 0) s" OFFSET $off" else ""
       s"SELECT * FROM (${toSql(c)}) s_ ORDER BY $cols LIMIT $n$offSql"
     case UnionAll(l, r) => s"(${toSql(l)}) UNION ALL (${toSql(r)})"
@@ -902,12 +979,12 @@ object Fuzz {
       // set ops match columns by POSITION in SQL; both operands render
       // the same schema by construction, so position = name here
       s"(${toSql(l)}) $kw (${toSql(r)})"
-    case WindowOp(c, pb, fn, alias) =>
-      // NULLS FIRST explicit (Spark ASC default NULLS FIRST, DuckDB
-      // NULLS LAST); BIGINT casts pin Spark's INT row_number/rank and
-      // DuckDB's HUGEINT window SUM to one type
-      val ord = c.schema.map(f => s"${f.name} ASC NULLS FIRST")
-        .mkString(", ")
+    case WindowOp(c, pb, fn, alias, nl) =>
+      // null ordering explicit either way (Spark ASC default NULLS
+      // FIRST, DuckDB NULLS LAST); BIGINT casts pin Spark's INT
+      // row_number/rank and DuckDB's HUGEINT window SUM to one type
+      val dir = if (nl) "ASC NULLS LAST" else "ASC NULLS FIRST"
+      val ord = c.schema.map(f => s"${f.name} $dir").mkString(", ")
       val over = s"OVER (PARTITION BY ${pb.name} ORDER BY $ord"
       val call = fn match {
         case RowNum     => s"CAST(ROW_NUMBER() $over) AS BIGINT)"
@@ -920,6 +997,12 @@ object Fuzz {
         case LagL(x)    => s"LAG(${x.name}, 1) $over)"
         case LeadL(x)   => s"LEAD(${x.name}, 1) $over)"
         case NtileW(n)  => s"CAST(NTILE($n) $over) AS BIGINT)"
+        case FirstValL(x) => s"FIRST_VALUE(${x.name}) $over" +
+          s" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        case LastValL(x)  => s"LAST_VALUE(${x.name}) $over" +
+          s" ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        case LastValRangeL(x) => s"LAST_VALUE(${x.name}) $over" +
+          s" RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
       }
       s"SELECT *, $call AS $alias FROM (${toSql(c)}) w_"
   }
@@ -1057,6 +1140,18 @@ object Fuzz {
     }
   }
 
+  /** [[cmpOpt]] with a chosen null-ordering direction — the fifth
+    * revision's SortLimit/WindowOp NULLS LAST variants sort through
+    * this; equality (0) is direction-independent, so peer tests keep
+    * using [[cmpOpt]]. */
+  private def cmpOptDir(a: Option[Any], b: Option[Any],
+      nullsLast: Boolean): Int = (a, b) match {
+    case (None, None) => 0
+    case (None, _)    => if (nullsLast) 1 else -1
+    case (_, None)    => if (nullsLast) -1 else 1
+    case _            => cmpOpt(a, b)
+  }
+
   private def cmpOpt(a: Option[Any], b: Option[Any]): Int = (a, b) match {
     case (None, None) => 0
     case (None, _)    => -1 // NULLS FIRST
@@ -1111,6 +1206,13 @@ object Fuzz {
           val vs = vals(x).map(Some(_): Option[Any])
           if (vs.isEmpty) None
           else vs.max(Ordering.fromLessThan[Option[Any]](cmpOpt(_, _) < 0))
+        case SumDistinctL(x) =>
+          val vs = vals(x).map(_.asInstanceOf[Long]).distinct
+          if (vs.isEmpty) None else Some(vs.sum)
+        case AvgDistinctL(x) =>
+          val vs = vals(x).map(_.asInstanceOf[Long]).distinct
+          if (vs.isEmpty) None
+          else Some(vs.sum.toDouble / vs.size) // exact below 2^53
       })
     }
 
@@ -1220,10 +1322,11 @@ object Fuzz {
           !lr(lk.name).exists(k => index.contains(k)))
       }
     case Distinct(c) => eval(c, tables).distinct // NULLs collapse (SQL DISTINCT)
-    case SortLimit(c, n, off) =>
+    case SortLimit(c, n, off, nl) =>
       val fields = p.schema.map(_.name)
       eval(c, tables).sortWith { (a, b) =>
-        val it = fields.iterator.map(f => cmpOpt(a(f), b(f))).dropWhile(_ == 0)
+        val it = fields.iterator.map(f => cmpOptDir(a(f), b(f), nl))
+          .dropWhile(_ == 0)
         if (it.hasNext) it.next() < 0 else false
       }.drop(off).take(n) // ANSI: OFFSET applies before LIMIT
     case UnionAll(l, r) => eval(l, tables) ++ eval(r, tables)
@@ -1258,10 +1361,11 @@ object Fuzz {
             if (c > 0) { rc(x) = c - 1; true } else false
           }
       }
-    case WindowOp(c, pb, fn, alias) =>
+    case WindowOp(c, pb, fn, alias, nl) =>
       val fields = c.schema.map(_.name)
       def less(a: Row, b: Row): Boolean = {
-        val it = fields.iterator.map(f => cmpOpt(a(f), b(f))).dropWhile(_ == 0)
+        val it = fields.iterator.map(f => cmpOptDir(a(f), b(f), nl))
+          .dropWhile(_ == 0)
         it.hasNext && it.next() < 0
       }
       // ORDER BY peers: equal on every ordering key (NULLs ordering-
@@ -1338,6 +1442,28 @@ object Fuzz {
             sorted.zipWithIndex.map { case (r, i) =>
               r + (alias -> (Some(bucket(i)): Option[Any]))
             }
+          case FirstValL(x) =>
+            // frame head = partition head for every row (RESPECT NULLS)
+            val v = sorted.head(x.name)
+            sorted.map(_ + (alias -> v))
+          case LastValL(x) =>
+            // frame CURRENT ROW → UNBOUNDED FOLLOWING: last row of the
+            // frame is the partition tail for every row
+            val v = sorted.last(x.name)
+            sorted.map(_ + (alias -> v))
+          case LastValRangeL(x) =>
+            // RANGE CURRENT ROW extends through every peer: the value
+            // is the LAST row of the current peer group
+            var i = 0
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (i < sorted.size) {
+              var j = i
+              while (j < sorted.size && peers(sorted(j), sorted(i))) j += 1
+              val v = sorted(j - 1)(x.name)
+              (i until j).foreach(k => out += (sorted(k) + (alias -> v)))
+              i = j
+            }
+            out.toSeq
         }
       }
   }
@@ -1472,7 +1598,8 @@ object Fuzz {
       val c = Col(f.name, f.tpe)
       val fn: AggFn = f.tpe match {
         case LongT => pick(rnd, Seq(CountStar, CountCol(c),
-          CountDistinct(c), SumL(c), MinA(c), MaxA(c), AvgL(c)))
+          CountDistinct(c), SumL(c), MinA(c), MaxA(c), AvgL(c),
+          SumDistinctL(c), AvgDistinctL(c)))
         case DoubleT => pick(rnd, Seq(CountCol(c), MinA(c), MaxA(c)))
         case DecT => pick(rnd, Seq(CountCol(c), CountDistinct(c),
           SumDec(c), MinA(c), MaxA(c), AvgDecCents(c)))
@@ -1575,7 +1702,10 @@ object Fuzz {
         case 4 => SortLimit(base, pick(rnd, Seq(1, 5, 17, 200)),
           // offset 0 two slots in three (plain LIMIT stays common);
           // 100000 hits the offset-past-input empty-result corner
-          pick(rnd, Seq(0, 0, 3, 20, 100000)))
+          pick(rnd, Seq(0, 0, 3, 20, 100000)),
+          // NULLS LAST one sort in three — both explicit spellings
+          // stay common (revision 5)
+          nullsLast = rnd.nextInt(3) == 0)
         case 5 => UnionAll(base, Filter(base, genPred(rnd, schema)))
         case 6 =>
           // base ∖ σ(base) keeps the rows where the predicate is FALSE
@@ -1598,7 +1728,7 @@ object Fuzz {
             val pb = pick(rnd, parts)
             val longs = schema.filter(_.tpe == LongT)
             def lcol() = Col(pick(rnd, longs).name, LongT)
-            val fn: WinFn = rnd.nextInt(8) match {
+            val fn: WinFn = rnd.nextInt(11) match {
               case 0 => RowNum
               case 1 => RankW
               case 2 => DenseRankW
@@ -1606,9 +1736,13 @@ object Fuzz {
               case 4 => LeadL(lcol())
               case 5 => NtileW(pick(rnd, Seq(2, 3, 5)))
               case 6 => RunSumRangeL(lcol())
+              case 7 => FirstValL(lcol())
+              case 8 => LastValL(lcol())
+              case 9 => LastValRangeL(lcol())
               case _ => RunSumL(lcol())
             }
-            WindowOp(base, Col(pb.name, LongT), fn, s"w$depth")
+            WindowOp(base, Col(pb.name, LongT), fn, s"w$depth",
+              nullsLast = rnd.nextInt(3) == 0)
           }
         case 8 =>
           // GROUP BY ROLLUP/CUBE over 1-2 non-double keys (0 keys would
@@ -1698,10 +1832,10 @@ object Fuzz {
     case Agg(c, _, _)       => Seq(c)
     case Join(l, r, _, _, _) => Seq(l, r)
     case Distinct(c)        => Seq(c)
-    case SortLimit(c, _, _) => Seq(c)
+    case SortLimit(c, _, _, _) => Seq(c)
     case UnionAll(l, r)     => Seq(l, r)
     case SetOp(l, r, _)     => Seq(l, r)
-    case WindowOp(c, _, _, _) => Seq(c)
+    case WindowOp(c, _, _, _, _) => Seq(c)
     case Rollup(c, _, _, _, _) => Seq(c)
     case ScalarFilter(c, _, _, sub, _) => Seq(c, sub)
     case InSub(c, _, sub, _, _) => Seq(c, sub)

@@ -40,6 +40,11 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
   *     right-side sort order wins, so callers pass `rightTiebreak`
   *     columns to make that order total — the declared query breaks
   *     by event_id, matching the window composition bit-for-bit.
+  *   - Directions ([[AsOfDirection]], the pandas `merge_asof`
+  *     matrix): BACKWARD (above), FORWARD (earliest at-or-after,
+  *     ties to the FIRST row in order), NEAREST (closer of the two,
+  *     at-or-before winning exact-distance ties); `toleranceUs`
+  *     bounds the match distance in any direction.
   *
   * 100 TB shape: exactly the two hash exchanges + two sorts a
   * sort-merge join would pay (EnsureRequirements plans them from the
@@ -47,12 +52,23 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
   * fan-in, no window buffer, no struct carry. Keys cluster by the
   * join key so partition counts scale with the data; per-partition
   * state is ONE buffered right row. */
+/** Merge direction (pandas `merge_asof` vocabulary): BACKWARD = latest
+  * right at-or-before (ties → LAST in right sort order), FORWARD =
+  * earliest right at-or-after (ties → FIRST), NEAREST = whichever of
+  * the two is closer in time, the at-or-before side winning exact
+  * distance ties (so an equal-timestamp match always resolves
+  * backward). */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+case object AsOfNearest extends AsOfDirection
+
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression],
-    forward: Boolean,
+    direction: AsOfDirection,
     toleranceUs: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -65,7 +81,7 @@ final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression],
-    forward: Boolean,
+    direction: AsOfDirection,
     toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
@@ -139,9 +155,12 @@ final case class AsOfJoinExec(
       lIt.map { l =>
         val matched =
           if (l.isNullAt(lk) || l.isNullAt(lt)) null // UNKNOWN: no match
-          else if (!forward) {
-            // BACKWARD (latest right with rt <= lt): consume every
-            // qualifying row; the last consumed in sort order wins ties
+          else if (direction != AsOfForward) {
+            // BACKWARD drain (latest right with rt <= lt): consume every
+            // qualifying row; the last consumed in sort order wins ties.
+            // NEAREST shares this drain — it never discards a row with
+            // rt > lt, so the unconsumed head stays available as the
+            // forward candidate.
             val k = l.get(lk, keyDt); val t = l.getLong(lt)
             var r = peek()
             var continue = r != null
@@ -166,10 +185,30 @@ final case class AsOfJoinExec(
             // farther back than the bound (merge_asof semantics — the
             // match is the nearest-at-or-before, never an older one
             // "within" the bound)
-            if (lastMatch != null && keyOrd.compare(lastMatchKey, k) == 0 &&
-                toleranceUs.forall(t - lastMatch.getLong(rt) <= _))
-              lastMatch
-            else null
+            val bwd =
+              if (lastMatch != null && keyOrd.compare(lastMatchKey, k) == 0 &&
+                  toleranceUs.forall(t - lastMatch.getLong(rt) <= _))
+                lastMatch
+              else null
+            if (direction == AsOfBackward) bwd
+            else {
+              // NEAREST: the unconsumed head is the earliest right with
+              // rt > lt (an rt == lt row was consumed backward, where it
+              // wins the 0-distance tie by rule) — compare distances,
+              // at-or-before winning ties
+              val cand = peek()
+              val fwd =
+                if (cand != null && !cand.isNullAt(rk) &&
+                    keyOrd.compare(cand.get(rk, keyDt), k) == 0 &&
+                    !cand.isNullAt(rt) &&
+                    toleranceUs.forall(cand.getLong(rt) - t <= _))
+                  cand
+                else null
+              if (bwd == null) fwd
+              else if (fwd == null) bwd
+              else if (t - bwd.getLong(rt) <= fwd.getLong(rt) - t) bwd
+              else fwd
+            }
           } else {
             // FORWARD (earliest right with rt >= lt): discard rows
             // strictly behind, then the FIRST unconsumed row is the
@@ -212,8 +251,8 @@ final case class AsOfJoinExec(
   * [[graft.GraftExtensions]] via `injectPlannerStrategy`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lkey, rkey, ltime, rtime, tb, fwd, tol) =>
-      AsOfJoinExec(lkey, rkey, ltime, rtime, tb, fwd, tol,
+    case AsOfJoinPlan(l, r, lkey, rkey, ltime, rtime, tb, dir, tol) =>
+      AsOfJoinExec(lkey, rkey, ltime, rtime, tb, dir, tol,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -246,7 +285,17 @@ object AsOf {
       leftTime: String, rightTime: String,
       rightTiebreak: Seq[String] = Nil,
       forward: Boolean = false,
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None): DataFrame =
+    joinDir(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightTiebreak, if (forward) AsOfForward else AsOfBackward,
+      toleranceUs)
+
+  def joinDir(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String],
+      direction: AsOfDirection,
+      toleranceUs: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.col
     // fresh exprIds on the build side (Alias allocates new ids), so a
     // self-join's duplicate attribute ids can't reach the analyzer
@@ -262,7 +311,7 @@ object AsOf {
     val plan = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      rightTiebreak.map(attr(rPlan, _)), forward, toleranceUs)
+      rightTiebreak.map(attr(rPlan, _)), direction, toleranceUs)
     org.apache.spark.sql.GraftDatasetBridge.ofRows(left.sparkSession, plan)
   }
 
@@ -279,4 +328,23 @@ object AsOf {
       rightTiebreak: Seq[String] = Nil): DataFrame =
     join(left, right, leftKey, rightKey, leftTime, rightTime,
       rightTiebreak, forward = true)
+
+  /** NEAREST as-of (round 14 — completing pandas `merge_asof`'s
+    * direction matrix): for each left row, whichever qualifying right
+    * row — latest at-or-before vs earliest at-or-after — is CLOSER in
+    * time, the at-or-before side winning exact-distance ties (an
+    * equal-timestamp match therefore always resolves backward, with
+    * the backward tie rule: LAST in right sort order). `toleranceUs`
+    * bounds BOTH directions. Implementation is the backward merge
+    * drain with the unconsumed build head doubling as the forward
+    * candidate — same zipped single pass, same O(1) state, same
+    * distribution/ordering contract (and therefore the same
+    * zero-exchange story over bucketed layout). */
+  def joinNearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None): DataFrame =
+    joinDir(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightTiebreak, AsOfNearest, toleranceUs)
 }

@@ -12,8 +12,8 @@ object FuzzShapes {
         case Agg(c, k, a) => s"A${k.size}k${a.size}a(${sig(c)})"
         case Join(l, r, jt, _, _) => s"J-$jt(${sig(l)},${sig(r)})"
         case Distinct(c) => s"D(${sig(c)})"
-        case SortLimit(c, n, off) =>
-          s"L$n${if (off > 0) s"o$off" else ""}(${sig(c)})"
+        case SortLimit(c, n, off, nl) =>
+          s"L$n${if (off > 0) s"o$off" else ""}${if (nl) "nl" else ""}(${sig(c)})"
         case UnionAll(l, r) => s"U(${sig(l)},${sig(r)})"
         case SetOp(l, r, op) => s"S-$op(${sig(l)},${sig(r)})"
         case Rollup(c, k, a, _, cube) => s"${if (cube) "C" else "R"}${k.size}k${a.size}a(${sig(c)})"
@@ -21,15 +21,18 @@ object FuzzShapes {
           s"SQ-${col.name}$op(${sig(c)},${sig(sub)})"
         case InSub(c, key, sub, _, neg) =>
           s"IN${if (neg) "!" else ""}-${key.name}(${sig(c)},${sig(sub)})"
-        case WindowOp(c, pb, fn, _) =>
+        case WindowOp(c, pb, fn, _, nl) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"
             case DenseRankW => "dense"; case RunSumL(x) => s"runsum:${x.name}"
             case RunSumRangeL(x) => s"rangesum:${x.name}"
             case LagL(x) => s"lag:${x.name}"; case LeadL(x) => s"lead:${x.name}"
             case NtileW(n) => s"ntile$n"
+            case FirstValL(x) => s"firstval:${x.name}"
+            case LastValL(x) => s"lastval:${x.name}"
+            case LastValRangeL(x) => s"lastvalrange:${x.name}"
           }
-          s"W-$f@${pb.name}(${sig(c)})"
+          s"W-$f${if (nl) "-nl" else ""}@${pb.name}(${sig(c)})"
       }
       println(f"$s%4d ${sig(genPlan(s))}")
     }

@@ -141,6 +141,40 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(fwd(2L) == -1L, "t=45: nothing at-or-after at all")
   }
 
+  test("nearest fixtures: closest side wins, exact-distance ties go backward, tolerance bounds both directions") {
+    import spark.implicits._
+    def probe(rows: (java.lang.Long, java.lang.Long, Long)*) =
+      rows.toDF("k", "t", "pid")
+        .select(col("k"), timestamp_micros(col("t")).as("t"), col("pid"))
+    def build(rows: (java.lang.Long, java.lang.Long, Long)*) =
+      rows.toDF("bk", "bt", "vid")
+        .select(col("bk"), timestamp_micros(col("bt")).as("bt"), col("vid"))
+    // key 1: builds at t=10, 20 (tie pair 200/201), 40
+    val b = build((1L, 10L, 100L), (1L, 20L, 201L), (1L, 20L, 200L),
+      (1L, 40L, 400L), (2L, 5L, 500L), (3L, null, 901L))
+    val l = probe(
+      (1L, 13L, 1L), // 10 is 3 back, 20 is 7 ahead → 10
+      (1L, 16L, 2L), // 10 is 6 back, 20 is 4 ahead → 20 (fwd ties → MIN id 200)
+      (1L, 15L, 3L), // equidistant 5/5 → BACKWARD → 10
+      (1L, 20L, 4L), // exact hit → backward rule → max tiebreak 201
+      (1L, 99L, 5L), // only backward exists → 40
+      (1L, 2L, 6L),  // only forward exists → 10
+      (3L, 50L, 7L)) // null-time build rows never match
+    def run(tol: Option[Long]) =
+      AsOf.joinNearest(l, b, "k", "bk", "t", "bt", Seq("vid"), tol)
+        .select("pid", "vid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+    val got = run(None)
+    assert(got == Map(1L -> 100L, 2L -> 200L, 3L -> 100L, 4L -> 201L,
+      5L -> 400L, 6L -> 100L, 7L -> -1L), got.toString)
+    // tolerance 5: pid=5 (59 back) and pid=6 (8 ahead) fall out; the
+    // equidistant-5 pid=3 stays (bound is inclusive)
+    val tight = run(Some(5L))
+    assert(tight == Map(1L -> 100L, 2L -> 200L, 3L -> 100L, 4L -> 201L,
+      5L -> -1L, 6L -> -1L, 7L -> -1L), tight.toString)
+  }
+
   test("generalized keys: string-keyed merge matches the Long-keyed answer; mismatched/unorderable keys fail at JOIN TIME, not task time") {
     import spark.implicits._
     // same fixture as the backward test, keys mapped through an
