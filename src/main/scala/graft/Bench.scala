@@ -107,8 +107,16 @@ object Bench {
     // with StateDrain hygiene between reps).
     val repSessions =
       sys.env.getOrElse("SPARK_GRAFT_REP_SESSIONS", "1") == "1"
+    // single value = substring match (the historical diagnosis switch);
+    // a comma-separated list = exact names, so one A/B run can carry a
+    // flagged query plus its controls without substring collisions.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) =>
+        only.forall { o =>
+          if (o.contains(",")) o.split(',').map(_.trim).contains(n)
+          else n.contains(o)
+        }
+      }
     val chunks =
       if (restartEvery <= 0) Seq(ordered)
       else ordered.grouped(restartEvery).toSeq

@@ -81,7 +81,7 @@ class GifCodecSpec extends SparkSpec {
     assert(hashes(1L) !== 0L, "a two-tone frame must not hash to the trivial 0")
   }
 
-  test("mm_codec_roundtrip: both real codecs decode to the analytic hash, deterministically") {
+  test("mm_codec_roundtrip: all three real codecs decode to the analytic hash, deterministically") {
     val run1 = Multimodal.queries("mm_codec_roundtrip")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val run2 = Multimodal.queries("mm_codec_roundtrip")(spark, sfDir)
@@ -89,26 +89,29 @@ class GifCodecSpec extends SparkSpec {
     assert(run1.sortBy(_._1).sameElements(run2.sortBy(_._1)),
       "encode→decode→hash must be bit-deterministic")
     val byCodec = run1.groupBy(_._2).view.mapValues(_.length).toMap
-    assert(byCodec.keySet === Set("gif", "png"),
-      "both real codecs must be exercised")
+    assert(byCodec.keySet === Set("gif", "png", "jpeg"),
+      "all three real codecs (incl. the lossy one) must be exercised")
     assert(run1.forall(_._3 >= 0L), "forced-black pixel 31 keeps hashes positive")
     assert(run1.map(_._3).distinct.length > run1.length / 2,
       "hashes must vary with the per-doc bit pattern")
   }
 
   test("mm_frame_dupes_real: planted multi-frame containers pair exactly cross-codec") {
-    // every doc carries 2 frames (even ids: one animated GIF; odd ids:
-    // concatenated PNGs); frame 1's seed is shared within (2k, 2k+1),
-    // so the declared pairs are exactly the adjacent GIF↔PNG pairs —
-    // multi-frame iteration, magic dispatch, packArgb codec-blindness
-    // and the df-capped join all land in this one shape
+    // every doc carries 2 frames (id%3=0: one animated GIF; id%3=1:
+    // concatenated PNGs; id%3=2: concatenated max-quality JPEGs);
+    // frame 1's seed is shared within (2k, 2k+1), and consecutive ids
+    // always differ mod 3, so the declared pairs are exactly the
+    // adjacent CROSS-CODEC pairs, cycling through all three codec
+    // combinations — multi-frame iteration, magic dispatch, packArgb
+    // codec-blindness across the lossy boundary, and the df-capped
+    // join all land in this one shape
     val pairs = Multimodal.queries("mm_frame_dupes_real")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
     assert(pairs.length === (nDocs / 2).toInt,
       s"one pair per (2k, 2k+1): got ${pairs.length} of ${nDocs / 2}")
     assert(pairs.forall { case (a, b, n) => a % 2 == 0 && b == a + 1 && n == 1L },
-      "every pair must be (even GIF doc, odd PNG doc) sharing exactly 1 frame")
+      "every pair must be the adjacent cross-codec pair sharing exactly 1 frame")
   }
 
   test("mixed-codec corpus: frame dedup finds the cross-codec duplicate, thumbnails keep geometry") {
