@@ -289,4 +289,24 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q35_depth_unrolled: equals the native recursion; one shuffle, no UnionLoop") {
+    // the per-job-tax attribution shipped as a capability (r13 verdict
+    // item 6): the bounded-depth unroll must (a) answer exactly the
+    // recursive form's histogram and (b) plan as chained conditional
+    // projections — a single exchange for the final groupBy, no
+    // per-level UnionLoop materialization, no joins
+    val native = Relational.queries("q35_recursive_depth")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val unrolled = Relational.queries("q35_depth_unrolled")(spark, sfDir)
+    val got = unrolled.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === native, s"unrolled diverges from the recursion")
+    val p = unrolled.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("UnionLoop"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"exactly the final-histogram exchange expected:\n$p")
+  }
 }
