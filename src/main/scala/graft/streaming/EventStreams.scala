@@ -391,6 +391,52 @@ object EventStreams {
       .select(col("view_id"), col("v_user").as("user_id"), col("v_ts"))
   }
 
+  /** STREAMING AS-OF JOIN (round 14) — the whole-operator tier's
+    * batch/streaming duality completed from the other side: the batch
+    * engine answers `st_interval_join`'s 1-hour attribution bound the
+    * as-of way (`adv_asof_join_window`, `plans.AsOfJoinExec`), and this
+    * is the SAME question on live streams — per purchase, THE latest
+    * same-user view at-or-before it within the hour, not all of them.
+    *
+    * Spark has no native stream-stream as-of, so the operator is
+    * composed from two chained STATEFUL operators (the multi-stateful
+    * pipeline Spark supports in append mode since 3.5):
+    *
+    *   1. the stream-stream interval join (identical bound to
+    *      [[viewPurchaseAttribution]]) produces the bounded candidate
+    *      set — each side's state holds one hour + lateness per key,
+    *      exactly the interval join's eviction contract;
+    *   2. a TIME-WINDOWED per-purchase argmax (`max(struct(v_ts,
+    *      view_id))` under `window(p_ts, 1 hour)`) reduces candidates
+    *      to the as-of winner — last-in-order tie rule on (v_ts,
+    *      view_id), the batch exec's tie discipline. A purchase lives
+    *      in exactly one tumbling window, so the argmax state is
+    *      per-purchase and the row emits once the watermark passes its
+    *      window end (append mode; the join-side flush sentinels
+    *      advance the final watermark past every real window).
+    *
+    * 100 TB shape: both stateful stores are watermark-bounded (join:
+    * horizon per side; argmax: open windows only), candidates never
+    * leave the shuffle as more than (purchase, winner-so-far) state,
+    * and the output is one row per attributed purchase. */
+  def asofAttribution(views: DataFrame, purchases: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", lateness)
+    v.join(p, expr(
+        """v_user = p_user AND
+           p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"""))
+      .groupBy(window(col("p_ts"), "1 hour"), col("purchase_id"),
+        col("p_user"))
+      .agg(max(struct(col("v_ts"), col("view_id"))).as("best"))
+      .select(col("purchase_id"), col("best.view_id").as("view_id"),
+        col("p_user").as("user_id"))
+  }
+
   /** Idempotent micro-batch sink via foreachBatch: each batch lands in
     * its own `_batch_id=` partition with dynamic partition overwrite, so
     * REPLAYING a batch (failure between sink write and checkpoint

@@ -898,6 +898,90 @@ object StreamParity {
     s.readStream.schema(base.schema).parquet(dir)
   }
 
+  /** [[streamEventsWithJoinSentinels]] + the AS-OF MULTI-CANDIDATE
+    * PLANT: the natural corpus gives every purchase exactly ONE
+    * in-window view (checked at sf0.01 AND sf0.1 — multiplicity
+    * histogram is {1: all}), so `st_asof_join`'s argmax reduction
+    * never has to choose and its oracle would pass even if the query
+    * emitted ALL candidates. This feed makes the selection
+    * hash-visible: per source event with `event_id % 499 = 0`, a
+    * reserved negative user (−event_id−10, below the −1 sentinel user)
+    * gets THREE planted views — two TIED at ts−10 min with different
+    * ids (the tie rule: max view_id must win), one at ts−30 min (the
+    * latest rule: older must lose) — and one purchase at ts. The
+    * oracle replays the plant arithmetic and the ranked join, so a
+    * query that emits all candidates, picks the earliest, or breaks
+    * ties low lands on a different hash. */
+  private[graft] def streamEventsWithAsofPlant(
+      s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    def sent(id: Long, tpe: String): DataFrame = base.limit(1).select(
+      lit(id).as("event_id"),
+      lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+      lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+      lit(0.0).as("value"), lit("").as("props"))
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    val (dir, _) = graft.ResultCache.materializeKeyed(
+      "eventsAsofPlant/499/v1", Seq(base), cacheDir) {
+      val src = base.where(col("event_id") % 499 === 0)
+        .select(col("event_id").as("src_id"), col("ts").as("src_ts"))
+      def mk(idOff: Long, minsBefore: Int, tpe: String): DataFrame = src.select(
+        (col("src_id") * 100 + idOff).as("event_id"),
+        (col("src_ts") - expr(s"INTERVAL $minsBefore MINUTES")).as("ts"),
+        (-col("src_id") - 10L).as("user_id"),
+        lit(tpe).as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+      base
+        .unionByName(mk(11, 10, "view"))  // tie pair, smaller id — must lose
+        .unionByName(mk(12, 10, "view"))  // tie pair, larger id — must win
+        .unionByName(mk(13, 30, "view"))  // older — must lose to the tie pair
+        .unionByName(mk(19, 0, "purchase"))
+        .unionByName(sent(-1L, "view")).unionByName(sent(-2L, "purchase"))
+    }
+    s.readStream.schema(base.schema).parquet(dir)
+  }
+
+  /** The epoch-sliced feed of [[streamEventsEpochsWithSentinel]] with
+    * the PER-SIDE TYPED join sentinels of
+    * [[streamEventsWithJoinSentinels]] as the final file: same
+    * session/join-straddle epoch cuts (cross-batch state provably
+    * exercised), but the flush file carries one 2030 'view' and one
+    * 2030 'purchase' so BOTH watermark columns of a two-input join —
+    * and any stateful operator chained after it — observe the final
+    * advance. The single 'sentinel'-typed row would die at the
+    * per-side `event_type` filters and flush nothing. */
+  private[graft] def streamEventsEpochsWithJoinSentinels(
+      s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    def sent(id: Long, tpe: String): DataFrame = base.limit(1).select(
+      lit(id).as("event_id"),
+      lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+      lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+      lit(0.0).as("value"), lit("").as("props"))
+    val cacheDir =
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
+    var rankHandles: Seq[DataFrame] = Nil
+    val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
+      s"eventsEpochsJoinSentinels/$SessionEpochs/v1", Seq(base), cacheDir) {
+      val bounds = sessionEpochBounds(base)
+      val (ranked0, h) =
+        graft.operators.Ranks.globalRank(base, Seq("ts", "event_id"), "rn")
+      rankHandles = Seq(h)
+      val ranked = ranked0
+        .withColumn("epoch", bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col("rn") >= b, 1).otherwise(0) })
+        .drop("rn")
+      (0 to bounds.length).map(k =>
+        ranked.where(col("epoch") === k).drop("epoch")) :+
+        sent(-1L, "view").unionByName(sent(-2L, "purchase"))
+    }
+    rankHandles.foreach(graft.Checkpoints.drop)
+    s.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
   /** STREAM-STREAM LEFT OUTER interval join
     * ([[EventStreams.viewPurchaseLeftOuter]]): every view emits — its
     * attribution pairs when purchases landed within the following
@@ -1273,7 +1357,72 @@ object StreamParity {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** STREAMING AS-OF JOIN ([[EventStreams.asofAttribution]]) — two
+    * CHAINED stateful operators under one hash gate: the stream-stream
+    * interval join feeding a time-windowed per-purchase argmax, so each
+    * purchase emits exactly its LATEST same-user view within the hour
+    * (ties to max view_id — the batch exec's last-in-order rule). The
+    * argmax rows only emit when the watermark passes their window end,
+    * so this needs [[streamEventsWithJoinSentinels]] (per-side typed
+    * 2030 sentinels) to flush the final windows; the sentinel pair's
+    * own row never emits (its window end is past any watermark) and
+    * the `user_id >= 0` guard drops it anyway. Oracle: the batch
+    * as-of replay — row_number over (v_ts DESC, view_id DESC) = 1 on
+    * the interval-join candidate set. */
+  val asofJoinParity: Q = (s, d) => {
+    val ev = streamEventsWithJoinSentinels(s, d)
+    runToTable(
+      EventStreams.asofAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_asof_join")
+      .where(col("user_id") >= 0)
+      .select("purchase_id", "view_id", "user_id")
+  }
+
+  /** [[asofJoinParity]] under FORCED MULTI-BATCH epoch arrival
+    * ([[streamEventsEpochsWithJoinSentinels]]): a view and the purchase
+    * it wins can land in DIFFERENT micro-batches (one epoch cut is a
+    * JOIN-straddle candidate by construction), and a purchase's argmax
+    * window can receive candidates in one batch and flush in a later
+    * one — BOTH chained state stores carry across batch boundaries.
+    * Intermediate watermark passes flush early windows incrementally;
+    * time-ordered epochs mean no real row is ever late. Shares
+    * `st_asof_join`'s oracle (the answer must be slicing-invariant). */
+  val asofJoinMultiBatchParity: Q = (s, d) => {
+    val ev = streamEventsEpochsWithJoinSentinels(s, d)
+    runToTable(
+      EventStreams.asofAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_asof_join_mb")
+      .where(col("user_id") >= 0)
+      .select("purchase_id", "view_id", "user_id")
+  }
+
+  /** [[asofJoinParity]] over the MULTI-CANDIDATE PLANT
+    * ([[streamEventsWithAsofPlant]]): the natural corpus never gives a
+    * purchase more than one in-window view, so this run is where the
+    * as-of REDUCTION itself is under the hash gate — each planted
+    * purchase has three candidate views (two tied at the latest
+    * timestamp) and must emit exactly the tie-max winner. Keeps the
+    * planted rows (negative users ≤ −10) in the declared answer;
+    * only the −1 sentinel user is dropped. */
+  val asofJoinTieParity: Q = (s, d) => {
+    val ev = streamEventsWithAsofPlant(s, d)
+    runToTable(
+      EventStreams.asofAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_asof_join_tie")
+      .where(col("user_id") =!= -1L)
+      .select("purchase_id", "view_id", "user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_asof_join" -> asofJoinParity,
+    "st_asof_join_mb" -> asofJoinMultiBatchParity,
+    "st_asof_join_tie" -> asofJoinTieParity,
     "st_sessions" -> sessionParity,
     "st_sessions_mb" -> sessionMultiBatchParity,
     "st_sessions_rocksdb" -> sessionRocksDbParity,
@@ -1302,6 +1451,20 @@ object StreamParity {
     "st_contaminated" -> contaminatedParity,
     "st_ewma" -> ewmaParity,
   )
+
+  /** One as-of oracle, shared by the single-file and epoch-sliced
+    * declared runs — the answer must be slicing-invariant. */
+  private val asofJoinOracleSql =
+    """SELECT purchase_id, view_id, user_id FROM (
+         SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY v.ts DESC, v.event_id DESC) AS rk
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+       WHERE rk = 1"""
 
   /** One session oracle, shared by the single-file and epoch-sliced
     * declared runs — the whole point is that slicing can't change it. */
@@ -1516,6 +1679,45 @@ object StreamParity {
            ON v.user_id = p.user_id
           AND v.event_type = 'view' AND p.event_type = 'purchase'
           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
+    // the as-of reduction of the same candidate set: per purchase, the
+    // latest view in the window, ties to max view_id — the batch
+    // exec's last-in-order rule replayed as a ranked join
+    "st_asof_join" -> asofJoinOracleSql,
+    "st_asof_join_mb" -> asofJoinOracleSql,
+    // the plant replayed: same ranked join over base ∪ planted rows
+    // (plant arithmetic mirrored from streamEventsWithAsofPlant); the
+    // rank partitions on (purchase, user) because a planted id
+    // src*100+19 may collide with a real event id
+    "st_asof_join_tie" ->
+      """WITH src AS (
+           SELECT event_id AS src_id, ts AS src_ts FROM events
+           WHERE event_id % 499 = 0),
+         planted AS (
+           SELECT src_id*100+11 AS event_id,
+                  src_ts - INTERVAL 10 MINUTE AS ts,
+                  -src_id-10 AS user_id, 'view' AS event_type FROM src
+           UNION ALL
+           SELECT src_id*100+12, src_ts - INTERVAL 10 MINUTE,
+                  -src_id-10, 'view' FROM src
+           UNION ALL
+           SELECT src_id*100+13, src_ts - INTERVAL 30 MINUTE,
+                  -src_id-10, 'view' FROM src
+           UNION ALL
+           SELECT src_id*100+19, src_ts, -src_id-10, 'purchase' FROM src),
+         all_ev AS (
+           SELECT event_id, ts, user_id, event_type FROM events
+           UNION ALL
+           SELECT event_id, ts, user_id, event_type FROM planted)
+         SELECT purchase_id, view_id, user_id FROM (
+           SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+             p.user_id AS user_id,
+             row_number() OVER (PARTITION BY p.event_id, p.user_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rk
+           FROM all_ev v JOIN all_ev p
+             ON v.user_id = p.user_id
+            AND v.event_type = 'view' AND p.event_type = 'purchase'
+            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+         WHERE rk = 1""",
     // the join drop rule REPLAYED: the plant synthesizes one
     // attribution pair per first-day/last-day source event (view at
     // ts − 30 min, purchase at ts, reserved negative user per pair so

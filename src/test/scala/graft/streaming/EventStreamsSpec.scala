@@ -99,6 +99,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join: latest view wins, ties to max view_id, flush on watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.asofAttribution(views.toDF, purchases.toDF)
+      .writeStream.format("memory").queryName("asofattr").outputMode("append").start()
+    try {
+      // user 1: three candidate views for purchase 20 — 10 (oldest),
+      // 11 and 12 TIED at 10:20 → the as-of winner is 12 (max id);
+      // user 2's view is out of the 1-hour window entirely
+      views.addData(
+        ev(10, "10:00", user = 1), ev(11, "10:20", user = 1),
+        ev(12, "10:20", user = 1), ev(13, "08:00", user = 2))
+      purchases.addData(ev(20, "10:30", user = 1), ev(21, "10:30", user = 2))
+      q.processAllAvailable()
+      // append-mode argmax: nothing emits until the watermark passes
+      // the purchase's window end
+      assert(spark.table("asofattr").count() == 0,
+        "argmax rows must wait for the watermark")
+      views.addData(ev(90, "13:00", user = 9))
+      purchases.addData(ev(91, "13:00", user = 9))
+      q.processAllAvailable()
+      val rows = spark.table("asofattr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((20L, 12L)),
+        s"exactly the tie-max latest view must win; got $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user totals across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
