@@ -69,7 +69,7 @@ object Plans {
     "mm_codec_roundtrip",   // real encode→decode→hash, narrow zero-shuffle pass
     "q01_pricing_summary_orc", // same Q1 plan shape off an ORC scan (pushdown)
     "mm_frame_dupes_real",  // real multi-frame decode → hash → capped pair join
-    "fz_seed70",            // fuzz grammar: null-aware NOT IN at fact scale
+    "fz_seed1350",          // fuzz grammar rev 5: CUBE + SUM(DISTINCT) over a NULLS-LAST LAST_VALUE window
     "st_ewma_ttl",          // bounded-state fold: EventTimeTimeout eviction
     "pl_zorder",            // bit-normalized Morton tiles: 1-row bounds broadcast
     "pl_passage_dedup",     // passage census + fp rejoin + ordered reassembly
@@ -77,6 +77,8 @@ object Plans {
     "adv_asof_join_window", // same exec, tolerance bound: plan identical to native
     "adv_asof_join_bucketed", // same exec over bucketed tables: ZERO exchanges
     "adv_asof_join_nearest",  // nearest direction: one drain serves both sides
+    "q35_depth_unrolled",   // bounded-depth unroll: one job where UnionLoop pays 14
+    "st_asof_join",         // chained stateful: interval join -> windowed argmax
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,
