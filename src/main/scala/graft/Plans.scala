@@ -79,6 +79,7 @@ object Plans {
     "adv_asof_join_nearest",  // nearest direction: one drain serves both sides
     "q35_depth_unrolled",   // bounded-depth unroll: one job where UnionLoop pays 14
     "st_asof_join",         // chained stateful: interval join -> windowed argmax
+    "fz6_seed524",          // fuzz rev 6: semi join with cross-side theta residual (mixed-condition decorrelation)
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,

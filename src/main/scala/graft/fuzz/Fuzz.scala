@@ -139,6 +139,25 @@ import org.apache.spark.sql.{functions => F}
   *     and the direction changes which rows a LIMIT keeps and every
   *     window value whenever NULLs are present.
   *
+  * A SIXTH revision (round 14) changes HOW the grammar grows before
+  * growing it: generation is REVISION-PINNED ([[Fuzz.genPlan(seed:Long,rev:Int)*]]
+  * — every new draw gated on `rev >= 6`, so the rev-5 seed map is
+  * bit-identical forever and declared seeds stop remapping on growth;
+  * the historical re-sweep-everything tax is paid for the last time).
+  * Its feature is the JOIN ON-CLAUSE:
+  *
+  *   - residual ON predicates ([[Fuzz.Join]]`.residual`) — half the
+  *     joins carry an extra ON conjunct drawn over the COMBINED
+  *     schema: cross-side theta comparisons, one-sided clauses,
+  *     IN-lists with NULL members, Kleene connectives. On LEFT/FULL
+  *     this fuzzes the ON-vs-WHERE rule (a predicate in ON
+  *     null-extends the rows it rejects; in WHERE it would drop
+  *     them); on SEMI/ANTI it renders as correlated
+  *     `[NOT] EXISTS (… WHERE fk = pk AND extra)` — the
+  *     mixed-condition decorrelation path; and null-injected residual
+  *     operands put 3VL at the per-pair match site, not just at
+  *     unmatched keys.
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -452,9 +471,26 @@ object Fuzz {
     def schema: Seq[Field] = child.schema
   }
   /** Equality join on an FK pair; `right` columns must be disjoint from
-    * `left`'s (the generator only joins different tables). */
+    * `left`'s (the generator only joins different tables).
+    *
+    * `residual` (round 14, SIXTH grammar revision) is an extra
+    * ON-clause predicate over the COMBINED schema — possibly a
+    * cross-side theta comparison (`l_quantity < s_acctbal`), possibly
+    * one-sided. The full join condition is `lk = rk AND residual`,
+    * with an UNKNOWN residual matching nothing (ANSI). This reaches
+    * the zones the bare equi-join cannot:
+    *   - OUTER joins: a predicate in ON null-extends the rows it
+    *     rejects, where the same predicate in WHERE would drop them —
+    *     the classic ON-vs-WHERE divergence, now fuzzed on LEFT and
+    *     FULL with null-injected keys underneath;
+    *   - SEMI/ANTI: `[NOT] EXISTS (SELECT … WHERE fk = pk AND extra)`
+    *     — the correlated EXISTS with a non-equi conjunct, planned by
+    *     Spark as a mixed-condition semi/anti join;
+    *   - 3VL at the match site: null-injected residual operands make
+    *     per-pair UNKNOWNs, not just unmatched keys. */
   final case class Join(left: Plan, right: Plan, joinType: String,
-      leftKey: Col, rightKey: Col) extends Plan {
+      leftKey: Col, rightKey: Col,
+      residual: Option[Expr] = None) extends Plan {
     def schema: Seq[Field] = joinType match {
       case "semi" | "anti" => left.schema
       case _               => left.schema ++ right.schema
@@ -719,14 +755,20 @@ object Fuzz {
         cd(key.name) === sd(subKey.name) ||
           cd(key.name).isNull || sd(subKey.name).isNull,
         "left_anti")
-    case Join(l, r, jt, lk, rk) =>
+    case Join(l, r, jt, lk, rk, res) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
         case "inner" => "inner"; case "left" => "left_outer"
         case "full" => "full_outer"
         case "semi" => "left_semi"; case "anti" => "left_anti"
       }
-      ld.join(rd, ld(lk.name) === rd(rk.name), st)
+      // the residual renders with UNQUALIFIED refs (colToDF) — sound
+      // because the generator only joins different tables, so the two
+      // schemas are name-disjoint and the join resolves each ref
+      // uniquely across its inputs
+      val cond = res.foldLeft(ld(lk.name) === rd(rk.name))(
+        (c, e) => c && colToDF(e))
+      ld.join(rd, cond, st)
     case Distinct(c) => toDF(c, spark, sfDir).distinct()
     case SortLimit(c, n, off, nl) =>
       val df = toDF(c, spark, sfDir)
@@ -943,23 +985,30 @@ object Fuzz {
       s"SELECT * FROM (${toSql(c)}) in_ WHERE ${key.name} " +
         s"${if (neg) "NOT IN" else "IN"} " +
         s"(SELECT ${subKey.name} FROM (${toSql(sub)}) ins_)"
-    case Join(l, r, jt, lk, rk) => jt match {
-      case "inner" =>
-        s"SELECT * FROM (${toSql(l)}) jl_ JOIN (${toSql(r)}) jr_ " +
-          s"ON jl_.${lk.name} = jr_.${rk.name}"
-      case "left" =>
-        s"SELECT * FROM (${toSql(l)}) jl_ LEFT JOIN (${toSql(r)}) jr_ " +
-          s"ON jl_.${lk.name} = jr_.${rk.name}"
-      case "full" =>
-        s"SELECT * FROM (${toSql(l)}) jl_ FULL JOIN (${toSql(r)}) jr_ " +
-          s"ON jl_.${lk.name} = jr_.${rk.name}"
-      case "semi" =>
-        s"SELECT * FROM (${toSql(l)}) jl_ WHERE EXISTS (SELECT 1 FROM " +
-          s"(${toSql(r)}) jr_ WHERE jl_.${lk.name} = jr_.${rk.name})"
-      case "anti" =>
-        s"SELECT * FROM (${toSql(l)}) jl_ WHERE NOT EXISTS (SELECT 1 FROM " +
-          s"(${toSql(r)}) jr_ WHERE jl_.${lk.name} = jr_.${rk.name})"
-    }
+    case Join(l, r, jt, lk, rk, res) =>
+      // unqualified residual refs resolve uniquely (name-disjoint
+      // sides); in the semi/anti EXISTS spelling the outer row's
+      // columns are correlated references — the correlated EXISTS
+      // with a non-equi conjunct, which Spark and DuckDB must each
+      // decorrelate to the same mixed-condition semi/anti join
+      val extra = res.fold("")(e => s" AND (${exprToSql(e)})")
+      jt match {
+        case "inner" =>
+          s"SELECT * FROM (${toSql(l)}) jl_ JOIN (${toSql(r)}) jr_ " +
+            s"ON jl_.${lk.name} = jr_.${rk.name}$extra"
+        case "left" =>
+          s"SELECT * FROM (${toSql(l)}) jl_ LEFT JOIN (${toSql(r)}) jr_ " +
+            s"ON jl_.${lk.name} = jr_.${rk.name}$extra"
+        case "full" =>
+          s"SELECT * FROM (${toSql(l)}) jl_ FULL JOIN (${toSql(r)}) jr_ " +
+            s"ON jl_.${lk.name} = jr_.${rk.name}$extra"
+        case "semi" =>
+          s"SELECT * FROM (${toSql(l)}) jl_ WHERE EXISTS (SELECT 1 FROM " +
+            s"(${toSql(r)}) jr_ WHERE jl_.${lk.name} = jr_.${rk.name}$extra)"
+        case "anti" =>
+          s"SELECT * FROM (${toSql(l)}) jl_ WHERE NOT EXISTS (SELECT 1 FROM " +
+            s"(${toSql(r)}) jr_ WHERE jl_.${lk.name} = jr_.${rk.name}$extra)"
+      }
     case Distinct(c) => s"SELECT DISTINCT * FROM (${toSql(c)}) d_"
     case SortLimit(c, n, off, nl) =>
       // Spark's ASC default is NULLS FIRST; DuckDB's is NULLS LAST —
@@ -1280,19 +1329,27 @@ object Fuzz {
         }
         (if (neg) in.map(!_) else in).contains(true)
       }
-    case Join(l, r, jt, lk, rk) =>
+    case Join(l, r, jt, lk, rk, res) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
       val index: Map[Any, Seq[Row]] =
         rrows.flatMap(rr => rr(rk.name).map(_ -> rr))
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      // the ON condition beyond key equality: a pair matches iff the
+      // residual is TRUE on the combined row (UNKNOWN/FALSE = no
+      // match) — the filtered match set decides null-extension, so a
+      // left row whose only key-equal partners fail the residual IS
+      // null-extended (ON-vs-WHERE semantics)
+      def resOk(lr: Row, rr: Row): Boolean =
+        res.forall(e => evalExpr(e, lr ++ rr).contains(true))
       jt match {
         case "inner" => lrows.flatMap { lr =>
           lr(lk.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
-            .map(rr => lr ++ rr)
+            .filter(rr => resOk(lr, rr)).map(rr => lr ++ rr)
         }
         case "left" => lrows.flatMap { lr =>
           val matches = lr(lk.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+            .filter(rr => resOk(lr, rr))
           if (matches.isEmpty)
             Seq(lr ++ r.schema.map(f => f.name -> (None: Option[Any])))
           else matches.map(rr => lr ++ rr)
@@ -1300,7 +1357,8 @@ object Fuzz {
         case "full" =>
           // left-join pass, tracking which right rows matched; unmatched
           // right rows (including NULL-keyed ones — ANSI equality never
-          // matches them) come back left-null-extended
+          // matches them — and residual-rejected ones) come back
+          // left-null-extended
           val rIndexed = rrows.zipWithIndex
           val idx: Map[Any, Seq[(Row, Int)]] =
             rIndexed.flatMap { case (rr, i) => rr(rk.name).map(_ -> (rr, i)) }
@@ -1308,6 +1366,7 @@ object Fuzz {
           val hit = scala.collection.mutable.BitSet.empty
           val leftPart = lrows.flatMap { lr =>
             val ms = lr(lk.name).toSeq.flatMap(k => idx.getOrElse(k, Nil))
+              .filter { case (rr, _) => resOk(lr, rr) }
             if (ms.isEmpty)
               Seq(lr ++ r.schema.map(f => f.name -> (None: Option[Any])))
             else ms.map { case (rr, i) => hit += i; lr ++ rr }
@@ -1317,9 +1376,11 @@ object Fuzz {
             case (rr, i) if !hit.contains(i) => lNulls ++ rr
           }
         case "semi" => lrows.filter(lr =>
-          lr(lk.name).exists(k => index.contains(k)))
+          lr(lk.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+            .exists(rr => resOk(lr, rr)))
         case "anti" => lrows.filter(lr =>
-          !lr(lk.name).exists(k => index.contains(k)))
+          !lr(lk.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+            .exists(rr => resOk(lr, rr)))
       }
     case Distinct(c) => eval(c, tables).distinct // NULLs collapse (SQL DISTINCT)
     case SortLimit(c, n, off, nl) =>
@@ -1491,9 +1552,26 @@ object Fuzz {
   /** Deterministic seeded plan generation (java.util.Random's LCG is
     * spec-pinned, so a seed names the same plan forever — fixed seeds
     * become declared `fz_*` queries; the spec sweeps seed ranges). */
-  def genPlan(seed: Long): Plan = {
+  /** The latest grammar revision [[genPlan(seed:Long,rev:Int)*]]
+    * accepts. Sweeps and new declared seeds use this; previously
+    * declared seeds PIN their revision instead. */
+  val LatestRev = 6
+
+  /** REVISION-PINNED generation (round 14): up to revision 5 the
+    * grammar grew IN PLACE, so every extension shifted
+    * java.util.Random's draw stream and remapped EVERY seed — each
+    * revision forced a full re-sweep and a re-pick of the declared
+    * seeds. From revision 6 on, growth is ADDITIVE behind `rev`:
+    * every new draw is gated on `rev >= 6`, so `genPlan(s, 5)` makes
+    * BIT-IDENTICAL draws to the pre-revision generator and the
+    * revision-5 declared seeds (`fz_seed*`) stay valid forever;
+    * revision-6 seeds are a separate namespace (`fz6_seed*`). The
+    * no-arg overload stays the revision-5 map. */
+  def genPlan(seed: Long): Plan = genPlan(seed, 5)
+
+  def genPlan(seed: Long, rev: Int): Plan = {
     val rnd = new scala.util.Random(seed)
-    val base = genJoinOrScan(rnd)
+    val base = genJoinOrScan(rnd, rev)
     genTransforms(rnd, base, depth = 1 + rnd.nextInt(3))
   }
 
@@ -1571,8 +1649,14 @@ object Fuzz {
   }
 
   /** Join base: an FK pair with shallow children (scan + optional
-    * filter + optional null-injected key), or a plain scan. */
-  private def genJoinOrScan(rnd: scala.util.Random): Plan = {
+    * filter + optional null-injected key), or a plain scan. Revision 6
+    * adds a residual ON predicate to half the joins — drawn over the
+    * COMBINED schema, so cross-side theta clauses, one-sided clauses,
+    * IN-lists with NULL members, and Kleene connectives all land
+    * inside the ON condition. The residual draws are strictly AFTER
+    * every rev-5 draw and gated on `rev >= 6`, preserving the rev-5
+    * seed map bit-for-bit. */
+  private def genJoinOrScan(rnd: scala.util.Random, rev: Int): Plan = {
     def withFilter(p: Plan): Plan =
       if (rnd.nextBoolean()) Filter(p, genPred(rnd, p.schema)) else p
     if (rnd.nextInt(3) == 0) {
@@ -1580,8 +1664,12 @@ object Fuzz {
       val left = genNullInject(rnd, withFilter(Scan(ft)))
       val right = withFilter(Scan(dt))
       val jt = pick(rnd, Seq("inner", "left", "full", "semi", "anti"))
+      val residual =
+        if (rev >= 6 && rnd.nextBoolean())
+          Some(genPred(rnd, left.schema ++ right.schema))
+        else None
       Join(left, right, jt,
-        Col(fk, LongT), Col(pk, LongT))
+        Col(fk, LongT), Col(pk, LongT), residual)
     } else genNullInject(rnd, withFilter(Scan(pick(rnd, catalog.keys.toSeq.sorted))))
   }
 
@@ -1830,7 +1918,10 @@ object Fuzz {
     case Filter(c, _)       => Seq(c)
     case Project(c, _)      => Seq(c)
     case Agg(c, _, _)       => Seq(c)
-    case Join(l, r, _, _, _) => Seq(l, r)
+    case j @ Join(l, r, _, _, _, res) =>
+      // residual-stripped variant first: isolates whether the failure
+      // is the ON-condition semantics or the bare equi-join
+      res.map(_ => j.copy(residual = None)).toSeq ++ Seq(l, r)
     case Distinct(c)        => Seq(c)
     case SortLimit(c, _, _, _) => Seq(c)
     case UnionAll(l, r)     => Seq(l, r)

@@ -80,11 +80,64 @@ object FuzzQueries {
 
   private def name(seed: Long): String = s"fz_seed$seed"
 
+  /** Revision-6 declared seeds (`fz6_seed*` — their own namespace:
+    * from revision 6 on the grammar grows ADDITIVELY behind
+    * `genPlan(seed, rev)`, so these pin rev 6 and the `fz_seed*`
+    * picks above pin rev 5, and NEITHER set ever remaps again).
+    * Chosen from the rev-6 1500-seed DuckDB sweep (1498/1500 agree;
+    * the two disagreements are the already-pinned Spark and DuckDB
+    * optimizer bugs resurfacing under the new map) so each carries a
+    * residual ON predicate with non-trivial output, covering all
+    * five join types:
+    *
+    *   - 17:   LEFT join lineitem⋈part with residual
+    *           `p_partkey IS NOT NULL` in ON — the pure ON-vs-WHERE
+    *           case (rows rejected by the residual are null-extended,
+    *           not dropped) over null-injected keys (6000 rows);
+    *   - 92:   EXCEPT ALL of a FULL OUTER lineitem⋈part with the
+    *           cross-side residual `l_partkey <> l_linenumber AND
+    *           p_brand >= 'P'` against a filtered copy — multiset
+    *           arithmetic over both-sides null-extension (6198 rows);
+    *   - 135:  NOT IN over a LEFT join whose ON carries
+    *           `l_shipdate IS NOT NULL`, compared by a scalar
+    *           subquery — null-aware membership stacked on the
+    *           residual null-extension rule (2404 rows);
+    *   - 212:  ANTI join lineitem▷supplier with a Kleene residual
+    *           (`(s_acctbal IS NULL AND NOT s_name >= …) OR
+    *           s_suppkey IS NOT NULL`) — the correlated
+    *           `NOT EXISTS (… AND extra)` mixed-condition
+    *           decorrelation — feeding a LEAD window (5383 rows);
+    *   - 524:  SEMI join lineitem⋉part whose EXISTS carries the
+    *           cross-side theta `l_partkey < p_partkey OR …` —
+    *           per-pair 3VL at the match site (2772 rows);
+    *   - 643:  UNION of DISTINCT + scalar-subquery comparisons over
+    *           an INNER join whose residual holds IN-lists with a
+    *           NULL member (`l_partkey NOT IN (100, 1, NULL)`) —
+    *           3VL list membership inside ON at fact scale
+    *           (12000 rows);
+    *   - 919:  2-key CUBE over a FULL OUTER lineitem⋈supplier with
+    *           residual `l_discount <> 0.05 OR l_partkey IS NULL` —
+    *           grouping-set lattice over residual-rejected
+    *           null-extended rows (7122 rows);
+    *   - 1227: INNER join with one-sided residual `s_name <= '' OR
+    *           l_tax IS NOT NULL` under a cross-side theta WHERE
+    *           (`l_returnflag < s_name AND NOT s_nationkey <=
+    *           l_suppkey`) — ON-vs-WHERE equivalence on INNER, where
+    *           the two placements must agree (3803 rows). */
+  private val seedsR6: Seq[Long] =
+    Seq(17L, 92L, 135L, 212L, 524L, 643L, 919L, 1227L)
+
+  private def nameR6(seed: Long): String = s"fz6_seed$seed"
+
   val queries: Map[String, Q] = seeds.map { s =>
     name(s) -> ((spark: SparkSession, d: String) =>
       Fuzz.toDFOut(Fuzz.genPlan(s), spark, d))
+  }.toMap ++ seedsR6.map { s =>
+    nameR6(s) -> (((spark: SparkSession, d: String) =>
+      Fuzz.toDFOut(Fuzz.genPlan(s, 6), spark, d)): Q)
   }.toMap
 
   val oracle: Map[String, String] =
-    seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s))).toMap
+    seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s))).toMap ++
+      seedsR6.map(s => nameR6(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 6))).toMap
 }

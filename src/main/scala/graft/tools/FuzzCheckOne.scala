@@ -7,18 +7,24 @@ package graft.tools
 object FuzzCheckOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val seeds = args.tail.map(_.toLong)
+    // seeds may carry a revision suffix "seed@rev" (default LatestRev)
+    val seeds = args.tail.map { a =>
+      a.split('@') match {
+        case Array(s, r) => (s.toLong, r.toInt)
+        case Array(s)    => (s.toLong, graft.fuzz.Fuzz.LatestRev)
+      }
+    }
     val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("WARN")
     import graft.fuzz.Fuzz
     val tables = Fuzz.loadTables(spark, sfDir)
-    seeds.foreach { seed =>
-      val p = Fuzz.genPlan(seed)
+    seeds.foreach { case (seed, rev) =>
+      val p = Fuzz.genPlan(seed, rev)
       val got = Fuzz.canonSpark(Fuzz.toDF(p, spark, sfDir))
       val exp = Fuzz.canonRef(Fuzz.eval(p, tables), p.schema)
-      if (got == exp) println(s"[fuzzcheck] seed $seed AGREE rows=${got.size}")
+      if (got == exp) println(s"[fuzzcheck] seed $seed@r$rev AGREE rows=${got.size}")
       else {
-        println(s"[fuzzcheck] seed $seed DIFFER spark=${got.size} ref=${exp.size}")
+        println(s"[fuzzcheck] seed $seed@r$rev DIFFER spark=${got.size} ref=${exp.size}")
         println(Fuzz.toSql(p))
       }
     }

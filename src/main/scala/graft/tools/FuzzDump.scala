@@ -9,11 +9,14 @@ import java.nio.file.{Files, Paths}
   * declared `fz_*` queries. */
 object FuzzDump {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, fromS, toS) = args
+    val (sfDir, outDir, fromS, toS) = (args(0), args(1), args(2), args(3))
+    // optional 5th arg: grammar revision (default LatestRev — sweeps
+    // always run the newest grammar; pinned seeds name their own)
+    val rev = if (args.length > 4) args(4).toInt else graft.fuzz.Fuzz.LatestRev
     val spark = graft.GraftSession.local(8)
     new java.io.File(outDir).mkdirs()
     val sqls = (fromS.toLong to toS.toLong).flatMap { seed =>
-      val p = graft.fuzz.Fuzz.genPlan(seed)
+      val p = graft.fuzz.Fuzz.genPlan(seed, rev)
       val name = f"fz_s$seed%04d"
       try {
         // the Out variants: DECIMAL result columns normalized to DOUBLE

@@ -1,16 +1,19 @@
 package graft.tools
 
-/** Dev tool: print the structural signature of a fuzz seed range. */
+/** Dev tool: print the structural signature of a fuzz seed range.
+  * Optional third arg = grammar revision (default [[Fuzz.LatestRev]]). */
 object FuzzShapes {
   def main(args: Array[String]): Unit = {
     import graft.fuzz.Fuzz._
+    val rev = if (args.length > 2) args(2).toInt else LatestRev
     (args(0).toLong to args(1).toLong).foreach { s =>
       def sig(pl: Plan): String = pl match {
         case Scan(t) => t
         case Filter(c, _) => s"F(${sig(c)})"
         case Project(c, _) => s"P(${sig(c)})"
         case Agg(c, k, a) => s"A${k.size}k${a.size}a(${sig(c)})"
-        case Join(l, r, jt, _, _) => s"J-$jt(${sig(l)},${sig(r)})"
+        case Join(l, r, jt, _, _, res) =>
+          s"J-$jt${if (res.isDefined) "+res" else ""}(${sig(l)},${sig(r)})"
         case Distinct(c) => s"D(${sig(c)})"
         case SortLimit(c, n, off, nl) =>
           s"L$n${if (off > 0) s"o$off" else ""}${if (nl) "nl" else ""}(${sig(c)})"
@@ -34,7 +37,7 @@ object FuzzShapes {
           }
           s"W-$f${if (nl) "-nl" else ""}@${pb.name}(${sig(c)})"
       }
-      println(f"$s%4d ${sig(genPlan(s))}")
+      println(f"$s%4d ${sig(genPlan(s, rev))}")
     }
   }
 }

@@ -54,6 +54,26 @@ class FuzzQuerySpec extends SparkSpec {
     }
   }
 
+  test("differential fuzz, grammar revision 6: 400 seeded plans with residual ON predicates agree") {
+    // revision 6 is ADDITIVE (Fuzz.genPlan(seed, rev)): the rev-5 map
+    // above stays pinned; this sweep draws the NEW map, where half the
+    // joins carry a residual ON predicate over the combined schema —
+    // outer-join ON-vs-WHERE null-extension, correlated EXISTS with
+    // non-equi conjuncts, and per-pair 3VL at the match site
+    val failures = (1L to 400L).flatMap { seed =>
+      val p = Fuzz.genPlan(seed, 6)
+      check(p).map(msg => (seed, p, msg))
+    }
+    if (failures.nonEmpty) {
+      val (seed, p, msg) = failures.head
+      val m = minimize(p)
+      fail(
+        s"${failures.size} failing rev-6 seed(s); first = $seed\n$msg\n" +
+          s"minimal failing subplan:\n$m\n" +
+          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
+    }
+  }
+
   test("three-way differential: the rendered SQL through Spark's OWN parser agrees with the interpreter") {
     // Round 13 (r12 verdict item 3): toSql was written for DuckDB, and
     // the DataFrame rendering is what the driver gate executes — so the
@@ -70,16 +90,21 @@ class FuzzQuerySpec extends SparkSpec {
     Fuzz.catalog.keys.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed)
-      val sql = Fuzz.toSql(p)
-      val got =
-        try Fuzz.canonSpark(spark.sql(sql))
-        catch { case scala.util.control.NonFatal(e) =>
-          fail(s"seed $seed failed to parse/execute via spark.sql: $e\n$sql") }
-      val exp = Fuzz.canonRef(Fuzz.eval(p, tables), p.schema)
-      if (got == exp) None
-      else Some((seed, sql, got.size, exp.size))
+    // both grammar maps through the SQL frontend: the pinned rev-5
+    // stream plus the rev-6 stream with residual ON predicates (the
+    // correlated-EXISTS spelling must decorrelate identically)
+    val failures = Seq(5, 6).flatMap { rev =>
+      (1L to 400L).flatMap { seed =>
+        val p = Fuzz.genPlan(seed, rev)
+        val sql = Fuzz.toSql(p)
+        val got =
+          try Fuzz.canonSpark(spark.sql(sql))
+          catch { case scala.util.control.NonFatal(e) =>
+            fail(s"seed $seed@r$rev failed to parse/execute via spark.sql: $e\n$sql") }
+        val exp = Fuzz.canonRef(Fuzz.eval(p, tables), p.schema)
+        if (got == exp) None
+        else Some((s"$seed@r$rev", sql, got.size, exp.size))
+      }
     }
     if (failures.nonEmpty)
       fail(s"${failures.size} SQL-frontend disagreement(s); first: ${failures.head}")
