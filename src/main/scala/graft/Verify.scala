@@ -10,12 +10,13 @@ object Verify {
     val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=<substring> restricts the dump for fast local
-    // single-query oracle checks (mirrors Bench); the driver sets no
-    // env and always dumps everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // SPARK_GRAFT_ONLY=<substr>[,<substr>...] restricts the dump for
+    // fast local oracle checks (same comma-list contract as Bench —
+    // keep a name if ANY listed substring matches); the driver sets
+    // no env and always dumps everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1400,6 +1400,29 @@ object StreamParity {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** [[asofJoinMultiBatchParity]] under the ROCKSDB provider with
+    * CHANGELOG checkpointing — the CHAINED-state case the provider
+    * rows above don't cover: `st_sessions_rocksdb` proves the provider
+    * on AGGREGATION state and `st_interval_join_rocksdb` on JOIN
+    * state, but the streaming as-of runs BOTH shapes in one query
+    * (the interval join's four per-side stores feeding the windowed
+    * argmax's store), with rows flowing store→store across the same
+    * epoch-sliced batch boundaries. One run proves the provider swap
+    * and changelog mode compose across a chained stateful pipeline —
+    * engagement required, same slicing-invariant oracle. */
+  val asofJoinRocksDbParity: Q = (s, d) => {
+    val ev = streamEventsEpochsWithJoinSentinels(s, d)
+    runUnderRocksDb(s,
+      EventStreams.asofAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase")),
+      "st_asof_join_rocksdb",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")
+      .where(col("user_id") >= 0)
+      .select("purchase_id", "view_id", "user_id")
+  }
+
   /** [[asofJoinParity]] over the MULTI-CANDIDATE PLANT
     * ([[streamEventsWithAsofPlant]]): the natural corpus never gives a
     * purchase more than one in-window view, so this run is where the
@@ -1422,6 +1445,7 @@ object StreamParity {
   val queries: Map[String, Q] = Map(
     "st_asof_join" -> asofJoinParity,
     "st_asof_join_mb" -> asofJoinMultiBatchParity,
+    "st_asof_join_rocksdb" -> asofJoinRocksDbParity,
     "st_asof_join_tie" -> asofJoinTieParity,
     "st_sessions" -> sessionParity,
     "st_sessions_mb" -> sessionMultiBatchParity,
@@ -1684,6 +1708,9 @@ object StreamParity {
     // exec's last-in-order rule replayed as a ranked join
     "st_asof_join" -> asofJoinOracleSql,
     "st_asof_join_mb" -> asofJoinOracleSql,
+    // provider + changelog under the CHAINED pipeline: an execution
+    // knob, never a semantics knob — same slicing-invariant oracle
+    "st_asof_join_rocksdb" -> asofJoinOracleSql,
     // the plant replayed: same ranked join over base ∪ planted rows
     // (plant arithmetic mirrored from streamEventsWithAsofPlant); the
     // rank partitions on (purchase, user) because a planted id
