@@ -158,6 +158,24 @@ import org.apache.spark.sql.{functions => F}
   *     operands put 3VL at the per-pair match site, not just at
   *     unmatched keys.
   *
+  * A SEVENTH revision (round 14, additive behind `rev >= 7`) adds the
+  * CORRELATED SCALAR SUBQUERY in the SELECT list ([[Fuzz.CorrScalar]]):
+  * `SELECT child.*, (SELECT agg(v) FROM dim WHERE dim.k = child.key)`.
+  * The per-row empty correlated slice splits COUNT (0) from
+  * SUM/MIN/MAX (NULL) — the classic decorrelation "COUNT bug" zone —
+  * and the three renderings take three genuinely different routes:
+  * hand-decorrelated aggregate + LEFT OUTER join + explicit
+  * `coalesce(_, 0)` on the DataFrame side, each SQL engine's own
+  * decorrelation framework on the literal correlated text, and naive
+  * per-row evaluation in the interpreter. Its very first three-way
+  * run caught a THIRD engine bug for the collection: Spark 4.1.2's
+  * frontend CRASHES (internal `NoSuchElementException: key not
+  * found`) decorrelating a scalar subquery over a bare UNION ALL or
+  * inside an INTERSECT ALL / EXCEPT ALL branch — adjudicated
+  * (DataFrame form + DuckDB + interpreter all agree) and pinned
+  * fixed-on-upgrade in `FuzzQuerySpec`; see
+  * [[corrScalarOverUnion]] / [[containsCorrScalar]].
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -470,6 +488,34 @@ object Fuzz {
       negated: Boolean) extends Plan {
     def schema: Seq[Field] = child.schema
   }
+  /** CORRELATED scalar subquery in the SELECT list (round 14, SEVENTH
+    * grammar revision): `SELECT child.*, (SELECT agg(v) FROM sub
+    * WHERE sub.k = child.key) AS alias`. The correlation is an
+    * equality on a generator-unique sub key, the subquery body is a
+    * global aggregate — so the scalar is total (exactly one value per
+    * outer row) and the EMPTY-GROUP rule is exercised PER ROW, not
+    * once: COUNT over the empty correlated slice is 0 where
+    * SUM/MIN/MAX are NULL. That per-row 0-vs-NULL split is the
+    * classic decorrelation defect zone (the "COUNT bug" of
+    * Kim-style unnesting): engines rewrite the subquery into an
+    * aggregate-then-outer-join, and a rewrite that forgets the
+    * null→0 repair on unmatched rows silently corrupts every COUNT.
+    * The three renderings attack it from genuinely different routes:
+    * the DataFrame side hand-decorrelates (key-grouped aggregate +
+    * LEFT OUTER join + an explicit `coalesce(_, 0)` exactly on the
+    * COUNT shapes), `spark.sql`/DuckDB plan the literal correlated
+    * text through their own decorrelation frameworks, and the
+    * interpreter evaluates naively per outer row. A NULL outer key
+    * makes the correlation predicate UNKNOWN for every sub row —
+    * the empty slice again (COUNT 0, not NULL), which the left join
+    * reproduces because a NULL join key matches nothing. `sub`
+    * always projects to the generator-unique pair (`subKey`,
+    * `subVal`), so neither join side can collide with a child
+    * column. */
+  final case class CorrScalar(child: Plan, key: Col, sub: Plan,
+      subKey: Col, subVal: Col, agg: AggFn, alias: String) extends Plan {
+    def schema: Seq[Field] = child.schema :+ Field(alias, aggOutType(agg))
+  }
   /** Equality join on an FK pair; `right` columns must be disjoint from
     * `left`'s (the generator only joins different tables).
     *
@@ -755,6 +801,26 @@ object Fuzz {
         cd(key.name) === sd(subKey.name) ||
           cd(key.name).isNull || sd(subKey.name).isNull,
         "left_anti")
+    case CorrScalar(c, key, sub, subKey, _, agg, alias) =>
+      val cd = toDF(c, spark, sfDir)
+      val sd = toDF(sub, spark, sfDir)
+      // the hand-decorrelated spelling: aggregate the sub side per
+      // correlation key, LEFT OUTER join it back, repair the COUNT
+      // shapes' unmatched rows to 0 (the COUNT-bug repair the engine
+      // decorrelators must also perform). NULL sub keys can never
+      // satisfy the equality, and the join drops them symmetrically.
+      val grouped = sd.where(F.col(subKey.name).isNotNull)
+        .groupBy(F.col(subKey.name))
+        .agg(aggToColumn(agg).as(alias))
+      val isCount = agg match {
+        case CountStar | CountCol(_) | CountDistinct(_) => true
+        case _                                          => false
+      }
+      val joined =
+        cd.join(grouped, cd(key.name) === grouped(subKey.name), "left_outer")
+      val sv = if (isCount) F.coalesce(F.col(alias), F.lit(0L))
+               else F.col(alias)
+      joined.select(c.schema.map(f => cd(f.name)) :+ sv.as(alias): _*)
     case Join(l, r, jt, lk, rk, res) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
@@ -985,6 +1051,25 @@ object Fuzz {
       s"SELECT * FROM (${toSql(c)}) in_ WHERE ${key.name} " +
         s"${if (neg) "NOT IN" else "IN"} " +
         s"(SELECT ${subKey.name} FROM (${toSql(sub)}) ins_)"
+    case CorrScalar(c, key, sub, subKey, _, agg, alias) =>
+      // the literal correlated text — each SQL engine runs it through
+      // its own decorrelation framework (Spark: DecorrelateInnerQuery
+      // + RewriteCorrelatedScalarSubquery with the count-bug repair
+      // projection; DuckDB: its general unnesting), both of which must
+      // agree with the hand-decorrelated DataFrame spelling above.
+      // Table aliases derive from the node's generator-unique column
+      // alias: STACKED CorrScalar nodes nest one correlated query
+      // inside another, and a shared alias would make the inner
+      // correlated reference ambiguous-by-shadowing to a human reader
+      // (engines resolve it innermost-first, but there is no reason
+      // to stress that rule here — the subquery semantics are the
+      // target, not scoping)
+      val co = s"co_$alias"
+      val cs = s"cs_$alias"
+      val aggSql = aggToSql(agg)
+      s"SELECT $co.*, (SELECT $aggSql FROM (${toSql(sub)}) $cs " +
+        s"WHERE $cs.${subKey.name} = $co.${key.name}) AS $alias " +
+        s"FROM (${toSql(c)}) $co"
     case Join(l, r, jt, lk, rk, res) =>
       // unqualified residual refs resolve uniquely (name-disjoint
       // sides); in the semi/anti EXISTS spelling the outer row's
@@ -1329,6 +1414,19 @@ object Fuzz {
         }
         (if (neg) in.map(!_) else in).contains(true)
       }
+    case CorrScalar(c, key, sub, subKey, _, agg, alias) =>
+      // naive per-outer-row evaluation: the correlated slice is the
+      // sub rows whose (non-NULL) key equals the outer (non-NULL)
+      // key; evalAggs applies the ANSI empty-group rule (COUNT 0,
+      // everything else NULL) — per row
+      val srows = eval(sub, tables)
+      val index: Map[Any, Seq[Row]] =
+        srows.flatMap(sr => sr(subKey.name).map(_ -> sr))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      eval(c, tables).map { r =>
+        val slice = r(key.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+        r + (alias -> evalAggs(Seq(alias -> agg), slice).head._2)
+      }
     case Join(l, r, jt, lk, rk, res) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
@@ -1555,7 +1653,7 @@ object Fuzz {
   /** The latest grammar revision [[genPlan(seed:Long,rev:Int)*]]
     * accepts. Sweeps and new declared seeds use this; previously
     * declared seeds PIN their revision instead. */
-  val LatestRev = 6
+  val LatestRev = 7
 
   /** REVISION-PINNED generation (round 14): up to revision 5 the
     * grammar grew IN PLACE, so every extension shifted
@@ -1572,7 +1670,7 @@ object Fuzz {
   def genPlan(seed: Long, rev: Int): Plan = {
     val rnd = new scala.util.Random(seed)
     val base = genJoinOrScan(rnd, rev)
-    genTransforms(rnd, base, depth = 1 + rnd.nextInt(3))
+    genTransforms(rnd, base, depth = 1 + rnd.nextInt(3), rev)
   }
 
   private val stringPool = Seq("AFRICA", "AMERICA", "BUILDING", "MACHINERY",
@@ -1698,11 +1796,16 @@ object Fuzz {
     }
   }
 
-  private def genTransforms(rnd: scala.util.Random, base: Plan, depth: Int): Plan =
+  private def genTransforms(rnd: scala.util.Random, base: Plan, depth: Int,
+      rev: Int): Plan =
     if (depth <= 0) base
     else {
       val schema = base.schema
-      val next = rnd.nextInt(11) match {
+      // revision 7 widens the transform selector to 12 cases; the
+      // widened modulus only ever runs for rev >= 7 seeds, so the
+      // rev <= 6 draw streams stay bit-identical (additive growth)
+      val sel = if (rev >= 7) rnd.nextInt(12) else rnd.nextInt(11)
+      val next = sel match {
         case 0 => Filter(base, genPred(rnd, schema))
         case 1 => // computed projection
           val n = 1 + rnd.nextInt(math.min(4, schema.size))
@@ -1907,9 +2010,93 @@ object Fuzz {
               Project(subChild, Seq(alias -> kexpr)), Col(alias, LongT),
               negated = rnd.nextBoolean())
           }
+        case 11 =>
+          // correlated scalar subquery in the SELECT list (revision
+          // 7 — the selector only reaches here for rev >= 7). The sub
+          // source is restricted to the three smallest dimensions for
+          // the same reason InSub's is: the interpreter evaluates the
+          // slice per outer row, and the declared seeds must stay
+          // semantics probes, not scale hazards (the DataFrame
+          // decorrelation is a dim-sized aggregate + a broadcastable
+          // join either way). The sub key null-injects half the time;
+          // misses are COMMON by construction (any Long child column
+          // correlates against a dim key), so the per-row empty-slice
+          // rule — COUNT 0 vs SUM/MIN/MAX NULL — is hit constantly.
+          val keyPool = schema.filter(_.tpe == LongT)
+          if (keyPool.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val key = pick(rnd, keyPool)
+            val subCols = (for {
+              t <- Vector("region", "nation", "supplier")
+              sf <- catalog(t) if sf.tpe == LongT
+            } yield (t, sf))
+            val (st, sf) = pick(rnd, subCols)
+            val subChild: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(st), genPred(rnd, catalog(st)))
+              else Scan(st)
+            val kAlias = s"ck${depth}_k"
+            val vAlias = s"ck${depth}_v"
+            val kexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(sf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(sf.name, LongT))
+              } else Col(sf.name, LongT)
+            val vf = pick(rnd, catalog(st))
+            val vc = Col(vAlias, vf.tpe)
+            val fn: AggFn = vf.tpe match {
+              case LongT => pick(rnd, Seq(CountStar, CountCol(vc),
+                SumL(vc), MinA(vc), MaxA(vc)))
+              case DecT  => pick(rnd, Seq(CountStar, CountCol(vc),
+                SumDec(vc), MinA(vc), MaxA(vc)))
+              case _     => pick(rnd, Seq(CountStar, CountCol(vc),
+                MinA(vc), MaxA(vc)))
+            }
+            CorrScalar(base, Col(key.name, LongT),
+              Project(subChild, Seq(
+                kAlias -> kexpr,
+                vAlias -> (Col(vf.name, vf.tpe): Expr))),
+              Col(kAlias, LongT), vc, fn, s"cs${depth}_0")
+          }
       }
-      genTransforms(rnd, next, depth - 1)
+      genTransforms(rnd, next, depth - 1, rev)
     }
+
+  /** True iff the plan contains the pinned Spark 4.1.2 SQL-frontend
+    * crash shape: a [[CorrScalar]] whose outer child is a BARE
+    * [[UnionAll]]. `spark.sql` on that text dies with an internal
+    * `java.util.NoSuchElementException: key not found: <attr>` while
+    * decorrelating (hand-minimized: `SELECT u.*, (SELECT COUNT(*)
+    * FROM supplier WHERE s_suppkey = u.n_regionkey) FROM (nation
+    * UNION ALL nation) u`). ANY barrier between the subquery block
+    * and the Union — a WHERE, a projection, DISTINCT, LIMIT, a
+    * window — avoids it; arity doesn't matter (3-way UNION ALL
+    * crashes too). A SIBLING shape crashes with the same fingerprint:
+    * a CorrScalar INSIDE a branch of INTERSECT ALL / EXCEPT ALL
+    * (whose rewrites build Union-based plans), while plain UNION ALL
+    * of correlated branches and the DISTINCT set ops are fine — see
+    * [[containsCorrScalar]]. The DataFrame rendering (hand-decorrelated),
+    * DuckDB, and the reference interpreter all agree on the same
+    * plan, so this is an engine crash, not a semantics divergence —
+    * adjudicated in `FuzzQuerySpec`'s three-way differential and
+    * pinned fixed-on-upgrade there. */
+  def corrScalarOverUnion(p: Plan): Boolean = p match {
+    case CorrScalar(UnionAll(_, _), _, _, _, _, _, _) => true
+    case other => shrink(other).exists(corrScalarOverUnion)
+  }
+
+  /** True iff the plan contains a [[CorrScalar]] anywhere — the
+    * three-way differential's adjudication guard for the pinned
+    * Spark 4.1.2 decorrelation crash matches on this plus the exact
+    * internal-error signature, because the crash has (at least) TWO
+    * trigger shapes ([[corrScalarOverUnion]] and a CorrScalar branch
+    * under INTERSECT ALL / EXCEPT ALL — both pinned in
+    * `FuzzQuerySpec`) and the honest guard is the engine's own error
+    * fingerprint, not an enumeration we'd have to chase. */
+  def containsCorrScalar(p: Plan): Boolean = p match {
+    case CorrScalar(_, _, _, _, _, _, _) => true
+    case other => shrink(other).exists(containsCorrScalar)
+  }
 
   /** Structural shrink: the subplans of a failing plan, largest first —
     * re-checking them finds a minimal failing node. */
@@ -1930,5 +2117,6 @@ object Fuzz {
     case Rollup(c, _, _, _, _) => Seq(c)
     case ScalarFilter(c, _, _, sub, _) => Seq(c, sub)
     case InSub(c, _, sub, _, _) => Seq(c, sub)
+    case CorrScalar(c, _, sub, _, _, _, _) => Seq(c, sub)
   }
 }

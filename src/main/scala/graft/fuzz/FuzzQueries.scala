@@ -129,15 +129,58 @@ object FuzzQueries {
 
   private def nameR6(seed: Long): String = s"fz6_seed$seed"
 
-  val queries: Map[String, Q] = seeds.map { s =>
-    name(s) -> ((spark: SparkSession, d: String) =>
-      Fuzz.toDFOut(Fuzz.genPlan(s), spark, d))
-  }.toMap ++ seedsR6.map { s =>
-    nameR6(s) -> (((spark: SparkSession, d: String) =>
-      Fuzz.toDFOut(Fuzz.genPlan(s, 6), spark, d)): Q)
-  }.toMap
+  /** Revision-7 declared seeds (`fz7_seed*`), chosen from the rev-7
+    * 1500-seed DuckDB sweep (1499/1499 comparable seeds agree; the
+    * one non-comparable seed, 498, is the ALREADY-PINNED Spark
+    * RemoveRedundantAliases crash resurfacing under the new map) so
+    * each carries a [[Fuzz.CorrScalar]] correlated scalar subquery
+    * with non-trivial output:
+    *
+    *   - 6:    UNION ALL of two correlated-SUM branches over filtered
+    *           lineitem (6256 rows) — correlated branches under a
+    *           plain Union, the shape Spark's frontend handles (its
+    *           ALL-set-op siblings crash: the pinned bug);
+    *   - 12:   STACKED CorrScalar — a correlated COUNT whose outer
+    *           input already computed another correlated COUNT over a
+    *           UNION ALL of left joins (300 rows). This is crash
+    *           seed 12@r7 itself: the driver gate proves the
+    *           DataFrame decorrelation and DuckDB agree on exactly
+    *           the text Spark's own frontend dies on;
+    *   - 403:  correlated COUNT on top of a correlated MAX, both over
+    *           lineitem at fact scale (6000 rows) — two stacked
+    *           scalar columns with different empty-slice rules;
+    *   - 552:  correlated MAX whose correlation KEY is an aggregate
+    *           output (`a2_0`) of a CUBE over a null-aware IN
+    *           subquery (1320 rows) — the scalar correlating on
+    *           computed values, mostly missing the dim (the per-row
+    *           NULL-for-MAX zone);
+    *   - 585:  correlated COUNT(*) over an INTERSECT ALL of left
+    *           joins (6000 rows) — the set-op CHILD direction, which
+    *           works, vs the set-op BRANCH direction, which is the
+    *           pinned crash;
+    *   - 779:  correlated SUM over an ANTI join of filtered orders
+    *           (1246 rows) — SUM's NULL-on-empty against COUNT's 0;
+    *   - 1247: correlated COUNT over a FULL OUTER join with a rev-6
+    *           residual ON predicate (6000 rows) — both revisions'
+    *           features in one plan, null-extended keys feeding the
+    *           correlation;
+    *   - 1271: 2-key ROLLUP whose input filters on a correlated
+    *           COUNT(*) column (1391 rows) — the scalar feeding the
+    *           grouping-set lattice. */
+  private val seedsR7: Seq[Long] =
+    Seq(6L, 12L, 403L, 552L, 585L, 779L, 1247L, 1271L)
+
+  private def pinned(s: Long, rev: Int): Seq[(String, Q)] = Seq(
+    (if (rev == 5) s"fz_seed$s" else s"fz${rev}_seed$s") ->
+      ((spark: SparkSession, d: String) =>
+        Fuzz.toDFOut(Fuzz.genPlan(s, rev), spark, d)))
+
+  val queries: Map[String, Q] =
+    (seeds.flatMap(pinned(_, 5)) ++ seedsR6.flatMap(pinned(_, 6)) ++
+      seedsR7.flatMap(pinned(_, 7))).toMap
 
   val oracle: Map[String, String] =
-    seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s))).toMap ++
-      seedsR6.map(s => nameR6(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 6))).toMap
+    (seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 5))) ++
+      seedsR6.map(s => nameR6(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 6))) ++
+      seedsR7.map(s => s"fz7_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 7)))).toMap
 }

@@ -24,6 +24,8 @@ object FuzzShapes {
           s"SQ-${col.name}$op(${sig(c)},${sig(sub)})"
         case InSub(c, key, sub, _, neg) =>
           s"IN${if (neg) "!" else ""}-${key.name}(${sig(c)},${sig(sub)})"
+        case CorrScalar(c, key, sub, _, _, agg, _) =>
+          s"CS-${agg.name}@${key.name}(${sig(c)},${sig(sub)})"
         case WindowOp(c, pb, fn, _, nl) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"
