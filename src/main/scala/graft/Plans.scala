@@ -80,6 +80,7 @@ object Plans {
     "q35_depth_unrolled",   // bounded-depth unroll: one job where UnionLoop pays 14
     "st_asof_join",         // chained stateful: interval join -> windowed argmax
     "fz6_seed524",          // fuzz rev 6: semi join with cross-side theta residual (mixed-condition decorrelation)
+    "fz7_seed12",           // fuzz rev 7: stacked correlated scalars, hand-decorrelated (agg + left join + count repair)
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,
