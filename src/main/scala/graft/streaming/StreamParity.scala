@@ -1152,14 +1152,24 @@ object StreamParity {
     * replay is independent of which corpus rows the engine has
     * evicted by the late batch. */
   private[graft] val JoinLateLateness = "48 hours"
-  private[graft] def streamEventsWithJoinLatePlant(s: SparkSession, d: String): DataFrame = {
+  /** `sentinels = true` appends a FOURTH ordered file — one typed
+    * view + purchase pair at 2030, user −1, mirroring
+    * [[streamEventsWithJoinSentinels]] — for consumers whose final
+    * answers only emit when the watermark passes an event-time window
+    * (the chained as-of's argmax): the flush must come AFTER the late
+    * batch, so late admission is decided against the corpus watermark
+    * first and the 2030 advance only drains the finished windows. */
+  private[graft] def streamEventsWithJoinLatePlant(s: SparkSession, d: String,
+      sentinels: Boolean = false): DataFrame = {
     val base = graft.sources.Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val cacheDir =
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
     val DayUs = 24L * 3600 * 1000000
+    val key = if (sentinels) "eventsJoinLatePlant/l48h/pair30m/v2+sent"
+              else "eventsJoinLatePlant/l48h/pair30m/v2"
     val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
-      "eventsJoinLatePlant/l48h/pair30m/v2", Seq(base), cacheDir) {
+      key, Seq(base), cacheDir) {
       val mm = base.agg(
         min(unix_micros(col("ts"))).as("mn"),
         max(unix_micros(col("ts"))).as("mx"),
@@ -1192,7 +1202,15 @@ object StreamParity {
         (col("event_id") + 20000000000L).as("event_id"), col("ts"),
         (-(col("event_id") + 1000000L)).as("user_id"),
         lit("purchase").as("event_type"), col("value"), col("props"))
-      Seq(base, aging, views.unionByName(purchases))
+      def sent(id: Long, tpe: String): DataFrame = base.limit(1).select(
+        lit(id).as("event_id"),
+        lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+        lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      val ordered = Seq(base, aging, views.unionByName(purchases))
+      if (sentinels)
+        ordered :+ sent(-3L, "view").unionByName(sent(-4L, "purchase"))
+      else ordered
     }
     s.readStream.schema(base.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -1357,6 +1375,35 @@ object StreamParity {
       .select("purchase_id", "view_id", "user_id")
   }
 
+  /** [[asofJoinParity]] under the LATE-PLANTED arrival — late-data
+    * semantics for the CHAINED pipeline, completing the family:
+    * `st_interval_join_late` proves the JOIN's per-side late filters
+    * alone; here the same 48-hour horizon governs BOTH chained
+    * stores. The join must drop the first-day replants and admit the
+    * last-day ones (decided against the corpus watermark — the
+    * sentinel file arrives strictly after the late batch), and the
+    * downstream argmax must then ACCEPT every admitted pair — their
+    * hour windows end ~24 h past the watermark, so a drop there would
+    * be a late-filter mis-application, not eviction — and flush them
+    * on the 2030 sentinel advance. Oracle: the corpus ranked as-of
+    * replay UNION the admitted planted pairs (each reserved-negative
+    * planted user carries exactly one view+purchase pair, so the pair
+    * IS its own argmax; planted users never probe corpus state). The
+    * guard keeps real users (≥ 0) and planted reserved users
+    * (≤ −1,000,000), dropping the −999 aging row and the −1
+    * sentinels. */
+  val asofJoinLateParity: Q = (s, d) => {
+    val ev = streamEventsWithJoinLatePlant(s, d, sentinels = true)
+    runToTable(
+      EventStreams.asofAttribution(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        lateness = JoinLateLateness),
+      "st_asof_join_late")
+      .where(col("user_id") >= 0L || col("user_id") <= -1000000L)
+      .select("purchase_id", "view_id", "user_id")
+  }
+
   /** STREAMING AS-OF JOIN ([[EventStreams.asofAttribution]]) — two
     * CHAINED stateful operators under one hash gate: the stream-stream
     * interval join feeding a time-windowed per-purchase argmax, so each
@@ -1446,6 +1493,7 @@ object StreamParity {
     "st_asof_join" -> asofJoinParity,
     "st_asof_join_mb" -> asofJoinMultiBatchParity,
     "st_asof_join_rocksdb" -> asofJoinRocksDbParity,
+    "st_asof_join_late" -> asofJoinLateParity,
     "st_asof_join_tie" -> asofJoinTieParity,
     "st_sessions" -> sessionParity,
     "st_sessions_mb" -> sessionMultiBatchParity,
@@ -1711,6 +1759,46 @@ object StreamParity {
     // provider + changelog under the CHAINED pipeline: an execution
     // knob, never a semantics knob — same slicing-invariant oracle
     "st_asof_join_rocksdb" -> asofJoinOracleSql,
+    // the chained pipeline under the late plant: corpus ranked as-of
+    // replay + the admitted planted pairs (one pair per reserved
+    // user, so each admitted pair is its own argmax; the drop rule is
+    // the same per-side `ts > max(ts) − lateness` the join-state late
+    // query replays)
+    "st_asof_join_late" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 48 HOUR AS w FROM events),
+           bounds AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+           src AS (
+             SELECT event_id, ts FROM events, bounds
+             WHERE ts < bounds.mn + INTERVAL 24 HOUR
+                OR ts > bounds.mx - INTERVAL 24 HOUR),
+           planted AS (
+             SELECT -(event_id + 1000000) AS user_id,
+               ts - INTERVAL 30 MINUTE AS ts,
+               event_id + 10000000000 AS event_id, 'view' AS event_type
+             FROM src
+             UNION ALL
+             SELECT -(event_id + 1000000), ts,
+               event_id + 20000000000, 'purchase'
+             FROM src),
+           admitted AS (
+             SELECT p.* FROM planted p, wm WHERE p.ts > wm.w)
+         SELECT purchase_id, view_id, user_id FROM (
+           SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+             p.user_id AS user_id,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rk
+           FROM events v JOIN events p
+             ON v.user_id = p.user_id
+            AND v.event_type = 'view' AND p.event_type = 'purchase'
+            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+         WHERE rk = 1
+         UNION ALL
+         SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+         FROM admitted v JOIN admitted p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
     // the plant replayed: same ranked join over base ∪ planted rows
     // (plant arithmetic mirrored from streamEventsWithAsofPlant); the
     // rank partitions on (purchase, user) because a planted id
