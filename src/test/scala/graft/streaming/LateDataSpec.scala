@@ -130,6 +130,35 @@ class LateDataSpec extends SparkSpec {
     assert(res.filter(_._3 >= 0).toSet === basePairs)
   }
 
+  test("st_asof_join_late: the CHAINED pipeline drops stale pairs, admits and argmax-flushes in-horizon ones") {
+    // same plant as st_interval_join_late, now through interval join →
+    // windowed argmax: admission is the join's late filter, emission
+    // additionally requires the argmax window to flush on the
+    // post-late-batch sentinel — a drop in EITHER chained store is
+    // hash-visible as a missing pair here
+    val res = StreamParity.queries("st_asof_join_late")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = res.filter(_._3 <= -1000000L)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head
+    val dayUs = 24L * 3600 * 1000000
+    val lastDay = ev.where(unix_micros(col("ts")) > mm.getLong(1) - dayUs)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(planted.length === lastDay.size,
+      s"expected ${lastDay.size} admitted+flushed planted pairs, " +
+        s"got ${planted.length}")
+    assert(planted.forall { case (pid, vid, uid) =>
+      val src = pid - 20000000000L
+      lastDay.contains(src) && vid == src + 10000000000L &&
+        uid == -(src + 1000000L)
+    }, "every emitted planted pair must be a last-day self-pair")
+    // the corpus-side as-of answer is untouched by the plant
+    val base = StreamParity.queries("st_asof_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(res.filter(_._3 >= 0).toSet === base)
+  }
+
   test("st_sessions_rocksdb: RocksDB provider engages and the session set equals the HDFS-backed run") {
     val rocks = StreamParity.queries("st_sessions_rocksdb")(spark, sfDir)
       .collect().map(_.toSeq).toSet
