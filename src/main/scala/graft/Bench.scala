@@ -416,6 +416,51 @@ object Bench {
       canaryAcc(n).map(_ / ref) }.sorted
     val bandJson =
       if (ratios.isEmpty) "null" else r3(ratios(ratios.length / 2)).toString
+    // STALL-ARTIFACT CLASSIFIER (r14 verdict item 5): three rounds
+    // running, the driver artifact needed MANUAL driver-vs-committed
+    // adjudication (r14: sim_cosine_pairs 12.93 vs 2.68 committed,
+    // q30_exists_semi 1.16 vs 0.25 — both stall artifacts). The rule
+    // the verdicts applied by hand, now emitted by the sweep itself
+    // against the committed clean reference (bench_ref.json, flat
+    // {"__band__": b, "<query>": sec} regenerated each round from the
+    // sweep of record): with threshold = 2 × max(band/ref_band, 1) ×
+    // ref_price, a query whose MEDIAN exceeds the threshold is
+    //   - "suspect" if its BEST rep is ALSO beyond the threshold
+    //     (every independent draw elevated ⇒ plausibly real drift —
+    //     investigate), or
+    //   - "stall_cleared" if any rep is inside (a clean draw exists ⇒
+    //     the elevation is window noise; auto-cleared).
+    // New queries (no ref entry) are never classified — they get a
+    // debut price in BASELINE.md instead.
+    val (suspectJson, clearedJson) = {
+      val ref: Map[String, Double] =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("bench_ref.json")), "UTF-8")
+          """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } catch { case _: Throwable => Map.empty }
+      val band = if (ratios.isEmpty) Double.NaN
+                 else ratios(ratios.length / 2)
+      if (ref.isEmpty || band.isNaN) ("{}", "{}")
+      else {
+        val refBand = ref.getOrElse("__band__", 1.0)
+        val classed = results.flatMap { case (name, ts, _, _, _) =>
+          ref.get(name).filter(_ => ts.nonEmpty).flatMap { p =>
+            val thr = 2.0 * math.max(band / refBand, 1.0) * p
+            val s = ts.sorted
+            val med = s(s.length / 2)
+            if (med <= thr) None
+            else Some((name, med, ts.min, thr, ts.min > thr))
+          }
+        }
+        def js(xs: Seq[(String, Double, Double, Double, Boolean)]) =
+          xs.map { case (n, m, b, t, _) =>
+            "\"" + n + s"""\":{"median":${r3(m)},"best":${r3(b)},"threshold":${r3(t)}}"""
+          }.mkString("{", ",", "}")
+        (js(classed.filter(_._5)), js(classed.filterNot(_._5)))
+      }
+    }
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_reps":$reps,""" +
       s""""order_seed":$orderSeed,"order":$orderJson,""" +
       // drain_ok is only meaningful when the shared-session branch ran
@@ -425,6 +470,7 @@ object Bench {
       s""""restart_every":$restartEvery,"rep_sessions":$repSessions,""" +
       s""""drain_ok":${if (repSessions) "null" else StateDrain.healthy.toString},""" +
       s""""stall_retries":$retryJson,"warm_fails":$warmFailJson,""" +
+      s""""suspect":$suspectJson,"stall_cleared":$clearedJson,""" +
       s""""canary":$canaryJson,"canary_ref":$canaryRefJson,"band":$bandJson,""" +
       s""""gc_sec":$gcJson,"reps":$repJson,"queries":$qs,"value":$total}"""
     // only a FULL sweep may overwrite the round artifact — an isolated

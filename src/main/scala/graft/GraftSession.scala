@@ -37,6 +37,16 @@ object GraftSession {
       // The events table carries TIMESTAMP(NANOS) parquet, which Spark
       // rejects by default; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Let a bucketed+sorted scan REPORT its sort order. Despite the
+      // "legacy" name this is sound: Spark only claims the order after
+      // verifying ≤1 file per bucket (multi-file buckets interleave and
+      // get no claim); it is off by default only because the
+      // files-per-bucket check adds planning-time listing. Our
+      // ingest-once layouts (Sinks.bucketedTable with sortCols) write
+      // exactly one sorted file per bucket, and the claim is what lets
+      // the as-of merge exec plan with ZERO Exchange and ZERO Sort over
+      // them (adv_asof_join_bucketed asserts that plan in-query).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
   }
 
@@ -72,5 +82,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L << 20).toString)
       .config("spark.speculation", "true")
+      // same sorted-bucket-scan ordering claim as builder() — the
+      // cluster is where the ingest-once zero-exchange/zero-sort as-of
+      // layout actually pays
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
 }

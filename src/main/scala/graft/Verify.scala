@@ -10,13 +10,21 @@ object Verify {
     val spark = GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=<substr>[,<substr>...] restricts the dump for
-    // fast local oracle checks (same comma-list contract as Bench —
-    // keep a name if ANY listed substring matches); the driver sets
-    // no env and always dumps everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // SPARK_GRAFT_ONLY restricts the dump for fast local oracle checks,
+    // with the SAME rule as Bench (r14 advice — the two tools diverged:
+    // Bench read comma lists as exact names, Verify as substrings, so
+    // one env value selected different sets): a single value is a
+    // substring match (the historical diagnosis switch), a
+    // comma-separated list is EXACT names. The driver sets no env and
+    // always dumps everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .filter { case (name, _) =>
+        only.forall { o =>
+          if (o.contains(",")) o.split(',').map(_.trim).contains(name)
+          else name.contains(o)
+        }
+      }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -176,6 +176,20 @@ import org.apache.spark.sql.{functions => F}
   * fixed-on-upgrade in `FuzzQuerySpec`; see
   * [[corrScalarOverUnion]] / [[containsCorrScalar]].
   *
+  * An EIGHTH revision (round 15, additive behind `rev >= 8`) moves the
+  * correlated scalar into the two PREDICATE positions adjacent to
+  * rev 7's SELECT list ([[Fuzz.CorrScalarCmp]]): compared in WHERE
+  * (`child WHERE cmp <op> (SELECT agg(v) FROM dim WHERE dim.k =
+  * child.key)`) and in a REAL HAVING over a fresh aggregate
+  * (`… GROUP BY k HAVING <agg-or-key> <op> (SELECT … WHERE dim.k =
+  * co.k)`) — the classic remaining decorrelation traps: the count-bug
+  * zone now decides ROW RETENTION (COUNT over the empty slice is 0
+  * and compares; SUM/MIN/MAX go NULL and the UNKNOWN comparison
+  * drops), and the HAVING spelling runs both SQL frontends' HAVING
+  * resolution with a subquery inside the predicate. Same three-route
+  * rendering split as rev 7; [[containsCorrScalar]] covers the new
+  * node so the pinned-crash adjudication guard extends unchanged.
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -516,6 +530,26 @@ object Fuzz {
       subKey: Col, subVal: Col, agg: AggFn, alias: String) extends Plan {
     def schema: Seq[Field] = child.schema :+ Field(alias, aggOutType(agg))
   }
+  /** CORRELATED scalar subquery COMPARED in WHERE or HAVING (round 15,
+    * EIGHTH grammar revision — the zones adjacent to [[CorrScalar]]'s
+    * SELECT list, whose first sweep caught a real Spark 4.1.2
+    * decorrelation crash): `child WHERE cmp <op> (SELECT agg(v) FROM
+    * sub WHERE sub.k = child.key)`, and — when `child` is an [[Agg]]
+    * grouped on `key` — the REAL-HAVING spelling `SELECT keys, aggs
+    * FROM c GROUP BY keys HAVING cmp <op> (SELECT … WHERE sub.k =
+    * co.key)`, which runs both SQL frontends' HAVING resolution path
+    * with a correlated subquery inside the predicate. Semantics: keep
+    * rows where the comparison is TRUE — an UNKNOWN (NULL cmp, or a
+    * NULL scalar from an empty SUM/MIN/MAX slice) drops the row,
+    * while COUNT over the empty slice is 0 and COMPARES, so the
+    * classic decorrelation count-bug zone decides row retention here,
+    * not just a projected value. `cmp` and the aggregate are Long-
+    * valued by construction; schema passes through unchanged. */
+  final case class CorrScalarCmp(child: Plan, key: Col, sub: Plan,
+      subKey: Col, subVal: Col, agg: AggFn, op: String, cmp: Col,
+      alias: String) extends Plan {
+    def schema: Seq[Field] = child.schema
+  }
   /** Equality join on an FK pair; `right` columns must be disjoint from
     * `left`'s (the generator only joins different tables).
     *
@@ -821,6 +855,36 @@ object Fuzz {
       val sv = if (isCount) F.coalesce(F.col(alias), F.lit(0L))
                else F.col(alias)
       joined.select(c.schema.map(f => cd(f.name)) :+ sv.as(alias): _*)
+    case CorrScalarCmp(c, key, sub, subKey, _, agg, op, cmpC, alias) =>
+      // same hand-decorrelation as CorrScalar (key-grouped sub
+      // aggregate + LEFT OUTER join + count repair), but the scalar
+      // feeds a FILTER instead of the projection: an UNKNOWN
+      // comparison (NULL cmp column or NULL non-count scalar) drops
+      // the row — exactly the WHERE/HAVING retention rule the engine
+      // decorrelators must reproduce
+      val cd = toDF(c, spark, sfDir)
+      val sd = toDF(sub, spark, sfDir)
+      val grouped = sd.where(F.col(subKey.name).isNotNull)
+        .groupBy(F.col(subKey.name))
+        .agg(aggToColumn(agg).as(alias))
+      val isCount = agg match {
+        case CountStar | CountCol(_) | CountDistinct(_) => true
+        case _                                          => false
+      }
+      val joined =
+        cd.join(grouped, cd(key.name) === grouped(subKey.name), "left_outer")
+      val sv = if (isCount) F.coalesce(F.col(alias), F.lit(0L))
+               else F.col(alias)
+      val cc = cd(cmpC.name)
+      val pred = op match {
+        case "<"  => cc <  sv
+        case "<=" => cc <= sv
+        case "="  => cc === sv
+        case "<>" => cc =!= sv
+        case ">"  => cc >  sv
+        case ">=" => cc >= sv
+      }
+      joined.where(pred).select(c.schema.map(f => cd(f.name)): _*)
     case Join(l, r, jt, lk, rk, res) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
@@ -1070,6 +1134,36 @@ object Fuzz {
       s"SELECT $co.*, (SELECT $aggSql FROM (${toSql(sub)}) $cs " +
         s"WHERE $cs.${subKey.name} = $co.${key.name}) AS $alias " +
         s"FROM (${toSql(c)}) $co"
+    case CorrScalarCmp(c, key, sub, subKey, _, agg, op, cmpC, alias) =>
+      // the literal correlated text, in the two predicate positions
+      // revision 7's SELECT-list sweep could not reach. Aliases derive
+      // from the node's generator-unique alias (same stacking
+      // rationale as CorrScalar).
+      val co = s"co_$alias"
+      val cs = s"cs_$alias"
+      val corr = s"(SELECT ${aggToSql(agg)} FROM (${toSql(sub)}) $cs " +
+        s"WHERE $cs.${subKey.name} = $co.${key.name})"
+      c match {
+        case Agg(ac, keys, aggs) if keys.exists(_.name == key.name) =>
+          // REAL HAVING: the aggregate inlines (same SELECT shape as
+          // the Agg case) and the comparison sits in a HAVING clause.
+          // ANSI HAVING resolves group keys and aggregate EXPRESSIONS,
+          // not select-list aliases (the Filter(Agg) discipline) — so
+          // a cmp naming an agg output inlines as its aggregate SQL,
+          // and the correlated outer reference is the group key
+          // qualified by the FROM alias, legal because it is grouped.
+          val sel = (keys.map(_.name) ++
+            aggs.map { case (n, a) => s"${aggToSql(a)} AS $n" })
+            .mkString(", ")
+          val grp = s" GROUP BY ${keys.map(_.name).mkString(", ")}"
+          val ren = aggs.map { case (n, a) => n -> aggToSql(a) }.toMap
+          val cmpSql = ren.getOrElse(cmpC.name, s"$co.${cmpC.name}")
+          s"SELECT $sel FROM (${toSql(ac)}) $co$grp" +
+            s" HAVING $cmpSql $op $corr"
+        case _ =>
+          s"SELECT * FROM (${toSql(c)}) $co " +
+            s"WHERE $co.${cmpC.name} $op $corr"
+      }
     case Join(l, r, jt, lk, rk, res) =>
       // unqualified residual refs resolve uniquely (name-disjoint
       // sides); in the semi/anti EXISTS spelling the outer row's
@@ -1427,6 +1521,25 @@ object Fuzz {
         val slice = r(key.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
         r + (alias -> evalAggs(Seq(alias -> agg), slice).head._2)
       }
+    case CorrScalarCmp(c, key, sub, subKey, _, agg, op, cmpC, alias) =>
+      // naive per-outer-row slice, then the retention rule: keep iff
+      // the comparison is TRUE (UNKNOWN — NULL cmp or NULL scalar —
+      // drops; COUNT over the empty slice is 0 and still compares)
+      val srows = eval(sub, tables)
+      val index: Map[Any, Seq[Row]] =
+        srows.flatMap(sr => sr(subKey.name).map(_ -> sr))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      eval(c, tables).filter { r =>
+        val slice = r(key.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+        val sv = evalAggs(Seq(alias -> agg), slice).head._2
+        (for { a <- r(cmpC.name); b <- sv } yield {
+          val cc = cmpOpt(Some(a), Some(b))
+          op match {
+            case "<" => cc < 0; case "<=" => cc <= 0; case "=" => cc == 0
+            case "<>" => cc != 0; case ">" => cc > 0; case ">=" => cc >= 0
+          }
+        }).contains(true)
+      }
     case Join(l, r, jt, lk, rk, res) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
@@ -1653,7 +1766,7 @@ object Fuzz {
   /** The latest grammar revision [[genPlan(seed:Long,rev:Int)*]]
     * accepts. Sweeps and new declared seeds use this; previously
     * declared seeds PIN their revision instead. */
-  val LatestRev = 7
+  val LatestRev = 8
 
   /** REVISION-PINNED generation (round 14): up to revision 5 the
     * grammar grew IN PLACE, so every extension shifted
@@ -1801,10 +1914,13 @@ object Fuzz {
     if (depth <= 0) base
     else {
       val schema = base.schema
-      // revision 7 widens the transform selector to 12 cases; the
-      // widened modulus only ever runs for rev >= 7 seeds, so the
-      // rev <= 6 draw streams stay bit-identical (additive growth)
-      val sel = if (rev >= 7) rnd.nextInt(12) else rnd.nextInt(11)
+      // revisions 7/8 widen the transform selector (12, then 13
+      // cases); each widened modulus only ever runs for seeds pinned
+      // at that rev or later, so older draw streams stay bit-identical
+      // (additive growth)
+      val sel = if (rev >= 8) rnd.nextInt(13)
+                else if (rev >= 7) rnd.nextInt(12)
+                else rnd.nextInt(11)
       val next = sel match {
         case 0 => Filter(base, genPred(rnd, schema))
         case 1 => // computed projection
@@ -2058,6 +2174,68 @@ object Fuzz {
                 vAlias -> (Col(vf.name, vf.tpe): Expr))),
               Col(kAlias, LongT), vc, fn, s"cs${depth}_0")
           }
+        case 12 =>
+          // correlated scalar compared in WHERE / HAVING (revision 8 —
+          // the selector only reaches here for rev >= 8). Same
+          // dim-restricted sub discipline as InSub/CorrScalar; the
+          // aggregate and the comparison operand are Long-valued so
+          // the comparison is total when defined, and the retention
+          // rule (UNKNOWN drops) rides on the count-bug zone: an
+          // empty correlated slice COMPARES for COUNT (0) and goes
+          // UNKNOWN for SUM/MIN/MAX.
+          val keyPool = schema.filter(_.tpe == LongT)
+          if (keyPool.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val subCols = (for {
+              t <- Vector("region", "nation", "supplier")
+              sf <- catalog(t) if sf.tpe == LongT
+            } yield (t, sf))
+            val (st, sf) = pick(rnd, subCols)
+            val subChild: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(st), genPred(rnd, catalog(st)))
+              else Scan(st)
+            val kAlias = s"cw${depth}_k"
+            val vAlias = s"cw${depth}_v"
+            val kexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(sf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(sf.name, LongT))
+              } else Col(sf.name, LongT)
+            val vf = pick(rnd, catalog(st).filter(_.tpe == LongT))
+            val vc = Col(vAlias, LongT)
+            val fn: AggFn = pick(rnd, Seq(CountStar, CountCol(vc),
+              SumL(vc), MinA(vc), MaxA(vc)))
+            val subP = Project(subChild, Seq(
+              kAlias -> kexpr,
+              vAlias -> (Col(vf.name, LongT): Expr)))
+            val op = pick(rnd, Seq("<", "<=", "=", "<>", ">", ">="))
+            if (rnd.nextBoolean()) {
+              // WHERE form over the running base
+              val key = pick(rnd, keyPool)
+              val cmp = pick(rnd, keyPool)
+              CorrScalarCmp(base, Col(key.name, LongT), subP,
+                Col(kAlias, LongT), vc, fn, op,
+                Col(cmp.name, LongT), s"cw${depth}_0")
+            } else {
+              // HAVING form: a fresh aggregate grouped on a Long key,
+              // correlated on that group key; cmp is a Long-valued
+              // aggregate output when one exists (the classic
+              // HAVING-over-aggregate spelling), else the group key
+              val gkey = pick(rnd, keyPool)
+              val aggs = genAggList(rnd, schema, depth)
+              val aggP = Agg(base, Seq(Col(gkey.name, LongT)), aggs)
+              val longOuts = aggs.filter {
+                case (_, a) => aggOutType(a) == LongT
+              }
+              val cmp =
+                if (longOuts.nonEmpty && rnd.nextBoolean())
+                  Col(pick(rnd, longOuts)._1, LongT)
+                else Col(gkey.name, LongT)
+              CorrScalarCmp(aggP, Col(gkey.name, LongT), subP,
+                Col(kAlias, LongT), vc, fn, op, cmp, s"ch${depth}_0")
+            }
+          }
       }
       genTransforms(rnd, next, depth - 1, rev)
     }
@@ -2095,6 +2273,11 @@ object Fuzz {
     * fingerprint, not an enumeration we'd have to chase. */
   def containsCorrScalar(p: Plan): Boolean = p match {
     case CorrScalar(_, _, _, _, _, _, _) => true
+    // rev 8's predicate-position correlated scalars live in the same
+    // decorrelation framework, so the same fingerprint guard covers
+    // them (a WHERE/HAVING-position trigger of the pinned crash — or a
+    // new one — adjudicates identically)
+    case CorrScalarCmp(_, _, _, _, _, _, _, _, _) => true
     case other => shrink(other).exists(containsCorrScalar)
   }
 
@@ -2118,5 +2301,6 @@ object Fuzz {
     case ScalarFilter(c, _, _, sub, _) => Seq(c, sub)
     case InSub(c, _, sub, _, _) => Seq(c, sub)
     case CorrScalar(c, _, sub, _, _, _, _) => Seq(c, sub)
+    case CorrScalarCmp(c, _, sub, _, _, _, _, _, _) => Seq(c, sub)
   }
 }

@@ -161,35 +161,59 @@ object Advanced {
         col("view_id"), col("view_ts"))
   }
 
-  /** BUCKETED as-of — the native exec's 100 TB case, under the driver
-    * gate (round-13 verdict item 1): both sides written as bucketed
-    * (+sorted) tables on the join key, read back through the catalog,
+  /** BUCKETED+SORTED as-of — the native exec's 100 TB case, under the
+    * driver gate: both sides written as bucketed tables on the join
+    * key, each bucket ONE file sorted by the exec's full required
+    * ordering (key, time[, tiebreak]), read back through the catalog,
     * and joined with [[graft.plans.AsOf.join]]. The exec's
-    * `ClusteredDistribution` is satisfied by the storage layout, so
-    * the plan carries ZERO exchanges (pinned in `AsOfJoinPlanSpec`) —
-    * the structural win the union+window composition can never have,
-    * since it must shuffle the union regardless of layout. The write
-    * is the once-per-ingest cost a 100 TB deployment pays at load
-    * time; here it is part of the query so the gate stays
+    * `ClusteredDistribution` is satisfied by the bucketing and its
+    * `requiredChildOrdering` by the per-bucket sort, so the executed
+    * plan carries ZERO Exchange and ZERO Sort nodes — the ingest-once
+    * shape a 100 TB deployment runs, and the structural win the
+    * union+window composition can never have (it must shuffle the
+    * union regardless of layout). The query body REQUIREs that plan
+    * (r14 verdict item 1 — the assertion formerly lived only
+    * spec-side): a bucketing/ordering regression now fails the driver
+    * run loudly, not just `sbt test`. The writes are the
+    * once-per-ingest cost, kept in the query so the gate stays
     * self-contained. */
   private val asofViewPurchaseBucketed: Q = (s, d) => {
     val ev = Tables.events(s, d)
     graft.sources.Sinks.bucketedTable(
       ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id")),
-      "asof_purch_g", "user_id", 8)
+      "asof_purch_g", "user_id", 8, sortCols = Seq("user_id", "ts"))
     graft.sources.Sinks.bucketedTable(
       ev.where(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
           col("event_id").as("view_id")),
-      "asof_views_g", "v_user", 8)
-    graft.plans.AsOf.join(
+      "asof_views_g", "v_user", 8,
+      sortCols = Seq("v_user", "view_ts", "view_id"))
+    val joined = graft.plans.AsOf.join(
         s.table("asof_purch_g"), s.table("asof_views_g"),
         leftKey = "user_id", rightKey = "v_user",
         leftTime = "ts", rightTime = "view_ts",
         rightTiebreak = Seq("view_id"))
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("view_id"), col("view_ts"))
+    // Plan gate, inside the declared query: a layout-satisfied as-of
+    // plans no Exchange and no Sort. Spark 4 wraps plans in
+    // AdaptiveSparkPlanExec regardless, so unwrap to its input plan
+    // (post-EnsureRequirements — AQE re-plans can only REMOVE
+    // exchanges from it, never add) before collecting offenders.
+    def offenders(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          offenders(a.inputPlan)
+        case e: org.apache.spark.sql.execution.exchange.Exchange =>
+          Seq(e.nodeName)
+        case srt: org.apache.spark.sql.execution.SortExec =>
+          Seq(srt.nodeName)
+      }.flatten
+    val bad = offenders(joined.queryExecution.executedPlan)
+    require(bad.isEmpty,
+      s"bucketed as-of regressed to ${bad.mkString(", ")}:\n" +
+        joined.queryExecution.executedPlan)
+    joined.select(col("event_id").as("purchase_id"), col("user_id"),
+      col("view_id"), col("view_ts"))
   }
 
   /** RANGE JOIN via bucketization: pairs of events from one user within

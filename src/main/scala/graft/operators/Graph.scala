@@ -92,8 +92,15 @@ object Graph {
     * table is EXACTLY unchanged (truncating integer arithmetic
     * quantizes, so exact equality is reachable) or [[FixMaxRounds]].
     * Returns the rounds actually executed for the early-stop spec.
-    * Convergence test cost: one |nodes|-sized join per round over two
-    * checkpointed tables — noise next to the round's edge join. */
+    * Convergence test (r14 verdict item 7 — the old form launched a
+    * SECOND |nodes|-join job per round, doubling job count): the
+    * previous rank rides INTO the checkpointed next state as one extra
+    * int64 column (the p_rank join runs inside the round's
+    * materialization, both sides |nodes|-sized and id-partitioned), so
+    * detecting the fixpoint is a scan of the blocks the round just
+    * cached — no second join, no extra shuffle. The inner join is
+    * total: undirected edges give every node an in-edge every round,
+    * so next's id set always equals ranks'. */
   private[graft] def pageRankFix(lineitem: DataFrame,
       maxRounds: Int = FixMaxRounds): (DataFrame, Int) = {
     val e = lineitem
@@ -108,17 +115,19 @@ object Graph {
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
-      val next = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
+      val nextCk = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
         .select(col("dst"), expr("rank DIV deg").as("contrib"))
         .groupBy(col("dst").as("id"))
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
+        .join(ranks.select(col("id"), col("rank").as("p_rank"))
+          .hint("shuffle_hash"), "id")
         .localCheckpoint(true)
-      converged = next
-        .join(ranks.select(col("id"), col("rank").as("p_rank")), "id")
-        .where(col("rank") =!= col("p_rank")).isEmpty
-      ranks = next
+      converged = nextCk.where(col("rank") =!= col("p_rank")).isEmpty
+      // downstream rounds see only (id, rank); residency tracking stays
+      // on the checkpointed frame itself
+      ranks = nextCk.select(col("id"), col("rank"))
       graft.Checkpoints.drop(prevRound)
-      prevRound = next
+      prevRound = nextCk
       rounds += 1
     }
     (ranks.select(
@@ -368,9 +377,13 @@ object Graph {
   /** [[labelPropagate]] with convergence-stop: iterate until NO label
     * changed (synchronous LPA can oscillate, so the [[FixMaxRounds]]
     * bound is load-bearing, not a formality) — same unrolled-oracle
-    * equivalence as [[pageRankFix]]. Checkpoints every round here
-    * (unlike the fixed-round variant's depth-2 cadence) because the
-    * convergence join reads both the new and previous label tables. */
+    * equivalence as [[pageRankFix]], and the same in-round convergence
+    * mechanics (r14 verdict item 7): the previous label rides into the
+    * checkpointed next state, so the fixpoint test is a scan of the
+    * blocks the round just cached instead of a second join job.
+    * Checkpoints every round here (unlike the fixed-round variant's
+    * depth-2 cadence) because the convergence scan reads each round's
+    * materialized table. */
   private[graft] def labelPropagateFix(mut: DataFrame,
       maxRounds: Int = FixMaxRounds): (DataFrame, Int) = {
     val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"),
@@ -384,19 +397,19 @@ object Graph {
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
-      val next = edges.join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
+      val nextCk = edges.join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
         .groupBy(col("dst"), col("lbl"))
         .agg(sum(col("w")).as("ws"))
         .groupBy(col("dst").as("id"))
         .agg(min(struct((-col("ws")).as("nw"), col("lbl").as("l"))).as("m"))
         .select(col("id"), col("m.l").as("lbl"))
+        .join(labels.select(col("id"), col("lbl").as("p_lbl"))
+          .hint("shuffle_hash"), "id")
         .localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("lbl").as("p_lbl")), "id")
-        .where(col("lbl") =!= col("p_lbl")).isEmpty
-      labels = next
+      converged = nextCk.where(col("lbl") =!= col("p_lbl")).isEmpty
+      labels = nextCk.select(col("id"), col("lbl"))
       graft.Checkpoints.drop(prevRound)
-      prevRound = next
+      prevRound = nextCk
       rounds += 1
     }
     (labels.select(col("id").as("suppkey"), col("lbl").as("community")), rounds)

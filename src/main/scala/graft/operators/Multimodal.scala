@@ -252,14 +252,17 @@ object Multimodal {
     * item 7): baseline JPEG via `javax.imageio` — the LOSSY case the
     * PNG/GIF pair can't exercise. Same concatenation convention as the
     * PNG path (JPEG has no multi-frame container), with frame
-    * boundaries located by the SOI magic `FF D8 FF`: inside a JPEG's
-    * entropy-coded segment every data `FF` is byte-stuffed as `FF 00`
-    * and the only markers that appear are `FF D0`–`D7` (restart) /
-    * `FF C0`+ (segment headers), so `FF D8` cannot occur past the
-    * stream's own SOI — the same cannot-occur-inside argument as the
-    * PNG signature. (A container that EMBEDS a nested JPEG, e.g. an
-    * EXIF thumbnail, would defeat the scan; the planted corpora are
-    * JDK-writer output, which embeds none.)
+    * boundaries located by a MARKER-SEGMENT WALK (r14 advice — a bare
+    * `FF D8 FF` scan is only sound inside entropy-coded data, where
+    * every data FF is byte-stuffed as FF 00; a marker-segment PAYLOAD
+    * (APPn/COM/ICC, EXIF thumbnails) may legally contain the magic and
+    * would mis-split): from each SOI, marker segments are skipped by
+    * their declared 2-byte lengths — payload bytes are never
+    * interpreted — and entropy-coded data after an SOS is scanned with
+    * the stuffing/restart rules until EOI closes the frame. A frame
+    * that fails the walk (truncated/corrupt) falls back to the magic
+    * scan for ITS boundary only, keeping the catch-and-skip discipline
+    * at container granularity.
     *
     * Lossiness and the hash gate: at max quality (quantization tables
     * ~1) the luma error of the JDK roundtrip is a few counts per
@@ -283,9 +286,71 @@ object Multimodal {
       if (reader != null) { reader.dispose(); reader = null }
 
     private val Magic = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
-    private def starts(p: Array[Byte]): Seq[Int] =
-      (0 to p.length - Magic.length).filter(i =>
-        Magic.indices.forall(j => p(i + j) == Magic(j)))
+    private def isSoiAt(p: Array[Byte], i: Int): Boolean =
+      i + Magic.length <= p.length &&
+        Magic.indices.forall(j => p(i + j) == Magic(j))
+
+    /** End offset (exclusive) of the JPEG starting at `off`, by walking
+      * its marker structure — segment payloads are SKIPPED via their
+      * declared big-endian lengths, never pattern-scanned, so an APPn/
+      * COM payload containing `FF D8 FF` cannot split the frame. None
+      * on any structural violation (truncation, a non-FF where a marker
+      * must start): the caller falls back to the magic scan for that
+      * frame. Marker grammar (ITU T.81 §B): SOI/EOI/TEM/RSTn are
+      * standalone; every other marker carries a 2-byte length that
+      * INCLUDES itself; after an SOS header, entropy-coded data runs
+      * until a marker other than stuffed-FF (FF 00) or RSTn
+      * (FF D0–D7). */
+    private def frameEnd(p: Array[Byte], off: Int): Option[Int] = {
+      var i = off + 2 // past SOI
+      var inScan = false
+      while (i < p.length) {
+        if (!inScan) {
+          if (p(i) != 0xFF.toByte) return None
+          // fill bytes: any number of FFs may pad before the marker code
+          var j = i + 1
+          while (j < p.length && p(j) == 0xFF.toByte) j += 1
+          if (j >= p.length) return None
+          val m = p(j) & 0xFF
+          if (m == 0xD9) return Some(j + 1) // EOI
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i = j + 1 // standalone
+          else if (m == 0xD8) return None // nested SOI: malformed here
+          else {
+            if (j + 2 >= p.length) return None
+            val len = ((p(j + 1) & 0xFF) << 8) | (p(j + 2) & 0xFF)
+            if (len < 2) return None
+            i = j + 1 + len
+            if (m == 0xDA) inScan = true // SOS: entropy data follows
+          }
+        } else {
+          // entropy-coded scan: skip to the next real marker
+          if (p(i) == 0xFF.toByte && i + 1 < p.length) {
+            val m = p(i + 1) & 0xFF
+            if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) i += 2 // stuffed/RSTn
+            else if (m == 0xFF) i += 1 // fill byte
+            else { inScan = false } // real marker: resume segment walk
+          } else i += 1
+        }
+      }
+      None // ran off the end before EOI
+    }
+
+    private def starts(p: Array[Byte]): Seq[Int] = {
+      val b = Seq.newBuilder[Int]
+      var i = 0
+      while (i >= 0 && i <= p.length - Magic.length) {
+        if (isSoiAt(p, i)) {
+          b += i
+          i = frameEnd(p, i).getOrElse {
+            // corrupt frame: magic-scan fallback for this boundary only
+            val nxt = (i + 2 to p.length - Magic.length)
+              .find(isSoiAt(p, _))
+            nxt.getOrElse(p.length)
+          }
+        } else i += 1
+      }
+      b.result()
+    }
 
     def frames(p: Array[Byte]): Iterator[(Int, Array[Byte])] = {
       val offs = starts(p)

@@ -76,22 +76,45 @@ object Sinks {
     * once at ingest here. `n` should be sized so one bucket ≈ one task's
     * worth of data at the target scale. */
   def bucketedTable(df: DataFrame, table: String, key: String, n: Int,
-      sortBy: Option[String] = None): Unit = {
-    // Overwrite alone leaves an orphan location if prior metadata was
-    // lost (fresh in-memory catalog, surviving warehouse dir) — drop
-    // the catalog entry AND clear the location: a location whose table
-    // died with a previous session makes saveAsTable throw
-    // LOCATION_ALREADY_EXISTS.
+      sortCols: Seq[String] = Nil): Unit = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-        .getPath, table)
-    if (loc.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(loc).deleteRecursively()
+    // When sort columns are given, pre-shuffle into exactly one
+    // partition per bucket (repartition hashes the column with the
+    // same Murmur3 scheme bucketing uses), so every bucket is ONE
+    // sorted file — the layout under which the scan may legally
+    // report its sort order (Spark checks files-per-bucket ≤ 1 before
+    // claiming it; see GraftSession's
+    // spark.sql.legacy.bucketedTableScan.outputOrdering note) and a
+    // downstream merge join / as-of join plans neither Exchange nor
+    // Sort: the true ingest-once shape.
+    val src =
+      if (sortCols.nonEmpty) df.repartition(n, df.col(key)) else df
+    val w = src.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(n, key)
+    val sorted =
+      if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*)
+    def save(): Unit = sorted.saveAsTable(table)
+    try save()
+    catch {
+      // Overwrite alone cannot clear an orphan LOCATION whose catalog
+      // entry died with a previous session (fresh in-memory catalog,
+      // surviving warehouse dir). Only when Spark itself names the
+      // location as the blocker do we delete it and retry once — never
+      // unconditionally (r14 advice: an unconditional delete of the
+      // derived path could destroy an EXTERNAL table's data or an
+      // unrelated object that happens to live there).
+      case e: Throwable with org.apache.spark.SparkThrowable
+          if e.getCondition == "LOCATION_ALREADY_EXISTS" =>
+        // build the path with Hadoop Path (handles unescaped chars a
+        // raw java.net.URI parse would throw on)
+        val loc = new java.io.File(new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+        save()
     }
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet").bucketBy(n, key)
-    sortBy.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 }

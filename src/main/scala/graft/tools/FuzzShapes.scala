@@ -26,6 +26,9 @@ object FuzzShapes {
           s"IN${if (neg) "!" else ""}-${key.name}(${sig(c)},${sig(sub)})"
         case CorrScalar(c, key, sub, _, _, agg, _) =>
           s"CS-${agg.name}@${key.name}(${sig(c)},${sig(sub)})"
+        case CorrScalarCmp(c, key, sub, _, _, agg, op, cmp, _) =>
+          // CW = WHERE-position; the HAVING form shows as CW over A
+          s"CW-${cmp.name}$op${agg.name}@${key.name}(${sig(c)},${sig(sub)})"
         case WindowOp(c, pb, fn, _, nl) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"

@@ -95,6 +95,27 @@ class FuzzQuerySpec extends SparkSpec {
     }
   }
 
+  test("differential fuzz, grammar revision 8: 400 seeded plans with correlated scalars in WHERE/HAVING agree") {
+    // revision 8 adds CorrScalarCmp — the correlated scalar COMPARED
+    // in WHERE or in a real HAVING, where the count-bug zone decides
+    // row RETENTION (COUNT over an empty slice is 0 and compares;
+    // SUM/MIN/MAX go NULL and the UNKNOWN comparison drops the row).
+    // The hand-decorrelated DataFrame rendering must agree with the
+    // naive per-row interpreter on every seed.
+    val failures = (1L to 400L).flatMap { seed =>
+      val p = Fuzz.genPlan(seed, 8)
+      check(p).map(msg => (seed, p, msg))
+    }
+    if (failures.nonEmpty) {
+      val (seed, p, msg) = failures.head
+      val m = minimize(p)
+      fail(
+        s"${failures.size} failing rev-8 seed(s); first = $seed\n$msg\n" +
+          s"minimal failing subplan:\n$m\n" +
+          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
+    }
+  }
+
   test("three-way differential: the rendered SQL through Spark's OWN parser agrees with the interpreter") {
     // Round 13 (r12 verdict item 3): toSql was written for DuckDB, and
     // the DataFrame rendering is what the driver gate executes — so the
@@ -116,9 +137,11 @@ class FuzzQuerySpec extends SparkSpec {
     // correlated-EXISTS spelling must decorrelate identically), and
     // the rev-7 stream whose correlated scalar subqueries run through
     // Spark's OWN RewriteCorrelatedScalarSubquery — the engine
-    // decorrelator vs the hand-decorrelated DataFrame form
+    // decorrelator vs the hand-decorrelated DataFrame form — and the
+    // rev-8 stream whose correlated scalars sit in WHERE/HAVING
+    // predicates (round 15)
     val adjudicated = scala.collection.mutable.ArrayBuffer.empty[String]
-    val failures = Seq(5, 6, 7).flatMap { rev =>
+    val failures = Seq(5, 6, 7, 8).flatMap { rev =>
       (1L to 400L).flatMap { seed =>
         val p = Fuzz.genPlan(seed, rev)
         val sql = Fuzz.toSql(p)

@@ -80,6 +80,73 @@ class JpegCodecSpec extends SparkSpec {
     assert(out.forall(_.getAs[Array[Byte]]("frame").length === 8 * 4 * 4))
   }
 
+  test("marker payloads containing the SOI magic do not split a frame (segment walk, r14 advice)") {
+    // Splice a COM segment whose PAYLOAD is the literal bytes FF D8 FF
+    // right after each frame's SOI — legal per T.81 (marker payloads
+    // are opaque), produced in the wild by EXIF thumbnails / ICC
+    // blobs. A naive magic scan sees 4 SOIs in this 2-frame payload
+    // and mis-splits (the catch-and-skip discipline then silently
+    // drops frames); the segment walk skips the payload by its
+    // declared length and finds exactly 2 frames.
+    def withComSoi(jpeg: Array[Byte]): Array[Byte] = {
+      assert(jpeg(0) == 0xFF.toByte && jpeg(1) == 0xD8.toByte)
+      val com = Array(0xFF, 0xFE, 0x00, 0x05, 0xFF, 0xD8, 0xFF)
+        .map(_.toByte)
+      jpeg.take(2) ++ com ++ jpeg.drop(2)
+    }
+    val payload =
+      withComSoi(jpegAt(pattern(41L), 1.0f)) ++
+      withComSoi(jpegAt(pattern(43L), 1.0f))
+    val hs = decodeHashes(payload)
+    assert(hs.map(_._1) === Seq(0, 1),
+      s"exactly the two real frames must decode, got ${hs.map(_._1)}")
+    assert(hs.map(_._2) === Seq(analyticHash(41L), analyticHash(43L)),
+      "both frames must decode to their analytic hashes — a mis-split " +
+        "would truncate frame 1 at the planted in-payload magic")
+  }
+
+  test("DQT pin: the quality-1.0 writer emits all-1 quantization tables (r14 advice)") {
+    // The mm_codec_roundtrip / mm_frame_dupes_real exactness argument
+    // rests on the JDK writer's max-quality quantization tables being
+    // ~1 (per-pixel luma error bounded by DCT rounding, far inside the
+    // aHash margin). That is a property of the RUNNING JRE's libjpeg,
+    // so assert the tables actually WRITTEN: a JVM upgrade that ships
+    // different tables now fails here, at the cause, instead of as an
+    // unexplained oracle hash flip in the declared queries. DQT wire
+    // format (T.81 §B.2.4.1): FF DB, 2-byte length, then per table one
+    // precision/id byte (high nibble 0 ⇒ 8-bit entries) + 64 entries.
+    val bytes = jpegAt(pattern(7L), 1.0f)
+    val tables = Seq.newBuilder[Seq[Int]]
+    var i = 2
+    var inScan = false
+    while (i + 1 < bytes.length && !inScan) {
+      assert(bytes(i) == 0xFF.toByte, s"marker expected at $i")
+      val m = bytes(i + 1) & 0xFF
+      if (m == 0xDA) inScan = true // SOS: tables all seen
+      else {
+        val len = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+        if (m == 0xDB) {
+          var j = i + 4
+          val end = i + 2 + len
+          while (j < end) {
+            val precision = (bytes(j) & 0xFF) >> 4
+            assert(precision === 0, "JDK max-quality DQT is 8-bit")
+            tables += (1 to 64).map(k => bytes(j + k) & 0xFF)
+            j += 65
+          }
+        }
+        i += 2 + len
+      }
+    }
+    assert(tables.result().nonEmpty, "no DQT segment found")
+    tables.result().zipWithIndex.foreach { case (t, n) =>
+      assert(t.forall(_ == 1),
+        s"quantization table $n is not all-1 at quality 1.0: $t — the " +
+          "JRE's writer changed; re-measure the lossy boundary and the " +
+          "declared-query exactness contract")
+    }
+  }
+
   test("lossy-boundary pin: aHash-exact at quality >= 0.5, distorted by 0.3 and below") {
     // 64 seeds spanning the mm_* odd seed space, plus seed 0 (the
     // all-black degenerate frame whose analytic hash is 0). Measured

@@ -245,12 +245,13 @@ class AsOfJoinPlanSpec extends SparkSpec {
     graft.sources.Sinks.bucketedTable(
       ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id")),
-      "asof_purchases_b", "user_id", 8)
+      "asof_purchases_b", "user_id", 8, sortCols = Seq("user_id", "ts"))
     graft.sources.Sinks.bucketedTable(
       ev.where(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
           col("event_id").as("view_id")),
-      "asof_views_b", "v_user", 8)
+      "asof_views_b", "v_user", 8,
+      sortCols = Seq("v_user", "view_ts", "view_id"))
     val df = AsOf.join(
       spark.table("asof_purchases_b"), spark.table("asof_views_b"),
       "user_id", "v_user", "ts", "view_ts", Seq("view_id"))
@@ -259,6 +260,11 @@ class AsOfJoinPlanSpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange"),
       s"bucketed as-of join still shuffles:\n$plan")
+    // r15: with one sorted file per bucket and the scan's ordering
+    // claim armed (GraftSession), the read-time sorts vanish too —
+    // the declared query body asserts the same (Advanced.scala)
+    assert(!plan.contains("Sort "),
+      s"sorted-bucketed as-of join still sorts:\n$plan")
     // and it still answers exactly like the shuffled form
     val viaShuffle = nativeAsOf.select("purchase_id", "view_id")
     val viaBuckets = df.select(col("event_id").as("purchase_id"), col("view_id"))
