@@ -81,6 +81,7 @@ object Plans {
     "st_asof_join",         // chained stateful: interval join -> windowed argmax
     "fz6_seed524",          // fuzz rev 6: semi join with cross-side theta residual (mixed-condition decorrelation)
     "fz7_seed12",           // fuzz rev 7: stacked correlated scalars, hand-decorrelated (agg + left join + count repair)
+    "fz8_seed942",          // fuzz rev 8: correlated scalar in HAVING — retention via the decorrelated left join
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,

@@ -170,6 +170,42 @@ object FuzzQueries {
   private val seedsR7: Seq[Long] =
     Seq(6L, 12L, 403L, 552L, 585L, 779L, 1247L, 1271L)
 
+  /** Revision-8 declared seeds (`fz8_seed*`), chosen from the rev-8
+    * 1500-seed DuckDB sweep (1497/1497 comparable seeds agree; the 3
+    * non-comparable are the ALREADY-PINNED Spark RemoveRedundantAliases
+    * crash resurfacing under the new map at 514/1197/1239) so each
+    * carries a [[Fuzz.CorrScalarCmp]] — the correlated scalar in a
+    * PREDICATE position (WHERE, or real HAVING over an aggregate) —
+    * with non-trivial output. Five HAVING-form, three WHERE-form:
+    *
+    *   - 286:  HAVING `<> COUNT` where both the comparison operand and
+    *           the correlation key are AGGREGATE OUTPUTS of the inner
+    *           plan (25 rows) — correlation on computed values;
+    *   - 438:  WHERE `l_suppkey <> (corr COUNT(*))` over an EXCEPT ALL
+    *           of unions at fact scale (9020 rows) — multiset set-op
+    *           arithmetic deciding which rows even reach the
+    *           correlated comparison;
+    *   - 719:  HAVING `<= MAX` over an aggregate of a DISTINCT LEFT
+    *           join carrying a rev-6 residual ON predicate (10 rows) —
+    *           both revisions' features in one retention rule;
+    *   - 942:  HAVING `l_orderkey >= (corr COUNT)` over an aggregate of
+    *           a RANGE-frame running sum under a semi join (1446
+    *           rows) — the fact-scale HAVING pick;
+    *   - 1009: WHERE `l_partkey <= (corr MAX)` correlating on
+    *           `l_linenumber` under a LEFT join (99 rows) — a
+    *           correlation key that mostly MISSES the dim, so the
+    *           NULL-scalar UNKNOWN-drops dominate;
+    *   - 1131: HAVING `<> COUNT(*)` over an aggregate whose input is a
+    *           2-key CUBE (12 rows) — the grouping-set lattice feeding
+    *           the correlated retention rule;
+    *   - 1262: 2-key ROLLUP over the HAVING-form output (10 rows) —
+    *           the correlated HAVING as a lattice INPUT;
+    *   - 1473: WHERE `l_partkey >= (corr MIN)` over a FULL OUTER join
+    *           (194 rows) — null-extended keys feeding both the
+    *           comparison operand and the correlation key. */
+  private val seedsR8: Seq[Long] =
+    Seq(286L, 438L, 719L, 942L, 1009L, 1131L, 1262L, 1473L)
+
   private def pinned(s: Long, rev: Int): Seq[(String, Q)] = Seq(
     (if (rev == 5) s"fz_seed$s" else s"fz${rev}_seed$s") ->
       ((spark: SparkSession, d: String) =>
@@ -177,10 +213,11 @@ object FuzzQueries {
 
   val queries: Map[String, Q] =
     (seeds.flatMap(pinned(_, 5)) ++ seedsR6.flatMap(pinned(_, 6)) ++
-      seedsR7.flatMap(pinned(_, 7))).toMap
+      seedsR7.flatMap(pinned(_, 7)) ++ seedsR8.flatMap(pinned(_, 8))).toMap
 
   val oracle: Map[String, String] =
     (seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 5))) ++
       seedsR6.map(s => nameR6(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 6))) ++
-      seedsR7.map(s => s"fz7_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 7)))).toMap
+      seedsR7.map(s => s"fz7_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 7))) ++
+      seedsR8.map(s => s"fz8_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 8)))).toMap
 }
