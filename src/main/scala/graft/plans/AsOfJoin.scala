@@ -188,10 +188,28 @@ final case class AsOfJoinExec(
     val rightSchema = right.output.map(_.withNullability(true))
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      // Output path (r15): both inputs are UnsafeRow in practice
+      // (sorted exchanges / bucketed scans), so the joined output is a
+      // BITWISE concatenation — GenerateUnsafeRowJoiner copies the two
+      // rows' fixed+variable regions wholesale instead of re-encoding
+      // field by field (the UnsafeProjection path priced the exec 3×
+      // the codegen'd window composition per row at the 10× scale
+      // audit). The projection remains as the fallback for any
+      // non-Unsafe row shape.
+      val rowJoiner =
+        org.apache.spark.sql.catalyst.expressions.codegen
+          .GenerateUnsafeRowJoiner.create(
+            DataTypeUtils.fromAttributes(leftSchema),
+            DataTypeUtils.fromAttributes(rightSchema))
       val proj = UnsafeProjection.create(allOut, leftSchema ++ rightSchema)
       val joiner = new JoinedRow
       val nRight = rightSchema.size
       val rightNulls = new GenericInternalRow(nRight)
+      // all-null right side as an UnsafeRow, built once (the LEFT
+      // OUTER null-fill for the bitwise path)
+      val rightNullsUnsafe: UnsafeRow =
+        UnsafeProjection.create(rightSchema.map(_.dataType).toArray)
+          .apply(rightNulls).copy()
       // per-partition (stateful — never share across partitions)
       val cmp = keyCmpFor(keyDt, lk)
       // COPY DISCIPLINE (r14 peek-copy note + r15 allocation fix):
@@ -322,7 +340,16 @@ final case class AsOfJoinExec(
               cand // first in sort order = min tiebreak wins
             else null
           }
-        proj(joiner(l, if (matched == null) rightNulls else matched))
+        l match {
+          case lu: UnsafeRow =>
+            matched match {
+              case null => rowJoiner.join(lu, rightNullsUnsafe)
+              case mu: UnsafeRow => rowJoiner.join(lu, mu)
+              case other => proj(joiner(l, other))
+            }
+          case _ =>
+            proj(joiner(l, if (matched == null) rightNulls else matched))
+        }
       }
     }
   }

@@ -45,7 +45,7 @@ object AsofChainProbe {
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))
 
     var seq = 0
-    def run(slices: Int): (Int, Double, Long) = {
+    def run(slices: Int): (Int, Double, Long, String) = {
       val dir = s"/tmp/graft-asof-probe/s$slices"
       val d = new java.io.File(dir)
       if (!d.exists()) {
@@ -92,16 +92,40 @@ object AsofChainProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       val batches = q.recentProgress.count(_.numInputRows > 0)
       val rows = spark.table(qn).count()
-      spark.catalog.dropTempView(qn)
-      (batches, secs, rows)
+      if (sys.env.get("ASOF_PROBE_DIFF").contains("1"))
+        q.recentProgress.foreach { pr =>
+          val drops = pr.stateOperators.map(so =>
+            s"${so.operatorName}:dropped=${so.numRowsDroppedByWatermark}")
+          println(s"  batch=${pr.batchId} in=${pr.numInputRows} " +
+            s"wm=${pr.eventTime.get("watermark")} ${drops.mkString(" ")}")
+        }
+      (batches, secs, rows, qn)
     }
 
     println(s"provider=${if (rocks) "rocksdb" else "hdfs(default)"}")
+    var tables = Map.empty[Int, String]
     Seq(1, 2, 4, 8).foreach { n =>
       val warm = run(n) // first run pays codegen/listing
       val timed = run(n)
+      tables += n -> timed._4
       println(f"slices=$n%d batches=${timed._1}%d " +
         f"warm=${warm._2}%.2fs timed=${timed._2}%.2fs rows=${timed._3}%d")
+    }
+    // diagnostic: which purchases disappear as slicing deepens, and
+    // where their p_ts sits relative to the 8-slice cut boundaries
+    if (sys.env.get("ASOF_PROBE_DIFF").contains("1")) {
+      val b1 = spark.table(tables(1)).select("purchase_id")
+      val b8 = spark.table(tables(8)).select("purchase_id")
+      val missing = b1.exceptAll(b8)
+      val p = base.where(col("event_type") === "purchase")
+        .join(missing, col("event_id") === col("purchase_id"))
+      val bounds8 = (1 until 8).map(k => mn + (mx - mn) * k / 8)
+      val withDist = p.select(col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+        .withColumn("dist_to_cut_min", bounds8.map(b =>
+          abs(col("us") - lit(b))).reduce(least(_, _)) / lit(60000000L))
+      println("missing purchases (1-slice minus 8-slice), distance to nearest cut in minutes:")
+      withDist.orderBy("dist_to_cut_min").show(20, truncate = false)
     }
     spark.stop()
   }

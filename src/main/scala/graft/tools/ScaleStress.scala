@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * derive a `factor`×-larger corpus from an existing sf dir by
   * deterministic id-shifted replication, so the heaviest operators can
   * be timed at two scales and report a measured scaling exponent
-  * instead of a by-construction argument. Writes ONLY the three tables
-  * the heavy set reads (documents, embeddings, lineitem) into `dest`
+  * instead of a by-construction argument. Writes ONLY the four tables
+  * the heavy set reads (documents, embeddings, events, lineitem) into `dest`
   * in the standard `<table>.parquet` layout, so `Bench` runs against
   * it with `SPARK_GRAFT_SF_DIR=<dest>`.
   *
@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   *     pushes cross-replica shingle Jaccard far below the near-dup
   *     thresholds, so dedup group-size DISTRIBUTIONS are preserved at
   *     `factor`× group count instead of every group fanning ×factor;
-  *   - embeddings perturb by a small per-replica, per-dimension
-  *     offset: neighbor structure stays replica-local instead of
-  *     becoming 10 exact ties per query point.
+  *   - embeddings CYCLIC-SHIFT their dimensions by `replica × 7`:
+  *     norm and value distribution are exactly preserved while the
+  *     cosine between a vector and its shifted copy collapses to the
+  *     random-vector baseline, so neighbor structure stays
+  *     replica-local instead of every LSH/IVF bucket densifying
+  *     ×factor (a first attempt used a ±0.003 additive perturbation —
+  *     far inside cosine noise, and the sim_* ratios measured bucket
+  *     blow-up, not scale).
   *
   * Deterministic throughout (no RNG), so two runs produce identical
   * corpora. Usage:
@@ -64,10 +69,21 @@ object ScaleStress {
     val embX = (0 until factor).map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i * IdStride))
         .withColumn("embedding", expr(
-          s"transform(embedding, (x, j) -> x + CAST($i * 0.001 * " +
-            s"(j % 7 - 3) AS FLOAT))"))
+          s"transform(embedding, (x, j) -> element_at(embedding, " +
+            s"1 + pmod(j + $i * 7, size(embedding))))"))
     }.reduce(_ unionAll _)
     write(embX, "embeddings", factor)
+
+    // events: disjoint user spaces per replica — the as-of merge and
+    // the window composition both key on user_id, so 10× events means
+    // 10× users at unchanged per-user history length (the production
+    // shape), and the ts distribution is untouched
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evX = (0 until factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * IdStride))
+        .withColumn("user_id", col("user_id") + lit(i * IdStride))
+    }.reduce(_ unionAll _)
+    write(evX, "events", factor * 2)
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val liX = (0 until factor).map { i =>
@@ -77,7 +93,7 @@ object ScaleStress {
     }.reduce(_ unionAll _)
     write(liX, "lineitem", factor * 4)
 
-    Seq("documents", "embeddings", "lineitem").foreach { t =>
+    Seq("documents", "embeddings", "events", "lineitem").foreach { t =>
       println(s"[scalestress] $t rows=" +
         spark.read.parquet(s"$dest/$t.parquet").count())
     }
