@@ -190,6 +190,27 @@ import org.apache.spark.sql.{functions => F}
   * rendering split as rev 7; [[containsCorrScalar]] covers the new
   * node so the pinned-crash adjudication guard extends unchanged.
   *
+  * A NINTH revision (round 15, additive behind `rev >= 9`) composes
+  * the two hardest subquery zones the grammar already covers
+  * separately: CORRELATED `[NOT] IN` membership ([[Fuzz.CorrInSub]]) —
+  * `child WHERE cmp [NOT] IN (SELECT v FROM sub WHERE sub.k =
+  * child.key)`. Rev 3's [[InSub]] made the membership test NULL-AWARE
+  * but uncorrelated (one global subquery); revs 7/8 made the
+  * correlation per-row but SCALAR (one aggregate value). Here the 3VL
+  * membership rule runs over a PER-ROW correlated slice: the empty
+  * slice is FALSE for every cmp — NULL included — while a NULL cmp or
+  * a NULL-bearing non-matching slice is UNKNOWN, so `NOT IN` keeps
+  * the empty-slice rows it would drop under the uncorrelated
+  * rendering, and engine decorrelators must preserve the null-aware
+  * semi/anti distinction per slice, not per query. Both the sub KEY
+  * and the sub VALUE null-inject independently (the value injection
+  * is what arms the per-slice NOT-IN trap). Three-route rendering:
+  * hand-decorrelated DataFrame form (per-key slice census + distinct
+  * match-set left join — at most one match row per outer row, so the
+  * join cannot duplicate), each SQL engine's own null-aware
+  * decorrelation on the literal correlated text (Spark: null-aware
+  * anti join; DuckDB: mark join), naive per-row interpreter.
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -550,6 +571,31 @@ object Fuzz {
       alias: String) extends Plan {
     def schema: Seq[Field] = child.schema
   }
+  /** CORRELATED `[NOT] IN` membership subquery (round 15, NINTH
+    * grammar revision): `child WHERE cmp [NOT] IN (SELECT v FROM sub
+    * WHERE sub.k = child.key)` — [[InSub]]'s null-aware 3VL membership
+    * rule applied to a PER-ROW correlated slice instead of one global
+    * subquery. ANSI per row: TRUE on a non-NULL value match; FALSE
+    * when the slice is EMPTY (for every cmp, NULL included) or when a
+    * non-NULL cmp misses a NULL-free slice; UNKNOWN otherwise (NULL
+    * cmp over a non-empty slice, or a miss against a NULL-bearing
+    * slice) — and only TRUE survives the WHERE, so under `NOT IN` the
+    * per-slice NULL injection decides retention row by row where the
+    * uncorrelated form decided it once for the whole query. The
+    * DataFrame rendering hand-decorrelates with two left joins: a
+    * per-key slice census (size + NULL presence; NULL sub keys are
+    * excluded — the correlation equality can never select them) and a
+    * DISTINCT (key, value) match set whose join condition fixes both
+    * columns, so at most one match row exists per outer row and the
+    * join cannot duplicate. `spark.sql` plans the literal correlated
+    * text through its null-aware anti/semi join path; DuckDB through
+    * its mark join. `sub` projects to the generator-unique pair
+    * (`subKey`, `subVal`), both independently null-injected. */
+  final case class CorrInSub(child: Plan, key: Col, sub: Plan,
+      subKey: Col, subVal: Col, cmp: Col, negated: Boolean,
+      alias: String) extends Plan {
+    def schema: Seq[Field] = child.schema
+  }
   /** Equality join on an FK pair; `right` columns must be disjoint from
     * `left`'s (the generator only joins different tables).
     *
@@ -885,6 +931,42 @@ object Fuzz {
         case ">=" => cc >= sv
       }
       joined.where(pred).select(c.schema.map(f => cd(f.name)): _*)
+    case CorrInSub(c, key, sub, subKey, subVal, cmpC, neg, alias) =>
+      // hand-decorrelated null-aware membership: (1) a per-key slice
+      // CENSUS — size and NULL presence — left-joined on the
+      // correlation key (no census row ⟺ empty slice); (2) a DISTINCT
+      // (key, value) MATCH SET left-joined on key AND value — both
+      // join columns are fixed per outer row, so at most one match row
+      // exists and the join cannot duplicate. The 3VL verdict is then
+      // a row-local expression: IN is TRUE iff matched; NOT IN is TRUE
+      // iff the slice is empty OR (cmp non-NULL, no match, slice
+      // NULL-free) — the per-slice form of InSub's global rule.
+      val cd = toDF(c, spark, sfDir)
+      val sd = toDF(sub, spark, sfDir)
+      val cntA = s"${alias}_cnt"
+      val nulA = s"${alias}_nul"
+      val mkA = s"${alias}_mk"
+      val mvA = s"${alias}_mv"
+      val census = sd.where(F.col(subKey.name).isNotNull)
+        .groupBy(F.col(subKey.name))
+        .agg(F.count(F.lit(1)).as(cntA),
+          F.max(F.col(subVal.name).isNull.cast("int")).as(nulA))
+      val mset = sd
+        .where(F.col(subKey.name).isNotNull && F.col(subVal.name).isNotNull)
+        .select(F.col(subKey.name).as(mkA), F.col(subVal.name).as(mvA))
+        .distinct()
+      val j1 = cd.join(census, cd(key.name) === census(subKey.name),
+        "left_outer")
+      val j2 = j1.join(mset,
+        cd(key.name) === mset(mkA) && cd(cmpC.name) === mset(mvA),
+        "left_outer")
+      val matched = mset(mkA).isNotNull
+      val emptySlice = census(cntA).isNull
+      val pred =
+        if (!neg) matched
+        else emptySlice ||
+          (!matched && cd(cmpC.name).isNotNull && census(nulA) === 0)
+      j2.where(pred).select(c.schema.map(f => cd(f.name)): _*)
     case Join(l, r, jt, lk, rk, res) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
@@ -1164,6 +1246,18 @@ object Fuzz {
           s"SELECT * FROM (${toSql(c)}) $co " +
             s"WHERE $co.${cmpC.name} $op $corr"
       }
+    case CorrInSub(c, key, sub, subKey, subVal, cmpC, neg, alias) =>
+      // the literal correlated membership text — Spark's null-aware
+      // anti/semi join planning and DuckDB's mark join each
+      // decorrelate it; both must agree with the hand-built two-join
+      // DataFrame form and the naive interpreter. Aliases derive from
+      // the node's generator-unique alias (stacking rationale as
+      // CorrScalar).
+      val co = s"co_$alias"
+      val cs = s"cs_$alias"
+      s"SELECT * FROM (${toSql(c)}) $co WHERE $co.${cmpC.name} " +
+        s"${if (neg) "NOT IN" else "IN"} (SELECT $cs.${subVal.name} " +
+        s"FROM (${toSql(sub)}) $cs WHERE $cs.${subKey.name} = $co.${key.name})"
     case Join(l, r, jt, lk, rk, res) =>
       // unqualified residual refs resolve uniquely (name-disjoint
       // sides); in the semi/anti EXISTS spelling the outer row's
@@ -1540,6 +1634,27 @@ object Fuzz {
           }
         }).contains(true)
       }
+    case CorrInSub(c, key, sub, subKey, subVal, cmpC, neg, _) =>
+      // naive per-outer-row slice (NULL sub keys can never correlate),
+      // then InSub's 3VL membership rule applied per slice: empty
+      // slice ⇒ FALSE for every cmp (NULL included); non-NULL match ⇒
+      // TRUE; non-NULL miss against a NULL-free slice ⇒ FALSE; all
+      // else UNKNOWN. Keep iff the (possibly negated) verdict is TRUE.
+      val srows = eval(sub, tables)
+      val index: Map[Any, Seq[Option[Any]]] =
+        srows.flatMap(sr => sr(subKey.name).map(_ -> sr(subVal.name)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      eval(c, tables).filter { r =>
+        val slice = r(key.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+        val in: Option[Boolean] =
+          if (slice.isEmpty) Some(false)
+          else r(cmpC.name) match {
+            case Some(v) if slice.contains(Some(v)) => Some(true)
+            case Some(_) if !slice.contains(None)   => Some(false)
+            case _                                  => None
+          }
+        (if (neg) in.map(!_) else in).contains(true)
+      }
     case Join(l, r, jt, lk, rk, res) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
@@ -1766,7 +1881,7 @@ object Fuzz {
   /** The latest grammar revision [[genPlan(seed:Long,rev:Int)*]]
     * accepts. Sweeps and new declared seeds use this; previously
     * declared seeds PIN their revision instead. */
-  val LatestRev = 8
+  val LatestRev = 9
 
   /** REVISION-PINNED generation (round 14): up to revision 5 the
     * grammar grew IN PLACE, so every extension shifted
@@ -1914,11 +2029,12 @@ object Fuzz {
     if (depth <= 0) base
     else {
       val schema = base.schema
-      // revisions 7/8 widen the transform selector (12, then 13
+      // revisions 7/8/9 widen the transform selector (12, 13, then 14
       // cases); each widened modulus only ever runs for seeds pinned
       // at that rev or later, so older draw streams stay bit-identical
       // (additive growth)
-      val sel = if (rev >= 8) rnd.nextInt(13)
+      val sel = if (rev >= 9) rnd.nextInt(14)
+                else if (rev >= 8) rnd.nextInt(13)
                 else if (rev >= 7) rnd.nextInt(12)
                 else rnd.nextInt(11)
       val next = sel match {
@@ -2236,6 +2352,54 @@ object Fuzz {
                 Col(kAlias, LongT), vc, fn, op, cmp, s"ch${depth}_0")
             }
           }
+        case 13 =>
+          // correlated [NOT] IN membership (revision 9 — the selector
+          // reaches here only for rev >= 9): InSub's null-aware 3VL
+          // membership over a PER-ROW correlated slice. Same
+          // dim-restricted sub discipline (the interpreter slices per
+          // outer row; declared seeds stay semantics probes). BOTH the
+          // sub key and the sub VALUE null-inject independently — the
+          // value injection is what arms the per-slice NOT-IN trap
+          // (a miss against a NULL-bearing slice is UNKNOWN and
+          // drops), while the empty slice is FALSE and NOT IN KEEPS
+          // the row, NULL cmp included — the two rules an engine
+          // decorrelator must keep distinct per slice. cmp and v are
+          // Long-valued; dim key spaces (0-24) overlap the child FK
+          // columns, so hits and misses both occur.
+          val keyPool = schema.filter(_.tpe == LongT)
+          if (keyPool.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val subCols = (for {
+              t <- Vector("region", "nation", "supplier")
+              sf <- catalog(t) if sf.tpe == LongT
+            } yield (t, sf))
+            val (st, sf) = pick(rnd, subCols)
+            val subChild: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(st), genPred(rnd, catalog(st)))
+              else Scan(st)
+            val kAlias = s"ci${depth}_k"
+            val vAlias = s"ci${depth}_v"
+            val kexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(sf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(sf.name, LongT))
+              } else Col(sf.name, LongT)
+            val vf = pick(rnd, catalog(st).filter(_.tpe == LongT))
+            val vexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(vf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(vf.name, LongT))
+              } else Col(vf.name, LongT)
+            val subP = Project(subChild, Seq(
+              kAlias -> kexpr, vAlias -> vexpr))
+            val key = pick(rnd, keyPool)
+            val cmp = pick(rnd, keyPool)
+            CorrInSub(base, Col(key.name, LongT), subP,
+              Col(kAlias, LongT), Col(vAlias, LongT),
+              Col(cmp.name, LongT), rnd.nextBoolean(), s"ci${depth}_0")
+          }
       }
       genTransforms(rnd, next, depth - 1, rev)
     }
@@ -2263,6 +2427,53 @@ object Fuzz {
     case other => shrink(other).exists(corrScalarOverUnion)
   }
 
+  /** True iff the plan contains a [[CorrScalar]] over a [[SortLimit]]
+    * child (through any stack of projections — projections collapse
+    * in the optimizer; a Filter barrier blocks the shape): the pinned
+    * Spark 4.1.2 WRONG-RESULTS bug, the collection's first non-crash
+    * engine defect. `RewriteCorrelatedScalarSubquery` decorrelates the
+    * SELECT-list scalar into an aggregate + left outer join, after
+    * which `EliminateSorts` removes the subquery's Sort even though a
+    * LIMIT/OFFSET still depends on it — the limit then keeps ARBITRARY
+    * rows (hand-minimized from seed 260@r9: `SELECT co.*, (SELECT
+    * MAX(v) FROM dim WHERE dim.k = co.key) FROM (SELECT … ORDER BY …
+    * LIMIT 5) co` returns five rows that are not the ordered prefix;
+    * `excludedRules=EliminateSorts` restores the ANSI answer — the
+    * sentinel test in `FuzzQuerySpec` pins both halves). Predicate
+    * positions (correlated IN / NOT IN / EXISTS / scalar-compared) do
+    * NOT trigger it — only the SELECT-list rewrite. The three-way
+    * adjudicates matches of this guard ONLY after re-verifying that
+    * the DataFrame rendering agrees with the interpreter, because a
+    * wrong-results bug has no error fingerprint to match. */
+  def corrScalarOverSortLimit(p: Plan): Boolean = {
+    @annotation.tailrec
+    def peel(q: Plan): Plan = q match {
+      case Project(c, _) => peel(c)
+      case other         => other
+    }
+    p match {
+      case CorrScalar(c, _, _, _, _, _, _)
+          if peel(c).isInstanceOf[SortLimit] => true
+      case other => shrink(other).exists(corrScalarOverSortLimit)
+    }
+  }
+
+  /** True iff the plan contains the OTHER pinned Spark 4.1.2 crash
+    * shape: ROLLUP/CUBE directly over a UNION ALL
+    * (`RemoveRedundantAliases` invalidates the plan — "previously
+    * resolved and now became unresolved"; the sentinel test in
+    * `FuzzQuerySpec` asserts the crash and the
+    * agreement-under-rule-exclusion). The 400-seed differentials
+    * adjudicate this fingerprint the same way the three-way
+    * adjudicates the decorrelation crash: the shape guard plus the
+    * engine's own error text, never a seed list (seed maps change
+    * per revision — rev 9's map first put the shape inside the
+    * 400-seed window, at seed 237). */
+  def rollupOverUnion(p: Plan): Boolean = p match {
+    case Rollup(UnionAll(_, _), _, _, _, _) => true
+    case other => shrink(other).exists(rollupOverUnion)
+  }
+
   /** True iff the plan contains a [[CorrScalar]] anywhere — the
     * three-way differential's adjudication guard for the pinned
     * Spark 4.1.2 decorrelation crash matches on this plus the exact
@@ -2278,6 +2489,11 @@ object Fuzz {
     // them (a WHERE/HAVING-position trigger of the pinned crash — or a
     // new one — adjudicates identically)
     case CorrScalarCmp(_, _, _, _, _, _, _, _, _) => true
+    // rev 9's correlated membership runs through the same
+    // DecorrelateInnerQuery framework (predicate-position subquery
+    // with an outer reference), so the fingerprint guard extends to
+    // it for the same reason as CorrScalarCmp
+    case CorrInSub(_, _, _, _, _, _, _, _) => true
     case other => shrink(other).exists(containsCorrScalar)
   }
 
@@ -2302,5 +2518,6 @@ object Fuzz {
     case InSub(c, _, sub, _, _) => Seq(c, sub)
     case CorrScalar(c, _, sub, _, _, _, _) => Seq(c, sub)
     case CorrScalarCmp(c, _, sub, _, _, _, _, _, _) => Seq(c, sub)
+    case CorrInSub(c, _, sub, _, _, _, _, _) => Seq(c, sub)
   }
 }

@@ -206,6 +206,48 @@ object FuzzQueries {
   private val seedsR8: Seq[Long] =
     Seq(286L, 438L, 719L, 942L, 1009L, 1131L, 1262L, 1473L)
 
+  /** Revision-9 declared seeds (`fz9_seed*`), chosen from the rev-9
+    * 1500-seed DuckDB sweep: 1497/1500 comparable-and-agreeing; the 3
+    * exceptions are ALL adjudicated ENGINE bugs — seed 34 is the
+    * pinned Spark RemoveRedundantAliases crash resurfacing under the
+    * new map, and seeds 73/831 are the round's TWO NEW DuckDB 1.0.0
+    * pins (the INTERSECT "Type mismatch" instance of bugpin 2, and
+    * bugpin 3's expression-keyed correlated-NOT-IN wrong results —
+    * `tools/duckdb_bugpin.py`). The same sweep's three-way leg also
+    * caught the pinned Spark EliminateSorts WRONG-RESULTS bug (seed
+    * 260; spark.sql-only — the DataFrame rendering the driver gate
+    * runs is correct, so such shapes stay declarable). Each pick
+    * carries a [[Fuzz.CorrInSub]] — correlated `[NOT] IN`
+    * membership — with non-trivial output:
+    *
+    *   - 15:  fact-scale NOT IN over a FULL OUTER join with a rev-6
+    *          residual ON predicate (60097 rows) — null-extended keys
+    *          feeding the per-row membership rule;
+    *   - 36:  positive IN, supplier correlating into nation (15
+    *          rows) — the semi-join-like direction where only
+    *          value MATCHES survive;
+    *   - 68:  correlated COUNT (rev 7) over an aggregate OVER a
+    *          NOT IN (1480 rows) — three subquery revisions stacked
+    *          in one plan;
+    *   - 109: 2-key ROLLUP over a NOT IN between filtered region and
+    *          nation (7 rows) — the grouping lattice consuming the
+    *          membership filter's survivors;
+    *   - 173: uncorrelated scalar-subquery filter (rev 12 zone) over
+    *          a fact-scale NOT IN (210 rows) — both subquery-filter
+    *          generations in one retention chain;
+    *   - 230: EXCEPT of a NOT IN with its own filtered copy (14261
+    *          rows) — distinct set-op arithmetic over correlated
+    *          membership survivors;
+    *   - 339: NOT IN whose correlation KEY is a ROLLUP group key and
+    *          whose cmp is a lattice AGGREGATE OUTPUT (8510 rows) —
+    *          membership correlating on computed values, rolled-up
+    *          NULL keys correlating to empty slices;
+    *   - 342: positive IN over an inner join with a residual ON
+    *          predicate (10 rows) — the rev-6 match-site 3VL feeding
+    *          the membership slice. */
+  private val seedsR9: Seq[Long] =
+    Seq(15L, 36L, 68L, 109L, 173L, 230L, 339L, 342L)
+
   private def pinned(s: Long, rev: Int): Seq[(String, Q)] = Seq(
     (if (rev == 5) s"fz_seed$s" else s"fz${rev}_seed$s") ->
       ((spark: SparkSession, d: String) =>
@@ -213,11 +255,13 @@ object FuzzQueries {
 
   val queries: Map[String, Q] =
     (seeds.flatMap(pinned(_, 5)) ++ seedsR6.flatMap(pinned(_, 6)) ++
-      seedsR7.flatMap(pinned(_, 7)) ++ seedsR8.flatMap(pinned(_, 8))).toMap
+      seedsR7.flatMap(pinned(_, 7)) ++ seedsR8.flatMap(pinned(_, 8)) ++
+      seedsR9.flatMap(pinned(_, 9))).toMap
 
   val oracle: Map[String, String] =
     (seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 5))) ++
       seedsR6.map(s => nameR6(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 6))) ++
       seedsR7.map(s => s"fz7_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 7))) ++
-      seedsR8.map(s => s"fz8_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 8)))).toMap
+      seedsR8.map(s => s"fz8_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 8))) ++
+      seedsR9.map(s => s"fz9_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 9)))).toMap
 }

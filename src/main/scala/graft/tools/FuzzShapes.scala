@@ -29,6 +29,8 @@ object FuzzShapes {
         case CorrScalarCmp(c, key, sub, _, _, agg, op, cmp, _) =>
           // CW = WHERE-position; the HAVING form shows as CW over A
           s"CW-${cmp.name}$op${agg.name}@${key.name}(${sig(c)},${sig(sub)})"
+        case CorrInSub(c, key, sub, _, _, cmp, neg, _) =>
+          s"CI${if (neg) "!" else ""}-${cmp.name}@${key.name}(${sig(c)},${sig(sub)})"
         case WindowOp(c, pb, fn, _, nl) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"

@@ -14,9 +14,33 @@ class FuzzQuerySpec extends SparkSpec {
 
   private lazy val tables = Fuzz.loadTables(spark, sfDir)
 
+  /** Seeds whose DataFrame rendering hit a PINNED engine crash and
+    * were adjudicated by fingerprint rather than compared (printed by
+    * the sweep that collected them). */
+  private val crashAdjudicated =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+
   /** None = agree; Some(diagnostic) = differ. */
   private def check(p: Fuzz.Plan): Option[String] = {
-    val got = Fuzz.canonSpark(Fuzz.toDF(p, spark, sfDir))
+    val got =
+      try Fuzz.canonSpark(Fuzz.toDF(p, spark, sfDir))
+      catch {
+        // the pinned Spark 4.1.2 RemoveRedundantAliases crash
+        // (sentinel test below asserts the crash AND the
+        // agreement-under-rule-exclusion): rev 9's seed remap put the
+        // ROLLUP/CUBE-over-UNION shape inside the 400-seed window for
+        // the first time (seed 237@r9). Adjudicate by shape guard +
+        // the engine's own fingerprint — the same discipline the
+        // three-way applies to the decorrelation crash — and record
+        // the seed instead of comparing.
+        case e: Throwable
+            if Fuzz.rollupOverUnion(p) &&
+              String.valueOf(e.getMessage)
+                .contains("PLAN_VALIDATION_FAILED_RULE_IN_BATCH") &&
+              String.valueOf(e.getMessage).contains("RemoveRedundantAliases") =>
+          crashAdjudicated += p.toString.take(60)
+          return None
+      }
     val exp = Fuzz.canonRef(Fuzz.eval(p, tables), p.schema)
     if (got == exp) None
     else Some(
@@ -116,6 +140,31 @@ class FuzzQuerySpec extends SparkSpec {
     }
   }
 
+  test("differential fuzz, grammar revision 9: 400 seeded plans with correlated [NOT] IN agree") {
+    // revision 9 adds CorrInSub — correlated [NOT] IN membership,
+    // where InSub's null-aware 3VL rule runs over a PER-ROW correlated
+    // slice: the empty slice is FALSE (NOT IN keeps the row, NULL cmp
+    // included) while a NULL cmp or a miss against a NULL-bearing
+    // slice is UNKNOWN (drops). The hand-decorrelated two-join
+    // DataFrame rendering must agree with the naive per-row
+    // interpreter on every seed.
+    val failures = (1L to 400L).flatMap { seed =>
+      val p = Fuzz.genPlan(seed, 9)
+      check(p).map(msg => (seed, p, msg))
+    }
+    if (failures.nonEmpty) {
+      val (seed, p, msg) = failures.head
+      val m = minimize(p)
+      fail(
+        s"${failures.size} failing rev-9 seed(s); first = $seed\n$msg\n" +
+          s"minimal failing subplan:\n$m\n" +
+          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
+    }
+    if (crashAdjudicated.nonEmpty)
+      info(s"${crashAdjudicated.size} plan(s) adjudicated under the " +
+        "pinned RemoveRedundantAliases fingerprint")
+  }
+
   test("three-way differential: the rendered SQL through Spark's OWN parser agrees with the interpreter") {
     // Round 13 (r12 verdict item 3): toSql was written for DuckDB, and
     // the DataFrame rendering is what the driver gate executes — so the
@@ -139,9 +188,11 @@ class FuzzQuerySpec extends SparkSpec {
     // Spark's OWN RewriteCorrelatedScalarSubquery — the engine
     // decorrelator vs the hand-decorrelated DataFrame form — and the
     // rev-8 stream whose correlated scalars sit in WHERE/HAVING
-    // predicates (round 15)
+    // predicates, and the rev-9 stream whose correlated [NOT] IN
+    // membership runs Spark's null-aware predicate-subquery
+    // decorrelation against the hand-built two-join form (round 15)
     val adjudicated = scala.collection.mutable.ArrayBuffer.empty[String]
-    val failures = Seq(5, 6, 7, 8).flatMap { rev =>
+    val failures = Seq(5, 6, 7, 8, 9).flatMap { rev =>
       (1L to 400L).flatMap { seed =>
         val p = Fuzz.genPlan(seed, rev)
         val sql = Fuzz.toSql(p)
@@ -160,13 +211,36 @@ class FuzzQuerySpec extends SparkSpec {
                 if Fuzz.containsCorrScalar(p) &&
                   String.valueOf(e.getMessage).startsWith("key not found") =>
               adjudicated += s"$seed@r$rev"; None
+            // the pinned RemoveRedundantAliases crash (its own
+            // sentinel below): the SQL frontend hits the same
+            // optimizer-batch validation failure as the DataFrame
+            // path — rev 9's seed map is the first to draw the
+            // ROLLUP/CUBE-over-UNION shape inside the 400-seed window
+            case e: Throwable
+                if Fuzz.rollupOverUnion(p) &&
+                  String.valueOf(e.getMessage)
+                    .contains("PLAN_VALIDATION_FAILED_RULE_IN_BATCH") &&
+                  String.valueOf(e.getMessage)
+                    .contains("RemoveRedundantAliases") =>
+              adjudicated += s"$seed@r$rev(rra)"; None
             case scala.util.control.NonFatal(e) =>
               fail(s"seed $seed@r$rev failed to parse/execute via spark.sql: $e\n$sql")
           }
         got.flatMap { g =>
           val exp = Fuzz.canonRef(Fuzz.eval(p, tables), p.schema)
           if (g == exp) None
-          else Some((s"$seed@r$rev", sql, g.size, exp.size))
+          else if (Fuzz.corrScalarOverSortLimit(p) &&
+              Fuzz.canonSpark(Fuzz.toDF(p, spark, sfDir)) == exp) {
+            // the pinned EliminateSorts WRONG-RESULTS bug (sentinel
+            // test below): a correlated SELECT-list scalar over an
+            // ORDER BY … LIMIT child makes spark.sql keep arbitrary
+            // rows. No error fingerprint exists for a wrong answer,
+            // so the honest guard is the shape predicate PLUS a
+            // re-verification that the DataFrame rendering of the
+            // SAME plan agrees with the interpreter — the engine's
+            // own two frontends disagreeing is the adjudication.
+            adjudicated += s"$seed@r$rev(sort)"; None
+          } else Some((s"$seed@r$rev", sql, g.size, exp.size))
         }
       }
     }
@@ -366,6 +440,51 @@ class FuzzQuerySpec extends SparkSpec {
       "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases")
     try assert(check(crashShape).isEmpty,
       "crash shape differs under rule exclusion")
+    finally spark.conf.unset(key)
+  }
+
+  test("adjudicated Spark 4.1.2 optimizer bug: EliminateSorts breaks LIMIT under a decorrelated SELECT-list scalar") {
+    // Rev 9's first three-way sweep caught the collection's first
+    // WRONG-RESULTS engine bug (the two prior Spark pins are crashes):
+    // seed 260@r9's literal SQL returns five rows that are NOT the
+    // ordered prefix of its `ORDER BY … LIMIT 5 OFFSET 3` subquery.
+    // Hand-minimized trigger: a correlated scalar subquery in the
+    // SELECT list over a sort-limited derived table.
+    // `RewriteCorrelatedScalarSubquery` decorrelates the scalar into
+    // an aggregate + left outer join, after which `EliminateSorts`
+    // removes the subquery's Sort even though the Limit still depends
+    // on it — the limit then keeps arbitrary rows. Boundary (probed
+    // by hand): predicate-position subqueries (IN / NOT IN / EXISTS /
+    // scalar-compared in WHERE) do NOT trigger it; a Filter barrier
+    // between the scalar and the sort-limit blocks it; interleaving
+    // projections do not. Adjudication: the DataFrame rendering,
+    // DuckDB, and the reference interpreter all agree on the ANSI
+    // answer, and excluding EliminateSorts restores that answer on
+    // the SQL frontend — pinned fixed-on-upgrade here (when this
+    // test's divergence half FAILS, Spark fixed it: remove this pin
+    // and the three-way's corrScalarOverSortLimit adjudication).
+    Fuzz.catalog.keys.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val buggy = """SELECT co.l_orderkey, (SELECT COUNT(*) FROM nation cs
+      WHERE cs.n_regionkey = co.l_suppkey) AS s
+      FROM (SELECT l_orderkey, l_suppkey FROM lineitem
+            ORDER BY l_orderkey, l_suppkey, l_partkey, l_linenumber
+            LIMIT 5) co"""
+    def keys(sql: String): Seq[Long] =
+      spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+    // the correct ordered prefix, via the subquery alone (a plain
+    // TopK — EliminateSorts leaves it intact)
+    val correct = keys("""SELECT l_orderkey FROM lineitem
+      ORDER BY l_orderkey, l_suppkey, l_partkey, l_linenumber LIMIT 5""")
+    assert(keys(buggy) != correct,
+      "FIXED ON UPGRADE: spark.sql now returns the ordered prefix — " +
+        "remove this pin and the three-way corrScalarOverSortLimit guard")
+    val key = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(key,
+      "org.apache.spark.sql.catalyst.optimizer.EliminateSorts")
+    try assert(keys(buggy) == correct,
+      "rule exclusion must restore the ANSI answer")
     finally spark.conf.unset(key)
   }
 }

@@ -76,3 +76,46 @@ except Exception as e:
     assert con2.execute(sql2).fetchall() == [], \
         "disable_optimizer no longer returns the Spark-agreeing empty set?!"
     print("setop pin: BUG-PRESENT (optimizer throws; no-opt agrees with Spark)")
+
+# ---------------------------------------------------------------------------
+# Bug 3 (round-15 NINTH grammar revision — correlated [NOT] IN — sweep
+# seed 831): correlated NOT IN drops EVERY row when the correlation key
+# inside the derived table is a CASE/CAST EXPRESSION and the subquery's
+# value column is NULL-bearing. ANSI: a row whose correlated slice is
+# EMPTY must be KEPT (NOT IN over the empty set is TRUE); DuckDB 1.0.0
+# instead applies the "subquery contains a NULL => UNKNOWN" rule
+# GLOBALLY, as if every row's slice were the whole subquery. A bare
+# column key (or k+0) answers correctly — only CASE/CAST keys trip it,
+# which is exactly the fuzz grammar's null-injected subKey shape.
+# Unlike bugs 1-2 this is NOT an optimizer defect: PRAGMA
+# disable_optimizer returns the same wrong empty set (binder-level).
+# Adjudication is four-route: Spark's DataFrame rendering and the
+# reference interpreter agree on the ANSI answer; DuckDB ITSELF agrees
+# on the semantically identical bare-column-key control AND on the
+# hand-decorrelated EXISTS 3VL spelling of the same query; only the
+# literal expression-keyed NOT IN diverges.
+con3 = duckdb.connect()
+con3.execute("CREATE TABLE t3 AS SELECT range::BIGINT AS x FROM range(10)")
+con3.execute("CREATE TABLE s3 AS SELECT range::BIGINT AS k FROM range(2)")
+# x=0,1: slice={NULL} -> UNKNOWN -> drop; x=2..9: slice EMPTY -> keep = 8
+buggy = ("SELECT COUNT(*) FROM t3 co WHERE co.x NOT IN "
+         "(SELECT v FROM (SELECT CASE WHEN k >= 0 THEN k END AS k, "
+         "CAST(NULL AS BIGINT) AS v FROM s3) s WHERE s.k = co.x)")
+control = ("SELECT COUNT(*) FROM t3 co WHERE co.x NOT IN "
+           "(SELECT v FROM (SELECT k, CAST(NULL AS BIGINT) AS v FROM s3) s "
+           "WHERE s.k = co.x)")
+exists3vl = ("SELECT COUNT(*) FROM t3 co WHERE "
+             "NOT EXISTS (SELECT 1 FROM (SELECT CASE WHEN k >= 0 THEN k END AS k "
+             "FROM s3) s WHERE s.k = co.x) "
+             "OR (co.x IS NOT NULL AND NOT EXISTS (SELECT 1 FROM "
+             "(SELECT CASE WHEN k >= 0 THEN k END AS k, CAST(NULL AS BIGINT) AS v "
+             "FROM s3) s WHERE s.k = co.x AND (s.v = co.x OR s.v IS NULL)))")
+n_buggy = con3.execute(buggy).fetchall()[0][0]
+n_control = con3.execute(control).fetchall()[0][0]
+n_exists = con3.execute(exists3vl).fetchall()[0][0]
+print(f"corr-NOT-IN pin: expr-key={n_buggy} bare-key-control={n_control} "
+      f"exists-3vl={n_exists} (ANSI answer: 8)")
+assert n_control == 8, "bare-column control no longer ANSI?!"
+assert n_exists == 8, "EXISTS 3VL spelling no longer ANSI?!"
+print("corr-NOT-IN pin: " +
+      ("BUG-PRESENT" if n_buggy != 8 else "BUG-FIXED — remove this pin"))
