@@ -82,6 +82,7 @@ object Plans {
     "fz6_seed524",          // fuzz rev 6: semi join with cross-side theta residual (mixed-condition decorrelation)
     "fz7_seed12",           // fuzz rev 7: stacked correlated scalars, hand-decorrelated (agg + left join + count repair)
     "fz8_seed942",          // fuzz rev 8: correlated scalar in HAVING — retention via the decorrelated left join
+    "fz9_seed15",           // fuzz rev 9: fact-scale correlated NOT IN over a FULL OUTER join — census + distinct-match-set two-join decorrelation
   )
 
   /** Static audit appendix re-emitted on every regeneration (round 10,
