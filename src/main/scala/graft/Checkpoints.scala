@@ -18,6 +18,26 @@ import org.apache.spark.sql.execution.LogicalRDD
   * the diff and gets blocking-unpersisted, silently evicting unrelated
   * cached data. */
 object Checkpoints {
+  /** Eager `localCheckpoint` + STATS SEVER (see
+    * [[org.apache.spark.sql.GraftDatasetBridge.withoutOriginStats]]):
+    * the returned frame is still a bare [[LogicalRDD]] over the
+    * persisted blocks — [[drop]] accepts it unchanged — but its
+    * statistics no longer inherit the origin plan's ESTIMATE.
+    * Mandatory inside iterative loops: a round that joins two
+    * checkpointed frames squares the inherited estimate, so
+    * log(sizeInBytes) doubles per round until Catalyst's BigInt stats
+    * arithmetic dominates planning and finally overflows (the 30×
+    * stress corpus crashed sim_dedup_corpus this way). */
+  def checkpointFresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftDatasetBridge.withoutOriginStats(
+      df.localCheckpoint(true))
+
+  /** Postfix spelling: `df.checkpointFresh()` — a drop-in replacement
+    * for `df.localCheckpoint(true)` at every operator checkpoint. */
+  implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
+    def checkpointFresh(): DataFrame = Checkpoints.checkpointFresh(df)
+  }
+
   /** The backing RDD of an eagerly `localCheckpoint`ed DataFrame, if the
     * frame is indeed checkpoint-shaped (a bare [[LogicalRDD]] leaf). */
   def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.functions.{CosineSimilarity, DotProduct, DotProductLong,
-  IntersectionSize, OrderedPairsPacked, RewriteIntersectionSize, SimHash60,
-  WinnowFingerprints, WordNgrams, WordShingles}
+  IntersectionSize, LshBuckets, OrderedPairsPacked, RewriteIntersectionSize,
+  SimHash60, WinnowFingerprints, WordNgrams, WordShingles}
 
 /** Engine extensions, registered via `SparkSession.builder.withExtensions`
   * (or `spark.sql.extensions=graft.GraftExtensions`): native functions the
@@ -28,6 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val widen = (e: Expression) => Cast(e, ArrayType(DoubleType))
         DotProduct(widen(children(0)), widen(children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        // (tables, bits) must be integer literals — they size the
+        // plane matrix at plan time
+        def intLit(e: Expression): Int =
+          e.eval().asInstanceOf[Number].intValue()
+        LshBuckets(Cast(children(0), ArrayType(DoubleType)),
+          intLit(children(1)), intLit(children(2)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_prod_long"),

@@ -211,6 +211,30 @@ import org.apache.spark.sql.{functions => F}
   * decorrelation on the literal correlated text (Spark: null-aware
   * anti join; DuckDB: mark join), naive per-row interpreter.
   *
+  * A TENTH revision (round 15, additive behind `rev >= 10`) adds the
+  * CORRELATED QUANTIFIED COMPARISON ([[Fuzz.CorrQuantCmp]]): `child
+  * WHERE cmp <op> ANY|ALL (SELECT v FROM sub WHERE sub.k =
+  * child.key)` with op drawn from the four INEQUALITIES (`= ANY` is
+  * rev 9's IN and `<> ALL` its NOT IN — already covered). ANSI per
+  * row: ANY is TRUE iff some comparison is TRUE, FALSE iff the slice
+  * is empty or every comparison is FALSE, else UNKNOWN; ALL is TRUE
+  * iff the slice is EMPTY or every comparison is TRUE, FALSE iff any
+  * comparison is FALSE, else UNKNOWN — so ALL keeps the
+  * empty-slice rows (NULL cmp included) that ANY drops, the mirrored
+  * asymmetry every rewrite must preserve. The rendering split is
+  * FOUR-way here: the DataFrame form hand-decorrelates through a
+  * per-key census (size / non-null count / min / max — ANY compares
+  * cmp to the slice's relevant extreme, ALL to the opposite one under
+  * a NULL-free census guard); DuckDB plans the LITERAL quantified
+  * text through its mark-join path; **Spark cannot parse quantified
+  * comparisons at all** (`< ANY (SELECT …)` is a PARSE_SYNTAX_ERROR
+  * in 4.1.2 — a parse-gap sentinel in `FuzzQuerySpec` flips when an
+  * upgrade adds the syntax), so [[Fuzz.toSqlSpark]] renders the
+  * 3VL-expanded `[NOT] EXISTS` spelling (ANY ⟺ EXISTS a TRUE
+  * comparison; ALL ⟺ NOT EXISTS a FALSE-or-UNKNOWN one) through
+  * Spark's correlated-EXISTS decorrelation; and the interpreter
+  * quantifies naively per row.
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -596,6 +620,28 @@ object Fuzz {
       alias: String) extends Plan {
     def schema: Seq[Field] = child.schema
   }
+  /** CORRELATED QUANTIFIED COMPARISON (round 15, TENTH grammar
+    * revision): `child WHERE cmp <op> ANY|ALL (SELECT v FROM sub
+    * WHERE sub.k = child.key)`, op ∈ {<, <=, >, >=} (`= ANY` ≡
+    * [[CorrInSub]] IN; `<> ALL` ≡ its NOT IN). ANSI: the quantifier
+    * folds the per-slice-row comparisons under 3VL — ANY: TRUE if any
+    * TRUE, FALSE if empty or all FALSE, else UNKNOWN; ALL: TRUE if
+    * empty or all TRUE, FALSE if any FALSE, else UNKNOWN — and only
+    * TRUE survives the WHERE. ALL therefore KEEPS every empty-slice
+    * row (outer NULL keys included — the correlation equality selects
+    * nothing) while ANY drops them: the mirrored empty-slice
+    * asymmetry, now with slice NULLs arming UNKNOWN on one side only
+    * (ANY ignores them whenever one TRUE exists; ALL is blocked by a
+    * single NULL). `sub` projects to the generator-unique
+    * (`subKey`, `subVal`) pair, both independently null-injected;
+    * Spark has NO quantified-comparison syntax (parse-gap sentinel in
+    * `FuzzQuerySpec`), so its SQL route runs the 3VL-expanded
+    * `[NOT] EXISTS` spelling from [[toSqlSpark]] instead. */
+  final case class CorrQuantCmp(child: Plan, key: Col, sub: Plan,
+      subKey: Col, subVal: Col, op: String, all: Boolean, cmp: Col,
+      alias: String) extends Plan {
+    def schema: Seq[Field] = child.schema
+  }
   /** Equality join on an FK pair; `right` columns must be disjoint from
     * `left`'s (the generator only joins different tables).
     *
@@ -967,6 +1013,43 @@ object Fuzz {
         else emptySlice ||
           (!matched && cd(cmpC.name).isNotNull && census(nulA) === 0)
       j2.where(pred).select(c.schema.map(f => cd(f.name)): _*)
+    case CorrQuantCmp(c, key, sub, subKey, subVal, op, all, cmpC, alias) =>
+      // hand-decorrelated quantifier: ONE per-key slice CENSUS (size,
+      // non-null count, min, max) left-joined on the correlation key
+      // turns the ANSI fold into a row-local predicate. ANY is TRUE
+      // iff some NON-NULL slice value satisfies the comparison ⟺ cmp
+      // op the slice's relevant EXTREME (max for </<=, min for >/>=)
+      // — slice NULLs never matter (they only add UNKNOWNs and one
+      // TRUE wins), and a missing census row or NULL cmp nulls the
+      // comparison, dropping the row. ALL is TRUE iff the slice is
+      // EMPTY (census miss — keep even for NULL cmp), or the slice is
+      // NULL-free (nn = n) and cmp satisfies the OPPOSITE extreme
+      // (min for </<=, max for >/>=): one FALSE comparison fails the
+      // extreme test, one slice NULL fails the census guard, a NULL
+      // cmp over a non-empty slice nulls the predicate — all drop.
+      val cd = toDF(c, spark, sfDir)
+      val sd = toDF(sub, spark, sfDir)
+      val nA = s"${alias}_n"; val nnA = s"${alias}_nn"
+      val mnA = s"${alias}_mn"; val mxA = s"${alias}_mx"
+      val census = sd.where(F.col(subKey.name).isNotNull)
+        .groupBy(F.col(subKey.name))
+        .agg(F.count(F.lit(1)).as(nA), F.count(F.col(subVal.name)).as(nnA),
+          F.min(F.col(subVal.name)).as(mnA),
+          F.max(F.col(subVal.name)).as(mxA))
+      val j = cd.join(census, cd(key.name) === census(subKey.name),
+        "left_outer")
+      val cc = cd(cmpC.name)
+      def cmpTo(x: org.apache.spark.sql.Column) = op match {
+        case "<" => cc < x; case "<=" => cc <= x
+        case ">" => cc > x; case ">=" => cc >= x
+      }
+      val lower = op == "<" || op == "<="
+      val pred =
+        if (!all) cmpTo(if (lower) F.col(mxA) else F.col(mnA))
+        else F.col(nA).isNull ||
+          (F.col(nnA) === F.col(nA) &&
+            cmpTo(if (lower) F.col(mnA) else F.col(mxA)))
+      j.where(pred).select(c.schema.map(f => cd(f.name)): _*)
     case Join(l, r, jt, lk, rk, res) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
@@ -1145,6 +1228,19 @@ object Fuzz {
     case AvgDistinctL(x)  => s"AVG(DISTINCT ${x.name})"
   }
 
+  def toSql(p: Plan): String = renderSql(p, sparkDialect = false)
+
+  /** Spark-dialect rendering: IDENTICAL text to [[toSql]] except
+    * [[CorrQuantCmp]], which Spark 4.1.2 cannot parse (quantified
+    * comparisons `<op> ANY/ALL (subquery)` are a PARSE_SYNTAX_ERROR —
+    * the parse-gap sentinel in `FuzzQuerySpec` flips when an upgrade
+    * adds them, at which point this dialect can converge back to the
+    * literal text). Until then the node renders as its 3VL-expanded
+    * `[NOT] EXISTS` spelling, which runs Spark's correlated-EXISTS
+    * decorrelation instead. */
+  def toSqlSpark(p: Plan): String = renderSql(p, sparkDialect = true)
+
+  private def renderSql(root: Plan, sparkDialect: Boolean): String = {
   def toSql(p: Plan): String = p match {
     case Scan(t) =>
       val cols = catalog(t).map(f =>
@@ -1258,6 +1354,33 @@ object Fuzz {
       s"SELECT * FROM (${toSql(c)}) $co WHERE $co.${cmpC.name} " +
         s"${if (neg) "NOT IN" else "IN"} (SELECT $cs.${subVal.name} " +
         s"FROM (${toSql(sub)}) $cs WHERE $cs.${subKey.name} = $co.${key.name})"
+    case CorrQuantCmp(c, key, sub, subKey, subVal, op, all, cmpC, alias) =>
+      // THE dialect split (see toSqlSpark): DuckDB plans the literal
+      // quantified text through its mark join; Spark has no such
+      // syntax, so its route is the 3VL-expanded EXISTS spelling —
+      // ANY ⟺ EXISTS a slice row whose comparison is TRUE (slice
+      // NULLs only contribute UNKNOWNs, which EXISTS ignores); ALL ⟺
+      // NOT EXISTS a slice row whose comparison fails to be TRUE
+      // (FALSE or UNKNOWN, spelled out: NULL cmp, NULL value, or the
+      // negated comparison), with the empty slice — outer NULL keys
+      // included — vacuously kept.
+      val co = s"cq_$alias"
+      val cs = s"qs_$alias"
+      val subSql = s"(${toSql(sub)}) $cs"
+      if (!sparkDialect) {
+        val q = if (all) "ALL" else "ANY"
+        s"SELECT * FROM (${toSql(c)}) $co WHERE $co.${cmpC.name} $op $q " +
+          s"(SELECT $cs.${subVal.name} FROM $subSql " +
+          s"WHERE $cs.${subKey.name} = $co.${key.name})"
+      } else if (!all)
+        s"SELECT * FROM (${toSql(c)}) $co WHERE EXISTS (SELECT 1 " +
+          s"FROM $subSql WHERE $cs.${subKey.name} = $co.${key.name} " +
+          s"AND $co.${cmpC.name} $op $cs.${subVal.name})"
+      else
+        s"SELECT * FROM (${toSql(c)}) $co WHERE NOT EXISTS (SELECT 1 " +
+          s"FROM $subSql WHERE $cs.${subKey.name} = $co.${key.name} " +
+          s"AND ($co.${cmpC.name} IS NULL OR $cs.${subVal.name} IS NULL " +
+          s"OR NOT ($co.${cmpC.name} $op $cs.${subVal.name})))"
     case Join(l, r, jt, lk, rk, res) =>
       // unqualified residual refs resolve uniquely (name-disjoint
       // sides); in the semi/anti EXISTS spelling the outer row's
@@ -1327,6 +1450,8 @@ object Fuzz {
           s" RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
       }
       s"SELECT *, $call AS $alias FROM (${toSql(c)}) w_"
+  }
+  toSql(root)
   }
 
   // ------------------------------------------- reference interpretation
@@ -1655,6 +1780,35 @@ object Fuzz {
           }
         (if (neg) in.map(!_) else in).contains(true)
       }
+    case CorrQuantCmp(c, key, sub, subKey, subVal, op, all, cmpC, _) =>
+      // naive per-row quantifier over the correlated slice (NULL sub
+      // keys never correlate; outer NULL key ⇒ empty slice): ANY
+      // keeps iff some non-NULL value compares TRUE; ALL keeps iff
+      // the slice is empty, or cmp is non-NULL and EVERY slice value
+      // is non-NULL and compares TRUE (a NULL value or NULL cmp makes
+      // a comparison UNKNOWN — never TRUE — and FALSE dominates ALL
+      // identically for retention, since only TRUE survives WHERE)
+      val srows = eval(sub, tables)
+      val index: Map[Any, Seq[Option[Any]]] =
+        srows.flatMap(sr => sr(subKey.name).map(_ -> sr(subVal.name)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def cmpTrue(a: Any, b: Any): Boolean = {
+        val r = cmpOpt(Some(a), Some(b))
+        op match {
+          case "<" => r < 0; case "<=" => r <= 0
+          case ">" => r > 0; case ">=" => r >= 0
+        }
+      }
+      eval(c, tables).filter { r =>
+        val slice = r(key.name).toSeq.flatMap(k => index.getOrElse(k, Nil))
+        if (slice.isEmpty) all
+        else r(cmpC.name) match {
+          case None    => false
+          case Some(v) =>
+            if (all) slice.forall(_.exists(cmpTrue(v, _)))
+            else slice.exists(_.exists(cmpTrue(v, _)))
+        }
+      }
     case Join(l, r, jt, lk, rk, res) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
@@ -1881,7 +2035,7 @@ object Fuzz {
   /** The latest grammar revision [[genPlan(seed:Long,rev:Int)*]]
     * accepts. Sweeps and new declared seeds use this; previously
     * declared seeds PIN their revision instead. */
-  val LatestRev = 9
+  val LatestRev = 10
 
   /** REVISION-PINNED generation (round 14): up to revision 5 the
     * grammar grew IN PLACE, so every extension shifted
@@ -2029,11 +2183,12 @@ object Fuzz {
     if (depth <= 0) base
     else {
       val schema = base.schema
-      // revisions 7/8/9 widen the transform selector (12, 13, then 14
-      // cases); each widened modulus only ever runs for seeds pinned
-      // at that rev or later, so older draw streams stay bit-identical
-      // (additive growth)
-      val sel = if (rev >= 9) rnd.nextInt(14)
+      // revisions 7/8/9/10 widen the transform selector (12, 13, 14,
+      // then 15 cases); each widened modulus only ever runs for seeds
+      // pinned at that rev or later, so older draw streams stay
+      // bit-identical (additive growth)
+      val sel = if (rev >= 10) rnd.nextInt(15)
+                else if (rev >= 9) rnd.nextInt(14)
                 else if (rev >= 8) rnd.nextInt(13)
                 else if (rev >= 7) rnd.nextInt(12)
                 else rnd.nextInt(11)
@@ -2400,6 +2555,52 @@ object Fuzz {
               Col(kAlias, LongT), Col(vAlias, LongT),
               Col(cmp.name, LongT), rnd.nextBoolean(), s"ci${depth}_0")
           }
+        case 14 =>
+          // correlated quantified comparison (revision 10 — the
+          // selector reaches here only for rev >= 10): `cmp <op>
+          // ANY|ALL (SELECT v WHERE k = key)` with op drawn from the
+          // four INEQUALITIES (the equality quantifiers are rev 9's
+          // IN / NOT IN). Same dim-restricted sub discipline; BOTH
+          // the sub key and value null-inject independently — slice
+          // NULLs arm UNKNOWN asymmetrically (ANY shrugs them off
+          // whenever one TRUE exists; a single one blocks ALL), while
+          // the EMPTY slice flips retention between the quantifiers
+          // (ALL keeps, ANY drops — NULL cmp included).
+          val keyPool = schema.filter(_.tpe == LongT)
+          if (keyPool.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val subCols = (for {
+              t <- Vector("region", "nation", "supplier")
+              sf <- catalog(t) if sf.tpe == LongT
+            } yield (t, sf))
+            val (st, sf) = pick(rnd, subCols)
+            val subChild: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(st), genPred(rnd, catalog(st)))
+              else Scan(st)
+            val kAlias = s"cq${depth}_k"
+            val vAlias = s"cq${depth}_v"
+            val kexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(sf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(sf.name, LongT))
+              } else Col(sf.name, LongT)
+            val vf = pick(rnd, catalog(st).filter(_.tpe == LongT))
+            val vexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(vf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(vf.name, LongT))
+              } else Col(vf.name, LongT)
+            val subP = Project(subChild, Seq(
+              kAlias -> kexpr, vAlias -> vexpr))
+            val key = pick(rnd, keyPool)
+            val cmp = pick(rnd, keyPool)
+            val op = pick(rnd, Seq("<", "<=", ">", ">="))
+            CorrQuantCmp(base, Col(key.name, LongT), subP,
+              Col(kAlias, LongT), Col(vAlias, LongT), op,
+              rnd.nextBoolean(), Col(cmp.name, LongT), s"cq${depth}_0")
+          }
       }
       genTransforms(rnd, next, depth - 1, rev)
     }
@@ -2494,6 +2695,11 @@ object Fuzz {
     // with an outer reference), so the fingerprint guard extends to
     // it for the same reason as CorrScalarCmp
     case CorrInSub(_, _, _, _, _, _, _, _) => true
+    // rev 10's quantified comparison reaches Spark only as its
+    // EXISTS spelling (toSqlSpark), but that is still a
+    // predicate-position correlated subquery through the same
+    // framework — same rationale
+    case CorrQuantCmp(_, _, _, _, _, _, _, _, _) => true
     case other => shrink(other).exists(containsCorrScalar)
   }
 
@@ -2519,5 +2725,6 @@ object Fuzz {
     case CorrScalar(c, _, sub, _, _, _, _) => Seq(c, sub)
     case CorrScalarCmp(c, _, sub, _, _, _, _, _, _) => Seq(c, sub)
     case CorrInSub(c, _, sub, _, _, _, _, _) => Seq(c, sub)
+    case CorrQuantCmp(c, _, sub, _, _, _, _, _, _) => Seq(c, sub)
   }
 }

@@ -343,9 +343,14 @@ object Dedup {
     // so every round's edges⋈labels join reuses it and only the (smaller)
     // labels side shuffles — without this the full edge table re-exchanges
     // once per round
-    val edges = pairs.toDF("doc_a", "doc_b")
+    // checkpointFresh, not bare localCheckpoint: the checkpoint node
+    // otherwise inherits the ORIGIN plan's estimated sizeInBytes, and
+    // the per-round joins below square it — log(estimate) doubles per
+    // round until stats arithmetic overflows BigInteger (measured at
+    // the 30× stress corpus; see Checkpoints.checkpointFresh)
+    val edges = graft.Checkpoints.checkpointFresh(pairs.toDF("doc_a", "doc_b")
       .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").repartition(col("src")).localCheckpoint(true)
+      .toDF("src", "dst").repartition(col("src")))
     // RESIDENT-STATE DISCIPLINE: each round's eager localCheckpoint pins
     // storage blocks. Once round N's checkpoint has materialized, round
     // N-1's blocks back no live plan — drop them, or resident state grows
@@ -357,8 +362,9 @@ object Dedup {
     // ([[graft.Checkpoints]]) — never a diff of the session-global
     // persistent-RDD registry, which races with concurrent queries on the
     // shared session.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    var labels = graft.Checkpoints.checkpointFresh(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var prevRound = labels
     var converged = false
     var iter = 0
@@ -372,12 +378,11 @@ object Dedup {
           least(col("old_label"), coalesce(col("nbr_min"), col("old_label")))
             .as("label"))
       // pointer jump: follow one hop through the label's own label
-      val jumped = stepped
+      val jumped = graft.Checkpoints.checkpointFresh(stepped
         .join(stepped.select(col("id").as("p_id"), col("label").as("p_label")),
           stepped("label") === col("p_id"), "left")
         .select(col("id"), col("old_label"),
-          least(col("label"), coalesce(col("p_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("p_label"), col("label"))).as("label")))
       converged = jumped.where(col("label") < col("old_label")).isEmpty
       labels = jumped.select("id", "label")
       graft.Checkpoints.drop(prevRound)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -79,7 +80,7 @@ object Events {
         (typ, us, before, pid)
       }
     }.toDF("event_type", "us", "local_before", "split")
-      .localCheckpoint(true)
+      .checkpointFresh()
     val lift = local.groupBy("split")
       .agg(max(col("us")).as("split_max"))
       .withColumn("lift", max(col("split_max")).over(

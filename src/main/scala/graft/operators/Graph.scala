@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,9 +45,9 @@ object Graph {
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
     // static per-round build side: (src, dst, deg-of-src), partitioned on
     // the join key and pinned
-    val edges = und.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val edges = und.join(deg, "src").repartition(col("src")).checkpointFresh()
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
-      .localCheckpoint(true)
+      .checkpointFresh()
     // residency tracking is by the checkpointed frame itself
     // ([[graft.Checkpoints]]) — never a diff of the session-global
     // persistent-RDD registry, which races with concurrent queries on
@@ -61,7 +62,7 @@ object Graph {
         .select(col("dst"), expr("rank DIV deg").as("contrib"))
         .groupBy(col("dst").as("id"))
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
-        .localCheckpoint(true)
+        .checkpointFresh()
       ranks = next
       graft.Checkpoints.drop(prevRound)
       prevRound = next
@@ -108,9 +109,9 @@ object Graph {
       .distinct()
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edges = und.join(deg, "src").repartition(col("src")).localCheckpoint(true)
+    val edges = und.join(deg, "src").repartition(col("src")).checkpointFresh()
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
-      .localCheckpoint(true)
+      .checkpointFresh()
     var prevRound = ranks
     var rounds = 0
     var converged = false
@@ -121,7 +122,7 @@ object Graph {
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
         .join(ranks.select(col("id"), col("rank").as("p_rank"))
           .hint("shuffle_hash"), "id")
-        .localCheckpoint(true)
+        .checkpointFresh()
       converged = nextCk.where(col("rank") =!= col("p_rank")).isEmpty
       // downstream rounds see only (id, rank); residency tracking stays
       // on the checkpointed frame itself
@@ -298,7 +299,7 @@ object Graph {
     // reference (same residency-visible discipline as pageRank's edges)
     val m = mutCached(s, d)
       .select(col("supp_a").as("a"), col("supp_b").as("b"))
-      .localCheckpoint(true)
+      .checkpointFresh()
     val wedges = m.as("x")
       .join(m.as("y"), col("x.b") === col("y.a"))
       .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
@@ -339,10 +340,10 @@ object Graph {
     val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"),
       col("n_shared_parts").as("w"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val edges = und.repartition(col("src")).localCheckpoint(true)
+    val edges = und.repartition(col("src")).checkpointFresh()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .checkpointFresh()
     var prevRound = labels
     (1 to iters).foreach { i =>
       var next = edges.join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
@@ -363,7 +364,7 @@ object Graph {
       // materialization (same answers — cadence is residency policy,
       // not semantics).
       if (i % 2 == 0 && i < iters) {
-        next = next.localCheckpoint(true)
+        next = next.checkpointFresh()
         graft.Checkpoints.drop(prevRound)
         prevRound = next
       }
@@ -389,10 +390,10 @@ object Graph {
     val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"),
       col("n_shared_parts").as("w"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val edges = und.repartition(col("src")).localCheckpoint(true)
+    val edges = und.repartition(col("src")).checkpointFresh()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .checkpointFresh()
     var prevRound = labels
     var rounds = 0
     var converged = false
@@ -405,7 +406,7 @@ object Graph {
         .select(col("id"), col("m.l").as("lbl"))
         .join(labels.select(col("id"), col("lbl").as("p_lbl"))
           .hint("shuffle_hash"), "id")
-        .localCheckpoint(true)
+        .checkpointFresh()
       converged = nextCk.where(col("lbl") =!= col("p_lbl")).isEmpty
       labels = nextCk.select(col("id"), col("lbl"))
       graft.Checkpoints.drop(prevRound)
@@ -444,16 +445,16 @@ object Graph {
       rounds: Int = KcoreRounds): DataFrame = {
     val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"))
     var edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).checkpointFresh()
     var prevRound = edges
     (1 to rounds).foreach { _ =>
       val alive = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("src").as("id"))
-        .localCheckpoint(true)
+        .checkpointFresh()
       val next = edges
         .join(alive.hint("shuffle_hash"), edges("src") === alive("id"), "left_semi")
         .join(alive.hint("shuffle_hash"), edges("dst") === alive("id"), "left_semi")
-        .localCheckpoint(true)
+        .checkpointFresh()
       graft.Checkpoints.drop(alive)
       graft.Checkpoints.drop(prevRound)
       edges = next
@@ -477,7 +478,7 @@ object Graph {
       maxRounds: Int = FixMaxRounds): (DataFrame, Int) = {
     val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"))
     var edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).checkpointFresh()
     var prevRound = edges
     var nEdges = edges.count()
     var rounds = 0
@@ -485,11 +486,11 @@ object Graph {
     while (rounds < maxRounds && !converged) {
       val alive = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("src").as("id"))
-        .localCheckpoint(true)
+        .checkpointFresh()
       val next = edges
         .join(alive.hint("shuffle_hash"), edges("src") === alive("id"), "left_semi")
         .join(alive.hint("shuffle_hash"), edges("dst") === alive("id"), "left_semi")
-        .localCheckpoint(true)
+        .checkpointFresh()
       val n = next.count()
       converged = n == nEdges
       nEdges = n
@@ -526,11 +527,11 @@ object Graph {
       maxRounds: Int = FixMaxRounds): (DataFrame, Int) = {
     val e = mut.select(col("supp_a").as("src"), col("supp_b").as("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).checkpointFresh()
     val seeds = und.select(col("src").as("node")).distinct()
       .where(col("node") % 10 === 0)
       .select(col("node"), lit(0).as("hops"))
-      .localCheckpoint(true)
+      .checkpointFresh()
     var dist = seeds
     var frontier = seeds
     var rounds = 0
@@ -541,12 +542,12 @@ object Graph {
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
         .distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .checkpointFresh()
       if (next.count() == 0) {
         graft.Checkpoints.drop(next)
         done = true
       } else {
-        val nd = dist.union(next).localCheckpoint(true)
+        val nd = dist.union(next).checkpointFresh()
         if (frontier ne dist) graft.Checkpoints.drop(frontier)
         graft.Checkpoints.drop(dist)
         dist = nd

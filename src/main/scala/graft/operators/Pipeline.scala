@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
@@ -329,7 +330,7 @@ object Pipeline {
         (id, lang, n, before, pid)
       }
     }.toDF("doc_id", "lang", "n_tokens", "local_before", "split")
-      .localCheckpoint(true)
+      .checkpointFresh()
     // phase 2: per-(split, lang) totals are tiny (|splits|·|langs| rows);
     // lift(split, lang) = Σ totals of earlier splits for that lang
     val lift = local.groupBy("split", "lang")
@@ -896,7 +897,7 @@ object Pipeline {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var i = 0L
       it.map { case (id, h) => val r = i; i += 1; (id, h, r, pid) }
-    }.toDF("doc_id", "h", "local_rank", "split").localCheckpoint(true)
+    }.toDF("doc_id", "h", "local_rank", "split").checkpointFresh()
     val lifts = local.groupBy("split").agg(count(lit(1)).as("cnt"))
       .withColumn("lift", coalesce(sum(col("cnt")).over(
         Window.orderBy("split").rowsBetween(Window.unboundedPreceding, -1)),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,7 +41,7 @@ object Ranks {
     val marked = df
       .repartitionByRange(splits, cols: _*)
       .withColumn("_split", spark_partition_id())
-      .localCheckpoint(true)
+      .checkpointFresh()
     // local rank: window PARTITIONED by split — each split sorts its
     // own rows, bounded by the split size, never the relation
     val local = marked.withColumn("_lr",

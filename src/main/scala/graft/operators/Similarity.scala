@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -12,13 +13,17 @@ import graft.sources.Tables
   *     one scan of the corpus, per-query top-k via window. The baseline
   *     and the oracle-checked exact truth.
   *   - [[topkLsh]] / [[cosinePairs]]: random-hyperplane LSH — corpus
-  *     bucketed by L sign signatures; only same-bucket candidates are
-  *     scored. Candidate generation, dedup, and the bucket join all run
-  *     on ID-ONLY rows (two longs); vectors re-join exactly once per
-  *     surviving candidate. The hyperplanes are fixed ±1 literals, so the
-  *     whole candidate set is deterministic and the DuckDB oracle
-  *     replicates it bit-exactly (dot products are ±v_i sums folded
-  *     left-to-right in both engines).
+  *     bucketed by L sign signatures ((k, L) corpus-size-adaptive, one
+  *     native `lsh_buckets` kernel); only same-bucket candidates are
+  *     scored. The SMALL-query path ([[topkLsh]]) moves id-only
+  *     candidate rows and re-joins vectors once; the SELF-join paths
+  *     ([[cosinePairs]]/[[knnSelf]]) carry vectors INTO the bucket
+  *     join (corpus × L bounded shuffle) and score pairs inside the
+  *     join's pipelined stream, so the quadratic-in-occupancy pair
+  *     stream never materializes. The hyperplanes are fixed seeded ±1
+  *     vectors, so the whole candidate set is deterministic and the
+  *     DuckDB oracle replicates it bit-exactly (dot products are ±v_i
+  *     sums folded left-to-right in both engines).
   *   - [[topkIvf]]: IVF coarse quantization — one list per corpus vector,
   *     queries probe 4; the list join is broadcast (queries are few), so
   *     no corpus shuffle at all. Also literal-deterministic and oracled.
@@ -47,16 +52,40 @@ object Similarity {
   }
 
   // ---- LSH scale path ---------------------------------------------------
-  private val Tables_L = 8  // hash tables
-  private val Bits_K = 6    // hyperplanes per table
+  private val Tables_L = 8  // hash tables at the base design point (k = 6)
+  private val Bits_K = 6    // hyperplanes per table at the base design point
+
+  // Adaptive sizing (the round-15 scale audit's one real flag): with a
+  // FIXED bit count, mean bucket occupancy grows linearly with corpus
+  // size and same-bucket candidate PAIRS grow quadratically in it —
+  // sim_cosine_pairs measured exponent ≥ 2.4 on the 10×→30× interval
+  // (BASELINE.md). Fix: k(n) = smallest k in [6, 12] with 2^k · 100 ≥ n
+  // (mean occupancy ≤ ~100; integer-exact, so the DuckDB oracle's
+  // `par` CTE reproduces it bit-for-bit), and L(k) rises with k to hold
+  // the design recall: miss = (1 − p^k)^L ≤ 0.02 at design similarity
+  // 0.9, p = 1 − θ/π ≈ 0.856 (Indyk–Motwani random-hyperplane family).
+  // Per +1 bit, occupancy halves while L grows ×≈1.17, so candidate
+  // work per vector stays bounded — the audit's quadratic knee becomes
+  // a sawtooth around linear. At n ≤ 6400 (sf ≤ 0.1) the formula
+  // yields the base (k=6, L=8): every declared value and committed
+  // price is unchanged; adaptivity engages only on stress corpora.
+  private val BucketTarget = 100L
+  private val MinBits = 6
+  private[graft] val MaxBits = 12
+  private[graft] val tablesForBits: Map[Int, Int] =
+    Map(6 -> 8, 7 -> 10, 8 -> 12, 9 -> 14, 10 -> 17, 11 -> 20, 12 -> 24)
+  private[graft] def bitsFor(n: Long): Int =
+    (MinBits to MaxBits).find(j => (BucketTarget << j) >= n).getOrElse(MaxBits)
+  private val MaxTables = tablesForBits(MaxBits)
 
   /** Deterministic ±1 hyperplanes (seeded per table/bit) — fixed model
-    * shipped as literals, no training pass. */
+    * shipped as literals, no training pass. Generated out to the
+    * adaptive maximum (24 × 12) from the shared
+    * [[graft.functions.LshPlanes]] family (the native `lsh_buckets`
+    * expression holds the same matrix); the base 8 × 6 block is
+    * bit-identical to every prior round (same per-(t,j) seeds). */
   private[graft] val planes: Array[Array[Array[Double]]] =
-    Array.tabulate(Tables_L, Bits_K) { (t, j) =>
-      val rnd = new scala.util.Random(7919L * t + 104729L * j + 42)
-      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
-    }
+    Array.tabulate(MaxTables, MaxBits)(graft.functions.LshPlanes.plane)
 
   /** ID-only LSH assignments: (vec_id, table_id, bucket). Bit j of a
     * table's bucket = sign of dot(v, plane_tj), via the codegen'd
@@ -65,30 +94,40 @@ object Similarity {
     * generation and dedup move 12-byte rows, never ~1 KB vector rows —
     * at 100 TB the bucket join shuffles ids, and each surviving
     * candidate fetches its vector exactly once. */
-  private[graft] def bucketIds(df: DataFrame): DataFrame = {
-    def dotWithPlane(t: Int, j: Int) =
-      expr(s"dot_prod(v, array(${planes(t)(j).mkString(", ")}))")
-    val bucketCols = (0 until Tables_L).map { t =>
-      (0 until Bits_K).map { j =>
-        when(dotWithPlane(t, j) > 0.0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    df.withColumn("bucket_arr", array(bucketCols: _*))
+  private[graft] def bucketIds(df: DataFrame, bits: Int = Bits_K,
+                               tables: Int = Tables_L): DataFrame =
+    // ONE native expression for all L bucket ids (LshBuckets). The
+    // obvious composition — one codegen'd dot_prod per (t, j), each
+    // embedding its 64-literal plane — bloats the generated projection
+    // past Janino's 64 KB method limit at the adaptive design points
+    // (measured: 8-16 s per pass at k=6..8, outright interpreted
+    // fallback at k=10), which is why the kernel owns the whole loop.
+    df.withColumn("bucket_arr", expr(s"lsh_buckets(v, $tables, $bits)"))
       .select(col("vec_id"), posexplode(col("bucket_arr")))
       .toDF("vec_id", "table_id", "bucket")
-  }
 
   /** Approximate top-5: score only same-bucket candidates in any of the
     * L tables. The query-side bucket table (|Q|·L rows) broadcasts, so
     * candidate generation is a map-side join over corpus bucket ids;
     * dedup runs on (query_id, vec_id) pairs; vectors join back once. */
+  /** Corpus-size-adaptive (bits, tables): one metadata-only count of
+    * the embeddings table picks the design point; the oracle's `par`
+    * CTE computes the identical integers from the identical count. */
+  private def lshParams(s: SparkSession, d: String): (Int, Int) = {
+    val k = bitsFor(Tables.embeddings(s, d).count())
+    (k, tablesForBits(k))
+  }
+
   private val topkLsh: Q = (s, d) => {
     val e = vecs(s, d)
-    val b = bucketIds(e)
+    val (k, l) = lshParams(s, d)
+    val b = bucketIds(e, k, l)
     // bucket the query side AFTER the filter: 10 vectors get hashed, not
     // a second full-corpus pass (bucketIds is per-row, so this is
-    // equivalent — and the query-side subtree stays broadcast-sized)
-    val qb = bucketIds(e.where(col("vec_id") < 10))
+    // equivalent — and the query-side subtree stays broadcast-sized).
+    // Same (k, l) as the corpus side: probes must hash into the same
+    // tables.
+    val qb = bucketIds(e.where(col("vec_id") < 10), k, l)
       .toDF("query_id", "q_table", "q_bucket")
     val cand = b.join(broadcast(qb),
         col("table_id") === col("q_table") && col("bucket") === col("q_bucket") &&
@@ -119,20 +158,30 @@ object Similarity {
     * similarity (≥ 0.9), by design NOT 1 in the sub-0.6 noise regime —
     * the standard ANN-dedup trade (SimilaritySpec pins both properties
     * differentially against brute force). */
+  /** Verify-in-the-join layout (round 15): vectors ride the bucket
+    * rows ONCE (corpus × L ≈ bounded shuffle), the bucket self-join's
+    * pair stream is scored and τ-filtered INSIDE whole-stage codegen —
+    * the P candidate pairs (P ≫ L·n at any occupancy target) are never
+    * materialized, shuffled, or distinct'ed — and only the τ-survivors
+    * dedup. Replaces the id-only-candidates-then-rejoin form whose two
+    * sort-merge joins shipped a 512-byte vector per candidate pair
+    * (measured 224 s at the 30× stress point vs ~20 s for this shape;
+    * same declared semantics, same oracle). */
   private val cosinePairs: Q = (s, d) => {
     val e = vecs(s, d)
-    val b = bucketIds(e)
-    val cand = b.as("x").join(b.as("y"),
-        col("x.table_id") === col("y.table_id") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), expr("cosine_sim(va, vb)").as("cos_sim"))
+    val (k, l) = lshParams(s, d)
+    val bv = bucketIds(e, k, l).join(e, "vec_id")
+    val x = bv.select(col("table_id"), col("bucket"),
+      col("vec_id").as("vec_a"), col("v").as("va"))
+    val y = bv.select(col("table_id"), col("bucket"),
+      col("vec_id").as("vec_b"), col("v").as("vb"))
+    x.join(y,
+        x("table_id") === y("table_id") && x("bucket") === y("bucket") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("cosine_sim(va, vb)").as("cos_sim"))
       .where(col("cos_sim") >= 0.45)
+      .distinct()
   }
 
   private val KnnSelfK = 5
@@ -155,18 +204,35 @@ object Similarity {
     * over ONLY that vector's LSH candidates (collision-bounded, never
     * the corpus). */
   private val knnSelf: Q = (s, d) => {
+    // same verify-in-the-join layout as [[cosinePairs]], plus a
+    // BUCKET-LOCAL top-k before the global one: if nbr is in a
+    // vector's global top-k under the total order (cos DESC, nbr),
+    // then in EVERY bucket containing both, fewer than k candidates
+    // outrank it — so it survives that bucket's local top-k, and
+    // top-k(dedup(∪ local top-k)) = top-k(dedup(all pairs)) exactly.
+    // The local window rides the join's (table, bucket) hash
+    // partitioning (no extra exchange, one in-partition sort of
+    // 40-byte rows), and the dedup + global window then run on
+    // ≤ L·k rows per vector instead of the full scored pair stream
+    // (77M → ≤5M at the 30× stress point).
     val e = vecs(s, d)
-    val b = bucketIds(e)
-    val cand = b.as("x").join(b.as("y"),
-        col("x.table_id") === col("y.table_id") &&
-        col("x.bucket") === col("y.bucket") &&
-        col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr"))
+    val (k, l) = lshParams(s, d)
+    val bv = bucketIds(e, k, l).join(e, "vec_id")
+    val x = bv.select(col("table_id"), col("bucket"),
+      col("vec_id"), col("v").as("va"))
+    val y = bv.select(col("table_id"), col("bucket"),
+      col("vec_id").as("nbr"), col("v").as("vb"))
+    x.join(y,
+        x("table_id") === y("table_id") && x("bucket") === y("bucket") &&
+        col("vec_id") =!= col("nbr"))
+      .select(x("table_id"), x("bucket"), col("vec_id"), col("nbr"),
+        expr("cosine_sim(va, vb)").as("cos_sim"))
+      .withColumn("lrnk", row_number().over(
+        Window.partitionBy("table_id", "bucket", "vec_id")
+          .orderBy(col("cos_sim").desc, col("nbr"))))
+      .where(col("lrnk") <= KnnSelfK)
+      .select("vec_id", "nbr", "cos_sim")
       .distinct()
-    cand
-      .join(e.select(col("vec_id"), col("v").as("va")), "vec_id")
-      .join(e.select(col("vec_id").as("nbr"), col("v").as("vb")), "nbr")
-      .select(col("vec_id"), col("nbr"), expr("cosine_sim(va, vb)").as("cos_sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nbr"))))
       .where(col("rnk") <= KnnSelfK)
@@ -364,7 +430,7 @@ object Similarity {
     // deterministic), so the report hash is unchanged; the blocks stay
     // resident until the consumer's block hygiene drops them (the same
     // residency-visible discipline as gr_pagerank's edges).
-    val codes = sq8Codes(s, d).localCheckpoint(true)
+    val codes = sq8Codes(s, d).checkpointFresh()
     val paths: Seq[(String, DataFrame)] = Seq(
       "ivf" -> topkIvf(s, d), "ivf_trained" -> topkIvfTrainedFrom(s, d, codes),
       "lsh" -> topkLsh(s, d), "sq8" -> topkSq8From(codes),
@@ -707,11 +773,33 @@ object Similarity {
     s"""list_reduce(list_transform(list_zip(v, [${plane.mkString(", ")}]),
         x -> x[1] * x[2]), (p, q) -> p + q)"""
 
-  /** One bucket id per table: Σ_j 2^j · [dot(v, plane_tj) > 0]. */
-  private def bucketSql(t: Int): String =
-    (0 until Bits_K).map { j =>
-      s"(CASE WHEN ${dotSql(planes(t)(j))} > 0 THEN ${1 << j} ELSE 0 END)"
+  /** One adaptive bucket id per table: Σ_{j<k} 2^j · [dot(v, plane_tj)
+    * > 0]. Guarded per bit on the `par` CTE's k — the `j >= k` branch
+    * comes FIRST so CASE's mandated lazy evaluation never prices the
+    * unused dots — and per table on l (NULL for t ≥ l, filtered by the
+    * caller). At the declared scales (k=6, l=8) this evaluates exactly
+    * the prior fixed-shape bucketing. */
+  private def bucketSql(t: Int): String = {
+    val bitsSum = (0 until MaxBits).map { j =>
+      s"(CASE WHEN $j >= k THEN 0 WHEN ${dotSql(planes(t)(j))} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+    s"(CASE WHEN $t >= l THEN NULL ELSE $bitsSum END)"
+  }
+
+  /** CTE `par(k, l)`: the corpus-size-adaptive design point, the same
+    * integer arithmetic as [[bitsFor]]/[[tablesForBits]] — smallest k
+    * in [6, 12] with 100·2^k ≥ count(embeddings), and the recall-
+    * holding table count for that k. */
+  private def parCte(p: String = ""): String = {
+    val lCase = tablesForBits.toSeq.sorted
+      .map { case (k, l) => s"WHEN $k THEN $l" }.mkString(" ")
+    s"""${p}par AS (
+          SELECT k, CASE k $lCase ELSE $MaxTables END AS l
+          FROM (SELECT COALESCE(
+                  (SELECT MIN(j) FROM range($MinBits, ${MaxBits + 1}) t(j)
+                   WHERE ($BucketTarget::BIGINT << j) >= (SELECT count(*) FROM embeddings)),
+                  $MaxBits) AS k))"""
+  }
 
   /** The semantic drop-list closure as `p`-prefixed CTEs (no leading
     * WITH; caller supplies `WITH RECURSIVE`): LSH-bucket candidates +
@@ -721,10 +809,13 @@ object Similarity {
     * closures; the hash gate keeps the renderings aligned. */
   private[graft] def duckSemDropCte(p: String): String =
     s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        ${p}b AS (SELECT vec_id,
-                    unnest([${(0 until Tables_L).mkString(", ")}]) AS table_id,
-                    unnest([${(0 until Tables_L).map(bucketSql).mkString(", ")}]) AS bucket
-                  FROM ${p}e),
+        ${parCte(p)},
+        ${p}b AS (SELECT vec_id, table_id, bucket FROM (
+                    SELECT vec_id,
+                      unnest([${(0 until MaxTables).mkString(", ")}]) AS table_id,
+                      unnest([${(0 until MaxTables).map(bucketSql).mkString(", ")}]) AS bucket
+                    FROM ${p}e, ${p}par)
+                  WHERE bucket IS NOT NULL),
         ${p}cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
                      FROM ${p}b x JOIN ${p}b y
                        ON x.table_id = y.table_id AND x.bucket = y.bucket
@@ -745,13 +836,17 @@ object Similarity {
           SELECT s AS vec_id FROM ${p}reach GROUP BY s
           HAVING LEAST(s, MIN(t)) <> s)"""
 
-  /** CTE `b(vec_id, table_id, bucket)` — DuckDB zips parallel unnests. */
+  /** CTE `b(vec_id, table_id, bucket)` — DuckDB zips parallel unnests;
+    * rows for tables ≥ l carry a NULL bucket and are filtered here. */
   private def bucketsCte: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        b AS (SELECT vec_id,
-                unnest([${(0 until Tables_L).mkString(", ")}]) AS table_id,
-                unnest([${(0 until Tables_L).map(bucketSql).mkString(", ")}]) AS bucket
-              FROM e)"""
+        ${parCte()},
+        b AS (SELECT vec_id, table_id, bucket FROM (
+                SELECT vec_id,
+                  unnest([${(0 until MaxTables).mkString(", ")}]) AS table_id,
+                  unnest([${(0 until MaxTables).map(bucketSql).mkString(", ")}]) AS bucket
+                FROM e, par)
+              WHERE bucket IS NOT NULL)"""
 
   /** CTE `asn(vec_id, list_id, rk)` — IVF centroid ranking per vector. */
   private def ivfCte: String =

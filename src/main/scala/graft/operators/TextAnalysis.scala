@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -440,7 +441,7 @@ object TextAnalysis {
     var ckpt = words.select(col("w"))
       .withColumn("seq", expr("' ' || regexp_replace(w, '(.)', '$1 ')"))
       .withColumn("cur", lit(0))
-      .localCheckpoint(true)
+      .checkpointFresh()
     var remaining = 1L
     while (remaining > 0) {
       val lowest = ckpt
@@ -463,7 +464,7 @@ object TextAnalysis {
                             ' ' || m.left_sym || m.right_sym || ' ') END""").as("seq"),
           expr("CASE WHEN m IS NULL THEN cur ELSE m.merge_rank END").as("cur"),
           col("m").isNotNull.as("applied"))
-        .localCheckpoint(true)
+        .checkpointFresh()
       // count from the checkpoint: no recomputation, blocks already hot
       remaining = next.where(col("applied")).count()
       graft.Checkpoints.drop(ckpt)
@@ -553,7 +554,7 @@ object TextAnalysis {
       .select(explode(expr(tokExpr)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .withColumn("seq", expr("' ' || regexp_replace(w, '(.)', '$1 ')"))
-      .localCheckpoint(true)
+      .checkpointFresh()
     var seqs: DataFrame = ckpt
     var sinceCut = 0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -583,7 +584,7 @@ object TextAnalysis {
           expr(s"replace(seq, ${sqlLit(s" $x $y ")}, ${sqlLit(s" $x$y ")})"))
         sinceCut += 1
         if (sinceCut >= LearnCheckpointEvery && m < nMerges) {
-          val next = seqs.localCheckpoint(true)
+          val next = seqs.checkpointFresh()
           graft.Checkpoints.drop(ckpt)
           ckpt = next; seqs = next; sinceCut = 0
         }

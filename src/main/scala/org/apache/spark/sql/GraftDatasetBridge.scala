@@ -9,8 +9,48 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * custom logical nodes, so every library that ships one (the standard
   * public technique — e.g. connectors and join-extension libraries)
   * hosts this single call inside the `org.apache.spark.sql` package.
-  * Used only by [[graft.plans.AsOf.join]]. */
+  * Used only by [[graft.plans.AsOf.join]] and
+  * [[graft.Checkpoints.checkpointFresh]]. */
 object GraftDatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Rebuild an eagerly-localCheckpoint'ed frame's [[execution.LogicalRDD]]
+    * WITHOUT the origin plan's propagated statistics (`originStats =
+    * None` — the node then reports the materialized RDD via the default
+    * leaf estimate instead of the pre-checkpoint plan's estimate).
+    *
+    * Why this exists: Spark's checkpoint path copies the ORIGIN
+    * optimized plan's estimated `sizeInBytes` into the LogicalRDD.
+    * Iterative operators whose round N+1 JOINS two round-N checkpoints
+    * therefore SQUARE the estimate every round — `log(sizeInBytes)`
+    * doubles per iteration, Catalyst's BigInt stats arithmetic slows
+    * quadratically, and after ~25 rounds `BigInteger` overflows its
+    * supported range and PLANNING throws (measured: sim_dedup_corpus
+    * at the 30× stress corpus, 800+ s of `BigInteger.multiply` inside
+    * `SizeInBytesOnlyStatsPlanVisitor` before the
+    * `ArithmeticException`). Severing the inherited stats at each
+    * round's checkpoint bounds the estimate for the whole loop.
+    *
+    * Returns the input unchanged when the plan is not a bare
+    * LogicalRDD leaf (callers pass freshly checkpointed frames). */
+  def withoutOriginStats(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+        // better than severing to the session default: the eager
+        // checkpoint's blocks are already materialized, so the ACTUAL
+        // byte size is known to the block manager — substituting it
+        // keeps in-loop broadcast decisions working (the default
+        // estimate is Long.MaxValue, which disables them)
+        val actual = cs.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .filter(_ > 0L)
+          .map(s => catalyst.plans.logical.Statistics(sizeInBytes = BigInt(s)))
+        classic.Dataset.ofRows(cs,
+          execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(cs, actual, None))
+      case _ => df
+    }
 }

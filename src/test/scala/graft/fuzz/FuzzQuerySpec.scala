@@ -165,6 +165,47 @@ class FuzzQuerySpec extends SparkSpec {
         "pinned RemoveRedundantAliases fingerprint")
   }
 
+  test("differential fuzz, grammar revision 10: 400 seeded plans with quantified ANY/ALL comparisons agree") {
+    // revision 10 adds CorrQuantCmp — `cmp <op> ANY|ALL` over a
+    // per-row correlated slice, op from the four inequalities. The
+    // hand-decorrelated census rendering (size / non-null count /
+    // min / max + extreme comparison) must agree with the naive
+    // per-row quantifier on every seed, including the mirrored
+    // empty-slice asymmetry (ALL keeps, ANY drops) and the
+    // slice-NULL UNKNOWN blocking ALL but not a satisfied ANY.
+    val failures = (1L to 400L).flatMap { seed =>
+      val p = Fuzz.genPlan(seed, 10)
+      check(p).map(msg => (seed, p, msg))
+    }
+    if (failures.nonEmpty) {
+      val (seed, p, msg) = failures.head
+      val m = minimize(p)
+      fail(
+        s"${failures.size} failing rev-10 seed(s); first = $seed\n$msg\n" +
+          s"minimal failing subplan:\n$m\n" +
+          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
+    }
+  }
+
+  test("parse-gap sentinel: Spark 4.1.2 cannot parse quantified comparisons (ANY/ALL subqueries)") {
+    // The reason toSqlSpark exists: `<op> ANY (subquery)` is ANSI and
+    // DuckDB plans it, but Spark's parser rejects it outright. Pinned
+    // so the dialect split is justified by the engine's own behavior;
+    // FIXED ON UPGRADE: when this intercept fails, Spark has gained
+    // the syntax — converge toSqlSpark's CorrQuantCmp case back to
+    // the literal quantified text and let the three-way run Spark's
+    // own quantifier planning.
+    Fuzz.catalog.keys.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val e = intercept[Exception](spark.sql(
+      "SELECT n_name FROM nation WHERE n_nationkey < ANY " +
+        "(SELECT r_regionkey FROM region)").collect())
+    assert(String.valueOf(e.getMessage).contains("PARSE_SYNTAX_ERROR"),
+      s"FIXED ON UPGRADE: Spark now parses quantified comparisons — " +
+        s"converge toSqlSpark (got: ${e.getMessage.take(120)})")
+  }
+
   test("three-way differential: the rendered SQL through Spark's OWN parser agrees with the interpreter") {
     // Round 13 (r12 verdict item 3): toSql was written for DuckDB, and
     // the DataFrame rendering is what the driver gate executes — so the
@@ -172,12 +213,15 @@ class FuzzQuerySpec extends SparkSpec {
     // exercised only by q35 and the view-pushdown spec. Running the
     // IDENTICAL SQL text through spark.sql over raw views (the
     // rendering casts its own columns) closes that gap for every plan
-    // the grammar can express. Dialect shims needed: exactly one —
-    // sqlType renders STRING, not VARCHAR (DuckDB aliases STRING to
-    // VARCHAR; Spark rejects bare VARCHAR without a length). Everything
-    // else (FULL JOIN, EXCEPT/INTERSECT ALL, correlated EXISTS, ||,
-    // NULLIF, TIMESTAMP literals, NULLS FIRST, ROUND, window frames)
-    // parses identically on both frontends.
+    // the grammar can express. Dialect shims needed: two — sqlType
+    // renders STRING, not VARCHAR (DuckDB aliases STRING to VARCHAR;
+    // Spark rejects bare VARCHAR without a length), and rev 10's
+    // quantified comparisons render through toSqlSpark's EXISTS
+    // spelling because Spark has no ANY/ALL-subquery syntax at all
+    // (the parse-gap sentinel above). Everything else (FULL JOIN,
+    // EXCEPT/INTERSECT ALL, correlated EXISTS, ||, NULLIF, TIMESTAMP
+    // literals, NULLS FIRST, ROUND, window frames) parses identically
+    // on both frontends.
     Fuzz.catalog.keys.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
@@ -190,12 +234,16 @@ class FuzzQuerySpec extends SparkSpec {
     // rev-8 stream whose correlated scalars sit in WHERE/HAVING
     // predicates, and the rev-9 stream whose correlated [NOT] IN
     // membership runs Spark's null-aware predicate-subquery
-    // decorrelation against the hand-built two-join form (round 15)
+    // decorrelation against the hand-built two-join form (round 15),
+    // and the rev-10 stream whose quantified ANY/ALL comparisons run
+    // Spark's correlated-EXISTS decorrelation via toSqlSpark's
+    // 3VL-expanded spelling (the one node where the dialects' text
+    // diverges — Spark cannot parse the quantifier)
     val adjudicated = scala.collection.mutable.ArrayBuffer.empty[String]
-    val failures = Seq(5, 6, 7, 8, 9).flatMap { rev =>
+    val failures = Seq(5, 6, 7, 8, 9, 10).flatMap { rev =>
       (1L to 400L).flatMap { seed =>
         val p = Fuzz.genPlan(seed, rev)
-        val sql = Fuzz.toSql(p)
+        val sql = Fuzz.toSqlSpark(p)
         val got =
           try Some(Fuzz.canonSpark(spark.sql(sql)))
           catch {
