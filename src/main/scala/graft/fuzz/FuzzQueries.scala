@@ -248,6 +248,47 @@ object FuzzQueries {
   private val seedsR9: Seq[Long] =
     Seq(15L, 36L, 68L, 109L, 173L, 230L, 339L, 342L)
 
+  /** Revision-10 declared seeds (`fz10_seed*`), chosen from the rev-10
+    * 1500-seed DuckDB sweep: 1499/1500 agree; the ONE divergence (seed
+    * 479, which drew STACKED rev-9 correlated NOT INs) adjudicated as a
+    * NEW DuckDB 1.0.0 wrong-result pin — the naive correlated-NOT-IN
+    * path applies one slice's NULL to EVERY row's membership verdict
+    * (empty slices wrongly drop), and the optimizer's repairing rewrite
+    * does not fire for multi-column outer relations; FuzzCheckOne
+    * 479@r10 shows Spark + interpreter AGREE (14 rows), and DuckDB
+    * itself agrees through the 3VL NOT-EXISTS spelling of the identical
+    * text (`tools/duckdb_bugpin.py` bug 4 — which also demonstrates the
+    * root cause on a 6-row table via `disable_optimizer`, subsuming
+    * bug 3's mechanism). Each pick carries a [[Fuzz.CorrQuantCmp]]
+    * quantified ANY/ALL comparison with non-trivial output, covering
+    * both quantifiers and all four inequality ops:
+    *
+    *   - 81:   fact-scale `l_suppkey > ALL` over filtered lineitem
+    *           (6000 rows) — the empty-slice-keeps rule at volume;
+    *   - 150:  2-key aggregate OVER `o_orderkey > ANY` survivors (182
+    *           rows) — the quantifier deciding group membership;
+    *   - 532:  STACKED quantifiers — `c_nationkey <= ANY` over a
+    *           filtered `c_custkey >= ALL` (2 rows): both retention
+    *           rules chained on one row stream;
+    *   - 791:  double-ALL stack `p_partkey >= ALL` over
+    *           `p_size >= ALL` (187 rows) — two vacuous-truth zones
+    *           composed;
+    *   - 887:  UNION ALL of `l_suppkey <= ALL` legs over a LEFT join
+    *           (12000 rows) — null-extended keys feeding the
+    *           quantifier's empty-slice rule at fact scale;
+    *   - 1197: `c_custkey < ALL` OVER a rev-9 correlated NOT IN (104
+    *           rows) — both correlated-membership generations in one
+    *           retention chain;
+    *   - 1208: `< ANY` whose cmp and correlation key are ROLLUP
+    *           group-key outputs over an EXCEPT ALL of rollups (2497
+    *           rows) — quantifier correlating on computed lattice
+    *           values;
+    *   - 1255: 2-key CUBE over `w3 >= ALL` where the compared operand
+    *           is a NULLS-LAST ROW_NUMBER window output (1669 rows) —
+    *           window values deciding the quantifier, lattice on top. */
+  private val seedsR10: Seq[Long] =
+    Seq(81L, 150L, 532L, 791L, 887L, 1197L, 1208L, 1255L)
+
   private def pinned(s: Long, rev: Int): Seq[(String, Q)] = Seq(
     (if (rev == 5) s"fz_seed$s" else s"fz${rev}_seed$s") ->
       ((spark: SparkSession, d: String) =>
@@ -256,12 +297,13 @@ object FuzzQueries {
   val queries: Map[String, Q] =
     (seeds.flatMap(pinned(_, 5)) ++ seedsR6.flatMap(pinned(_, 6)) ++
       seedsR7.flatMap(pinned(_, 7)) ++ seedsR8.flatMap(pinned(_, 8)) ++
-      seedsR9.flatMap(pinned(_, 9))).toMap
+      seedsR9.flatMap(pinned(_, 9)) ++ seedsR10.flatMap(pinned(_, 10))).toMap
 
   val oracle: Map[String, String] =
     (seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 5))) ++
       seedsR6.map(s => nameR6(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 6))) ++
       seedsR7.map(s => s"fz7_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 7))) ++
       seedsR8.map(s => s"fz8_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 8))) ++
-      seedsR9.map(s => s"fz9_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 9)))).toMap
+      seedsR9.map(s => s"fz9_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 9))) ++
+      seedsR10.map(s => s"fz10_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 10)))).toMap
 }

@@ -31,6 +31,8 @@ object FuzzShapes {
           s"CW-${cmp.name}$op${agg.name}@${key.name}(${sig(c)},${sig(sub)})"
         case CorrInSub(c, key, sub, _, _, cmp, neg, _) =>
           s"CI${if (neg) "!" else ""}-${cmp.name}@${key.name}(${sig(c)},${sig(sub)})"
+        case CorrQuantCmp(c, key, sub, _, _, op, all, cmp, _) =>
+          s"CQ-${cmp.name}$op${if (all) "ALL" else "ANY"}@${key.name}(${sig(c)},${sig(sub)})"
         case WindowOp(c, pb, fn, _, nl) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"

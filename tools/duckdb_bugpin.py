@@ -119,3 +119,58 @@ assert n_control == 8, "bare-column control no longer ANSI?!"
 assert n_exists == 8, "EXISTS 3VL spelling no longer ANSI?!"
 print("corr-NOT-IN pin: " +
       ("BUG-PRESENT" if n_buggy != 8 else "BUG-FIXED — remove this pin"))
+
+# ---------------------------------------------------------------------------
+# Bug 4 (round-15 TENTH grammar revision sweep, seed 479 — which drew
+# STACKED rev-9 correlated NOT INs): the ROOT CAUSE generalizing bug 3.
+# DuckDB 1.0.0's NAIVE correlated NOT IN path applies "some slice
+# contains NULL => UNKNOWN" GLOBALLY: one outer row with a NULL-bearing
+# slice drops EVERY row, including rows whose own correlated slice is
+# EMPTY (ANSI: empty slice => NOT IN is TRUE => keep). The optimizer's
+# rewrite REPAIRS some shapes (bug 3's "bare-key control answers
+# correctly" was such a repaired shape — and probe (b) below shows the
+# same query right with the optimizer and wrong under PRAGMA
+# disable_optimizer), but with a multi-column outer relation the
+# optimizer leaves the naive plan and the wrong answer surfaces with
+# the optimizer ON — probe (a). Adjudication: Spark's DataFrame
+# rendering and the reference interpreter agree on the ANSI answer
+# (FuzzCheckOne seed 479@r10 AGREE rows=14), and DuckDB ITSELF agrees
+# through the hand-expanded NOT EXISTS 3VL spelling of the identical
+# query; only the literal correlated NOT IN diverges.
+con4 = duckdb.connect()
+con4.execute("CREATE TABLE ti AS SELECT * FROM (VALUES "
+             "(0::BIGINT,0::BIGINT),(2,0),(4,0),(NULL,1)) v(x,y)")
+con4.execute("CREATE TABLE t4 AS SELECT * FROM (VALUES "
+             "(0::BIGINT,0::BIGINT),(1,1)) v(x,y)")
+# slices: x=0 -> {NULL} (UNKNOWN, drop); x=2,4,NULL -> EMPTY (keep) => 3
+probe_a = ("SELECT COUNT(*) FROM ti co WHERE co.x NOT IN "
+           "(SELECT s.v FROM (SELECT (CASE WHEN y % 5 = 2 THEN NULL ELSE y END) AS k, "
+           "(CASE WHEN y % 2 = 0 THEN NULL ELSE y END) AS v "
+           "FROM t4 WHERE y = x) s WHERE s.k = co.x)")
+ctrl_a = ("SELECT COUNT(*) FROM ti co WHERE NOT EXISTS "
+          "(SELECT 1 FROM (SELECT (CASE WHEN y % 5 = 2 THEN NULL ELSE y END) AS k, "
+          "(CASE WHEN y % 2 = 0 THEN NULL ELSE y END) AS v "
+          "FROM t4 WHERE y = x) s WHERE s.k = co.x "
+          "AND (s.v = co.x OR s.v IS NULL OR co.x IS NULL))")
+n_a = con4.execute(probe_a).fetchall()[0][0]
+n_ctrl = con4.execute(ctrl_a).fetchall()[0][0]
+# probe (b): single-column outer — optimizer repairs it; the naive path
+# underneath is still wrong (the root cause, visible via disable_optimizer)
+con4.execute("CREATE TABLE ti1 AS SELECT * FROM (VALUES "
+             "(0::BIGINT),(2),(4),(NULL)) v(x)")
+con4.execute("CREATE TABLE t1 AS SELECT * FROM (VALUES "
+             "(0::BIGINT),(1)) v(y)")
+probe_b = ("SELECT COUNT(*) FROM ti1 co WHERE co.x NOT IN "
+           "(SELECT s.v FROM (SELECT y AS k, "
+           "(CASE WHEN y % 2 = 0 THEN NULL ELSE y END) AS v FROM t1) s "
+           "WHERE s.k = co.x)")
+n_b_opt = con4.execute(probe_b).fetchall()[0][0]
+con4.execute("PRAGMA disable_optimizer")
+n_b_noopt = con4.execute(probe_b).fetchall()[0][0]
+print(f"stacked/naive corr-NOT-IN pin: multi-col-outer={n_a} "
+      f"exists-3vl-control={n_ctrl} single-col opt={n_b_opt} "
+      f"no-opt={n_b_noopt} (ANSI answer: 3 everywhere)")
+assert n_ctrl == 3, "EXISTS 3VL control no longer ANSI?!"
+present = n_a != 3 or n_b_noopt != 3
+print("stacked/naive corr-NOT-IN pin: " +
+      ("BUG-PRESENT" if present else "BUG-FIXED — remove this pin"))
