@@ -34,11 +34,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[Expression]) => {
         // (tables, bits) must be integer literals — they size the
-        // plane matrix at plan time
-        def intLit(e: Expression): Int =
-          e.eval().asInstanceOf[Number].intValue()
+        // plane matrix at plan time. Validate arity and foldability
+        // HERE so a misuse fails as a clean analysis error naming the
+        // function, not an opaque eval()/apply() throw from builder
+        // internals (advice r15).
+        if (children.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`lsh_buckets`", "expectedNum" -> "3",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        def intLit(e: Expression, param: String): Int = {
+          if (!e.foldable)
+            throw new org.apache.spark.sql.AnalysisException(
+              "NON_FOLDABLE_ARGUMENT",
+              Map("funcName" -> "`lsh_buckets`",
+                "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+          e.eval() match {
+            case n: Number => n.intValue()
+            case _ =>
+              throw new org.apache.spark.sql.AnalysisException(
+                "NON_FOLDABLE_ARGUMENT",
+                Map("funcName" -> "`lsh_buckets`",
+                  "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+          }
+        }
         LshBuckets(Cast(children(0), ArrayType(DoubleType)),
-          intLit(children(1)), intLit(children(2)))
+          intLit(children(1), "tables"), intLit(children(2), "bits"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("dot_prod_long"),

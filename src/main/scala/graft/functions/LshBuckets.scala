@@ -60,9 +60,18 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int)
   @transient private lazy val planes: Array[Double] =
     LshPlanes.flat(tables, bits)
 
+  // The plane family is fixed at LshPlanes.Dim (64): a shorter/longer
+  // input would silently compute a PARTIAL dot here while the DuckDB
+  // oracle's list_zip NULL-pads the mismatch into a NULL dot (bit = 0)
+  // — the engines would diverge. Fail fast instead (advice r15).
+  private def requireDim(len: Int): Unit =
+    if (len != LshPlanes.Dim) throw new IllegalArgumentException(
+      s"lsh_buckets requires a ${LshPlanes.Dim}-dim vector, got $len")
+
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData].toDoubleArray()
-    val dim = math.min(x.length, LshPlanes.Dim)
+    requireDim(x.length)
+    val dim = LshPlanes.Dim
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -92,7 +101,10 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int)
       val off = ctx.freshName("off")
       s"""
          |double[] $x = $a.toDoubleArray();
-         |int $dim = Math.min($x.length, ${LshPlanes.Dim});
+         |if ($x.length != ${LshPlanes.Dim})
+         |  throw new IllegalArgumentException(
+         |    "lsh_buckets requires a ${LshPlanes.Dim}-dim vector, got " + $x.length);
+         |int $dim = ${LshPlanes.Dim};
          |int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $bkt = 0;

@@ -168,8 +168,22 @@ object Similarity {
     * (measured 224 s at the 30× stress point vs ~20 s for this shape;
     * same declared semantics, same oracle). */
   private val cosinePairs: Q = (s, d) => {
-    val e = vecs(s, d)
     val (k, l) = lshParams(s, d)
+    cosinePairsAt(s, d, k, l)
+  }
+
+  /** The adaptive-arm GATE query (r15 verdict item 3): `sim_cosine_
+    * pairs_k8` runs the identical pipeline with the design point
+    * FORCED to (k=8, l=12) — the k(n)-breakpoint the stress corpora
+    * hit — so the k ≥ 7 plane matrix, the one-kernel `lsh_buckets`
+    * path above the base point, and the oracle's guarded `bucketSql`
+    * cases all carry a DuckDB-hash CORRECTNESS row at every sf instead
+    * of only uncommitted probe runs. */
+  private val cosinePairsK8: Q = (s, d) => cosinePairsAt(s, d, 8, 12)
+
+  private def cosinePairsAt(s: SparkSession, d: String,
+      k: Int, l: Int): DataFrame = {
+    val e = vecs(s, d)
     val bv = bucketIds(e, k, l).join(e, "vec_id")
     val x = bv.select(col("table_id"), col("bucket"),
       col("vec_id").as("vec_a"), col("v").as("va"))
@@ -452,6 +466,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_topk_cosine" -> topkBrute,
     "sim_cosine_pairs" -> cosinePairs,
+    "sim_cosine_pairs_k8" -> cosinePairsK8,
     "sim_knn_self" -> knnSelf,
     "sim_dedup_corpus" -> semDedupCorpus,
     "sim_topk_lsh" -> topkLsh,
@@ -837,16 +852,29 @@ object Similarity {
           HAVING LEAST(s, MIN(t)) <> s)"""
 
   /** CTE `b(vec_id, table_id, bucket)` — DuckDB zips parallel unnests;
-    * rows for tables ≥ l carry a NULL bucket and are filtered here. */
-  private def bucketsCte: String =
+    * rows for tables ≥ l carry a NULL bucket and are filtered here.
+    * `par` (the design point) is injectable so a forced-(k, l) gate
+    * query can exercise the adaptive arm (k > 6) at any corpus size —
+    * the driver's sf0.01/sf0.1 counts always yield the base (6, 8), so
+    * without forcing, the k ≥ 7 plane matrix and the guarded
+    * [[bucketSql]] cases would ship gate-untested (r15 verdict
+    * item 3). */
+  private def bucketsCteWith(par: String): String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        ${parCte()},
+        $par,
         b AS (SELECT vec_id, table_id, bucket FROM (
                 SELECT vec_id,
                   unnest([${(0 until MaxTables).mkString(", ")}]) AS table_id,
                   unnest([${(0 until MaxTables).map(bucketSql).mkString(", ")}]) AS bucket
                 FROM e, par)
               WHERE bucket IS NOT NULL)"""
+
+  private def bucketsCte: String = bucketsCteWith(parCte())
+
+  /** Forced design point: the oracle-side twin of calling the Scala
+    * path with explicit (bits, tables) instead of [[lshParams]]. */
+  private def bucketsCteForced(k: Int, l: Int): String =
+    bucketsCteWith(s"par AS (SELECT $k AS k, $l AS l)")
 
   /** CTE `asn(vec_id, list_id, rk)` — IVF centroid ranking per vector. */
   private def ivfCte: String =
@@ -1119,6 +1147,19 @@ object Similarity {
     "sim_recall_report" -> duckRecallReportSql,
     "sim_cosine_pairs" ->
       s"""WITH $bucketsCte,
+          cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                   FROM b x JOIN b y
+                     ON x.table_id = y.table_id AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id)
+          SELECT vec_a, vec_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+          FROM cand JOIN e ea ON ea.vec_id = vec_a
+                    JOIN e eb ON eb.vec_id = vec_b
+          WHERE ${cosSql("ea.v", "eb.v")} >= 0.45""",
+    // the adaptive-arm gate: identical body, design point forced to
+    // (8, 12) on both sides — a hash mismatch here means the k ≥ 7
+    // planes or the guarded bucketSql cases regressed
+    "sim_cosine_pairs_k8" ->
+      s"""WITH ${bucketsCteForced(8, 12)},
           cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
                    FROM b x JOIN b y
                      ON x.table_id = y.table_id AND x.bucket = y.bucket

@@ -12,6 +12,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * Used only by [[graft.plans.AsOf.join]] and
   * [[graft.Checkpoints.checkpointFresh]]. */
 object GraftDatasetBridge {
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(GraftDatasetBridge.getClass)
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
@@ -43,14 +46,34 @@ object GraftDatasetBridge {
         // byte size is known to the block manager — substituting it
         // keeps in-loop broadcast decisions working (the default
         // estimate is Long.MaxValue, which disables them)
-        val actual = cs.sparkContext.getRDDStorageInfo
+        val measured = cs.sparkContext.getRDDStorageInfo
           .find(_.id == l.rdd.id)
           .map(i => i.memSize + i.diskSize)
           .filter(_ > 0L)
-          .map(s => catalyst.plans.logical.Statistics(sizeInBytes = BigInt(s)))
+          .map(BigInt(_))
+        // Block-manager reporting is asynchronous; a miss (or a 0-byte
+        // read) must not silently sever to originStats=None — that
+        // reports defaultSizeInBytes = Long.MaxValue and DISABLES the
+        // in-loop broadcast decisions this rebuild exists to preserve
+        // (advice r15). Fall back to the origin plan's own estimate
+        // CAPPED at 8 GiB: small origins keep their broadcastability,
+        // snowballed estimates (the bug this fixes) are bounded, and
+        // 8 GiB is far above any broadcast threshold so nothing huge
+        // is ever wrongly broadcast. Warn so a degraded loop is
+        // diagnosable instead of just slower.
+        val size = measured.getOrElse {
+          val cap = BigInt(8L << 30)
+          val origin = l.stats.sizeInBytes
+          log.warn(
+            s"withoutOriginStats: no block-manager size for RDD ${l.rdd.id}; " +
+              s"falling back to min(origin=$origin, cap=$cap)")
+          origin.min(cap)
+        }
+        val stats =
+          Some(catalyst.plans.logical.Statistics(sizeInBytes = size))
         classic.Dataset.ofRows(cs,
           execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
-            l.outputOrdering, l.isStreaming, l.stream)(cs, actual, None))
+            l.outputOrdering, l.isStreaming, l.stream)(cs, stats, None))
       case _ => df
     }
 }
