@@ -182,7 +182,7 @@ object Similarity {
   private val cosinePairsK8: Q = (s, d) => cosinePairsAt(s, d, 8, 12)
 
   private def cosinePairsAt(s: SparkSession, d: String,
-      k: Int, l: Int): DataFrame = {
+      k: Int, l: Int, tau: Double = 0.45): DataFrame = {
     val e = vecs(s, d)
     val bv = bucketIds(e, k, l).join(e, "vec_id")
     val x = bv.select(col("table_id"), col("bucket"),
@@ -194,8 +194,33 @@ object Similarity {
         col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         expr("cosine_sim(va, vb)").as("cos_sim"))
-      .where(col("cos_sim") >= 0.45)
+      .where(col("cos_sim") >= tau)
       .distinct()
+  }
+
+  /** Scale-audit entry points (r15 verdict item 4): the SAME pipeline
+    * as `sim_cosine_pairs` / `sim_dedup_corpus` with the τ threshold
+    * raised out of the background-cosine tail. At dim 64 the corpus's
+    * pairwise-cosine distribution has std ≈ 1/√dim ≈ 0.125, so
+    * τ = 0.45 (~3.6σ) sits INSIDE the random tail — near-dup pair
+    * count at that τ grows ~quadratically in n for ANY fixed
+    * continuous embedding distribution, which confounds scaling
+    * exponents with output growth. τ = 0.75 (~6σ) admits only planted
+    * or true near-dup structure, so the audit measures the PIPELINE
+    * (bucketing, bucket join, verify, dedup) at controlled linear
+    * output. Declared-query semantics are untouched. */
+  private[graft] def auditPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    val (k, l) = lshParams(s, d)
+    cosinePairsAt(s, d, k, l, tau)
+  }
+
+  private[graft] def auditDedup(s: SparkSession, d: String, tau: Double): DataFrame = {
+    val drops = Dedup.connectedComponents(
+        auditPairs(s, d, tau).select(col("vec_a"), col("vec_b")))
+      .where(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("vec_id"))
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      .join(drops, Seq("vec_id"), "left_anti")
   }
 
   private val KnnSelfK = 5

@@ -23,14 +23,35 @@ import org.apache.spark.sql.functions._
   *     pushes cross-replica shingle Jaccard far below the near-dup
   *     thresholds, so dedup group-size DISTRIBUTIONS are preserved at
   *     `factor`× group count instead of every group fanning ×factor;
-  *   - embeddings CYCLIC-SHIFT their dimensions by `replica × 7`:
-  *     norm and value distribution are exactly preserved while the
-  *     cosine between a vector and its shifted copy collapses to the
-  *     random-vector baseline, so neighbor structure stays
-  *     replica-local instead of every LSH/IVF bucket densifying
-  *     ×factor (a first attempt used a ±0.003 additive perturbation —
-  *     far inside cosine noise, and the sim_* ratios measured bucket
-  *     blow-up, not scale).
+  *   - embeddings apply a per-replica deterministic SIGNED
+  *     PERMUTATION (`x ← sgn ⊙ x[σ]`, σ and sgn from an LCG seeded by
+  *     the replica index): an orthogonal map, so within-replica
+  *     cosines are EXACTLY preserved while cross-replica cosines
+  *     collapse toward the random baseline. Three weaker recipes were
+  *     rejected on measurement (r15 verdict item 4): ±0.003 additive
+  *     noise (inside cosine noise — measured bucket blow-up, not
+  *     scale), cyclic shift by replica×7 (35,071 cross-replica pairs
+  *     at 30×), and a plain sign-flip mask (two of 30 random masks
+  *     agree on 41/64 coords by birthday — 13k same-base cross pairs
+  *     at 30×; the signed permutation cuts that to 73).
+  *     MEASURED LIMIT, recorded in BASELINE.md: NO per-replica
+  *     orthogonal transform can push cross-replica pairs at τ = 0.45
+  *     to ~0 on this corpus — the 1× corpus's own τ ≥ 0.45 pairs are
+  *     the TAIL of the background cosine distribution (144 exact
+  *     pairs, zero above cos 0.6), and at dim 64 the 435
+  *     replica-pairs × 100 label-pairs cells each draw a ~N(0, 0.125)
+  *     cell cosine, so ~3.6σ τ = 0.45 crossings are guaranteed by
+  *     counting. Pair growth at τ = 0.45 is therefore a property of
+  *     the DATA (quadratic for any fixed continuous distribution),
+  *     not a recipe or operator defect;
+  *   - to give the scale audit a CONTROLLED, linear-in-n near-dup
+  *     edge set outside that tail, every 25th vector also emits a
+  *     PLANTED TWIN (id + 5·10⁶, same replica slot): the vector plus
+  *     a deterministic hash-keyed perturbation sized for cos ≈ 0.85.
+  *     `Similarity.auditPairs/auditDedup` run the declared pipelines
+  *     at τ = 0.75 (~6σ — background and cross-replica crossings
+  *     impossible), where the planted twins are the exact expected
+  *     output.
   *
   * Deterministic throughout (no RNG), so two runs produce identical
   * corpora. Usage:
@@ -38,6 +59,29 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
   private val IdStride = 10000000L
+  // twins live inside their replica's id stride slot (5e6 < 1e7), so
+  // replica attribution by floor(id / IdStride) still holds for them
+  private val TwinOffset = 5000000L
+
+  /** Deterministic signed permutation of dim 64 for replica `i`:
+    * Fisher–Yates + sign draw off a 64-bit LCG (Knuth MMIX constants),
+    * no RNG object so two runs produce identical corpora. */
+  private[tools] def signedPerm(i: Int): (Array[Int], Array[Int]) = {
+    var state = i.toLong * 6364136223846793005L + 1442695040888963407L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 33
+    }
+    val perm = Array.tabulate(64)(identity)
+    var j = 63
+    while (j > 0) {
+      val r = (next() % (j + 1)).toInt
+      val t = perm(j); perm(j) = perm(r); perm(r) = t
+      j -= 1
+    }
+    val sgn = Array.fill(64)(if ((next() & 1L) == 0L) 1 else -1)
+    (perm, sgn)
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -67,10 +111,29 @@ object ScaleStress {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embX = (0 until factor).map { i =>
-      emb.withColumn("vec_id", col("vec_id") + lit(i * IdStride))
+      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(i * IdStride))
+      val transformed =
+        if (i == 0) shifted
+        else {
+          val (perm, sgn) = signedPerm(i)
+          // orthogonal signed permutation baked as one flat projection
+          val terms = (0 until 64).map { j =>
+            s"CAST(element_at(embedding, ${perm(j) + 1}) * ${sgn(j)} AS FLOAT)"
+          }
+          shifted.withColumn("embedding", expr(s"array(${terms.mkString(", ")})"))
+        }
+      // planted near-dup twins: cos(x, x + δ) ≈ 1/√(1+ε²) = 0.85 for
+      // ε = 0.6197 when δ ⊥-ish x with ‖δ‖ = ε‖x‖; δ_j = c·u_j with
+      // u_j ~ U[−1,1] (var 1/3) keyed by hash(vec_id, j) → c = ε‖x‖√(3/64)
+      val twins = transformed
+        .where(pmod(col("vec_id"), lit(25)) === 0)
+        .withColumn("vec_id", col("vec_id") + lit(TwinOffset))
         .withColumn("embedding", expr(
-          s"transform(embedding, (x, j) -> element_at(embedding, " +
-            s"1 + pmod(j + $i * 7, size(embedding))))"))
+          """transform(embedding, (x, j) -> CAST(x +
+             0.6197 * sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, e) -> a + e*e))
+             * 0.2165
+             * (pmod(hash(vec_id, j, 777), 2000001) / 1000000.0 - 1.0) AS FLOAT))"""))
+      transformed.unionAll(twins)
     }.reduce(_ unionAll _)
     write(embX, "embeddings", factor)
 
