@@ -235,6 +235,50 @@ import org.apache.spark.sql.{functions => F}
   * Spark's correlated-EXISTS decorrelation; and the interpreter
   * quantifies naively per row.
   *
+  * An ELEVENTH revision (round 16, additive behind `rev >= 11`) moves
+  * correlated subqueries into the two remaining classic decorrelation
+  * zones:
+  *
+  *   - CORRELATED SUBQUERY PREDICATES INSIDE JOIN ON CLAUSES
+  *     ([[Fuzz.JoinOnSub]]): `l <jt> JOIN r ON l.k = r.k AND <pred>`
+  *     where pred is `[NOT] EXISTS (SELECT 1 FROM sub WHERE sub.k =
+  *     l.ck AND sub.v <op> l.cmp)` or `l.cmp [NOT] IN (SELECT sub.v
+  *     FROM sub WHERE sub.k = l.ck)`, jt ∈ inner/left/full. The
+  *     subquery verdict now decides JOIN MATCHING, not row retention:
+  *     on LEFT/FULL a FALSE-or-UNKNOWN verdict null-extends the row
+  *     the same predicate in WHERE would drop (the rev-6 ON-vs-WHERE
+  *     rule, now with a correlated subquery inside the ON), and the
+  *     3VL membership UNKNOWNs land at the per-pair match site.
+  *     Spark 4.1.2 plans the literal ON-subquery text (verified:
+  *     EXISTS/NOT EXISTS/IN/NOT IN under inner, left AND full);
+  *     DuckDB 1.0.0 cannot ("Cannot perform non-inner join on
+  *     subquery" for ANY non-inner ON-subquery, even uncorrelated),
+  *     so the DuckDB dialect renders outer joins through a derived
+  *     left table computing the verdict as a projected boolean
+  *     referenced in ON — same semantics, no subquery in the ON.
+  *   - LATERAL DERIVED TABLES with correlated ORDER BY + LIMIT
+  *     ([[Fuzz.LateralTopN]]): `child [CROSS|LEFT] JOIN LATERAL
+  *     (SELECT v FROM sub WHERE sub.k = child.key ORDER BY v <dir>
+  *     NULLS <place> LIMIT n) [ON TRUE]` — the per-row top-n, the
+  *     one correlation shape where a LIMIT must be decorrelated
+  *     (Spark: DecorrelateInnerQuery's rewrite of Limit under a
+  *     lateral join into a per-key window; DuckDB: its lateral
+  *     unnesting). CROSS drops empty-slice rows where LEFT
+  *     null-extends them; the explicit NULLS placement interacts
+  *     with LIMIT exactly as in SortLimit, per slice. Both engines
+  *     take the literal lateral text; the DataFrame rendering
+  *     hand-builds the row_number window + join, the interpreter
+  *     sorts each slice naively.
+  *
+  * The rev-11 debut sweeps came back clean ON THE NEW NODES
+  * (1500/1500 DuckDB, 400/400 three-way), but the revision kept the
+  * every-debut-catches-a-bug streak anyway: the widened selector's
+  * seed REMAP drew a rev-8-reachable latent composition (seed 338 —
+  * a WHERE/HAVING correlated scalar correlated ON a SELECT-list
+  * correlated-scalar output) on which Spark 4.1.2 fails at RUNTIME
+  * on valid ANSI SQL, two distinct ways —
+  * [[corrScalarCmpOnCorrScalarOutput]] (playbook bug 8).
+  *
   * Still deliberately excluded: double SUM/AVG (accumulation order)
   * and unguarded division. FK-only join keys (output sizes stay
   * O(fact)) and size-capped literals (ANSI arithmetic can never
@@ -641,6 +685,50 @@ object Fuzz {
       subKey: Col, subVal: Col, op: String, all: Boolean, cmp: Col,
       alias: String) extends Plan {
     def schema: Seq[Field] = child.schema
+  }
+  /** CORRELATED SUBQUERY PREDICATE INSIDE A JOIN ON CLAUSE (round 16,
+    * ELEVENTH grammar revision): `left <jt> JOIN right ON l.lk = r.rk
+    * AND <pred>`, jt ∈ inner/left/full, where pred correlates to the
+    * LEFT side — `mode` picks `[NOT] EXISTS (SELECT 1 FROM sub WHERE
+    * sub.k = l.corrKey AND sub.v <op> l.cmp)` or `l.cmp [NOT] IN
+    * (SELECT sub.v FROM sub WHERE sub.k = l.corrKey)`. The subquery
+    * verdict decides JOIN MATCHING: a FALSE-or-UNKNOWN verdict
+    * null-extends the left row on LEFT/FULL (where the same predicate
+    * in a WHERE would drop it — the ON-vs-WHERE rule with a
+    * correlated subquery inside the ON), and on FULL the right side's
+    * unmatched rows null-extend against verdict-failed partners too.
+    * Because pred depends only on the left row, the DataFrame
+    * rendering computes it as a per-left-row boolean (the
+    * CorrInSub/CorrQuantCmp census discipline) carried into the join
+    * condition; Spark's SQL route plans the LITERAL ON-subquery text
+    * (its DecorrelateInnerQuery handles join conditions — the
+    * untested zone this node exists to fuzz); DuckDB rejects ANY
+    * non-inner ON-subquery, so its dialect expands outer joins to a
+    * derived-table flag (inner keeps the literal text). */
+  final case class JoinOnSub(left: Plan, right: Plan, joinType: String,
+      leftKey: Col, rightKey: Col, sub: Plan, subKey: Col, subVal: Col,
+      corrKey: Col, mode: String, op: String, cmp: Col,
+      alias: String) extends Plan {
+    def schema: Seq[Field] = left.schema ++ right.schema
+  }
+  /** LATERAL DERIVED TABLE with correlated ORDER BY + LIMIT (round 16,
+    * ELEVENTH grammar revision): `child [CROSS|LEFT] JOIN LATERAL
+    * (SELECT sub.v FROM sub WHERE sub.k = child.key ORDER BY sub.v
+    * <ASC|DESC> NULLS <FIRST|LAST> LIMIT n) [ON TRUE]` — the per-row
+    * top-n. This is the one correlation shape where a LIMIT has to be
+    * decorrelated (into a per-key window); `outer` = LEFT JOIN
+    * LATERAL null-extends empty-slice rows where CROSS drops them,
+    * and the explicit NULLS placement decides which values the
+    * per-slice LIMIT keeps (slices CAN contain NULL values — the sub
+    * value null-injects). Output is deterministic as a multiset
+    * because only the ordered value is projected: ties at the LIMIT
+    * boundary are interchangeable. NULL child keys correlate to
+    * nothing (empty slice). Fans out each child row up to n ways —
+    * the grammar's first row-multiplying transform. */
+  final case class LateralTopN(child: Plan, key: Col, sub: Plan,
+      subKey: Col, subVal: Col, n: Int, desc: Boolean,
+      nullsLast: Boolean, outer: Boolean, alias: String) extends Plan {
+    def schema: Seq[Field] = child.schema :+ Field(alias, LongT)
   }
   /** Equality join on an FK pair; `right` columns must be disjoint from
     * `left`'s (the generator only joins different tables).
@@ -1050,6 +1138,102 @@ object Fuzz {
           (F.col(nnA) === F.col(nA) &&
             cmpTo(if (lower) F.col(mnA) else F.col(mxA)))
       j.where(pred).select(c.schema.map(f => cd(f.name)): _*)
+    case JoinOnSub(l, r, jt, lk, rk, sub, subKey, subVal, ck, mode, op,
+        cmpC, alias) =>
+      // hand-decorrelated per-LEFT-ROW verdict carried into the join
+      // condition: the subquery references only left columns, so the
+      // verdict is a boolean column on the left side — EXISTS via the
+      // CorrQuantCmp extreme-census trick (∃v: v op cmp ⟺ extreme(v)
+      // op cmp; slice NULLs only add UNKNOWNs and EXISTS ignores
+      // them), membership via CorrInSub's census + distinct match
+      // set. An UNKNOWN verdict in ON behaves as no-match for every
+      // join type, so the exists/in flags may be NULL; NOT EXISTS and
+      // NOT IN need their 3VL spelled out (empty slice ⇒ TRUE).
+      val ld = toDF(l, spark, sfDir)
+      val rd = toDF(r, spark, sfDir)
+      val sd = toDF(sub, spark, sfDir)
+      val fA = s"${alias}_f"
+      val ld2 = mode match {
+        case "exists" | "not_exists" =>
+          val mnA = s"${alias}_mn"; val mxA = s"${alias}_mx"
+          val census = sd.where(F.col(subKey.name).isNotNull)
+            .groupBy(F.col(subKey.name))
+            .agg(F.min(F.col(subVal.name)).as(mnA),
+              F.max(F.col(subVal.name)).as(mxA))
+          val j = ld.join(census, ld(ck.name) === census(subKey.name),
+            "left_outer")
+          val lower = op == "<" || op == "<="
+          val ext = if (lower) F.col(mnA) else F.col(mxA)
+          val cc = ld(cmpC.name)
+          val witness = op match {
+            case "<" => ext < cc; case "<=" => ext <= cc
+            case ">" => ext > cc; case ">=" => ext >= cc
+          }
+          val flag =
+            if (mode == "exists") witness
+            else !F.coalesce(witness, F.lit(false))
+          j.select(l.schema.map(f => ld(f.name)) :+ flag.as(fA): _*)
+        case _ =>
+          val cntA = s"${alias}_cnt"; val nulA = s"${alias}_nul"
+          val mkA = s"${alias}_mk"; val mvA = s"${alias}_mv"
+          val census = sd.where(F.col(subKey.name).isNotNull)
+            .groupBy(F.col(subKey.name))
+            .agg(F.count(F.lit(1)).as(cntA),
+              F.max(F.col(subVal.name).isNull.cast("int")).as(nulA))
+          val mset = sd
+            .where(F.col(subKey.name).isNotNull &&
+              F.col(subVal.name).isNotNull)
+            .select(F.col(subKey.name).as(mkA), F.col(subVal.name).as(mvA))
+            .distinct()
+          val j1 = ld.join(census, ld(ck.name) === census(subKey.name),
+            "left_outer")
+          val j2 = j1.join(mset,
+            ld(ck.name) === mset(mkA) && ld(cmpC.name) === mset(mvA),
+            "left_outer")
+          val matched = mset(mkA).isNotNull
+          val emptySlice = census(cntA).isNull
+          val flag =
+            if (mode == "in") matched
+            else emptySlice ||
+              (!matched && ld(cmpC.name).isNotNull && census(nulA) === 0)
+          j2.select(l.schema.map(f => ld(f.name)) :+ flag.as(fA): _*)
+      }
+      val st = jt match {
+        case "inner" => "inner"; case "left" => "left_outer"
+        case "full" => "full_outer"
+      }
+      val joined = ld2.join(rd,
+        ld2(lk.name) === rd(rk.name) && ld2(fA), st)
+      joined.select(l.schema.map(f => ld2(f.name)) ++
+        r.schema.map(f => rd(f.name)): _*)
+    case LateralTopN(c, key, sub, subKey, subVal, n, desc, nullsLast,
+        outer, alias) =>
+      // hand-decorrelated per-row top-n: a row_number window over the
+      // (non-NULL-keyed) sub rows in the node's explicit direction +
+      // NULLS placement, filtered to ≤ n, joined back on the
+      // correlation key — inner for CROSS LATERAL (empty slice drops
+      // the row), left for LEFT LATERAL (null-extends). Ties at the
+      // boundary are interchangeable because only the ordered value
+      // is projected.
+      import org.apache.spark.sql.expressions.Window
+      val cd = toDF(c, spark, sfDir)
+      val sd = toDF(sub, spark, sfDir)
+      val kA = s"${alias}_jk"; val rnA = s"${alias}_rn"
+      val ordCol = (desc, nullsLast) match {
+        case (false, false) => F.col(subVal.name).asc_nulls_first
+        case (false, true)  => F.col(subVal.name).asc_nulls_last
+        case (true, false)  => F.col(subVal.name).desc_nulls_first
+        case (true, true)   => F.col(subVal.name).desc_nulls_last
+      }
+      val w = Window.partitionBy(F.col(subKey.name)).orderBy(ordCol)
+      val top = sd.where(F.col(subKey.name).isNotNull)
+        .select(F.col(subKey.name), F.col(subVal.name))
+        .withColumn(rnA, F.row_number().over(w))
+        .where(F.col(rnA) <= n)
+        .select(F.col(subKey.name).as(kA), F.col(subVal.name).as(alias))
+      val jt = if (outer) "left_outer" else "inner"
+      cd.join(top, cd(key.name) === top(kA), jt)
+        .select(c.schema.map(f => cd(f.name)) :+ top(alias): _*)
     case Join(l, r, jt, lk, rk, res) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
@@ -1381,6 +1565,66 @@ object Fuzz {
           s"FROM $subSql WHERE $cs.${subKey.name} = $co.${key.name} " +
           s"AND ($co.${cmpC.name} IS NULL OR $cs.${subVal.name} IS NULL " +
           s"OR NOT ($co.${cmpC.name} $op $cs.${subVal.name})))"
+    case JoinOnSub(l, r, jt, lk, rk, sub, subKey, subVal, ck, mode,
+        op, cmpC, alias) =>
+      // Spark plans the LITERAL ON-subquery text for every join type
+      // (the decorrelation zone this node fuzzes); DuckDB 1.0.0
+      // rejects any non-inner ON-subquery ("Cannot perform non-inner
+      // join on subquery"), so its dialect expands LEFT/FULL to a
+      // derived left table computing the verdict as a projected
+      // boolean referenced in the ON — the inner form keeps the
+      // literal text so DuckDB's own inner ON-subquery decorrelation
+      // stays under differential too.
+      val jl = s"ja_$alias"; val jr = s"jb_$alias"; val js = s"js_$alias"
+      def pred(q: String): String = mode match {
+        case "exists" | "not_exists" =>
+          val neg = if (mode == "not_exists") "NOT " else ""
+          s"${neg}EXISTS (SELECT 1 FROM (${toSql(sub)}) $js " +
+            s"WHERE $js.${subKey.name} = $q.${ck.name} " +
+            s"AND $js.${subVal.name} $op $q.${cmpC.name})"
+        case _ =>
+          val neg = if (mode == "not_in") "NOT " else ""
+          s"$q.${cmpC.name} ${neg}IN (SELECT $js.${subVal.name} " +
+            s"FROM (${toSql(sub)}) $js " +
+            s"WHERE $js.${subKey.name} = $q.${ck.name})"
+      }
+      val kw = jt match {
+        case "inner" => "JOIN"; case "left" => "LEFT JOIN"
+        case "full" => "FULL JOIN"
+      }
+      if (sparkDialect || jt == "inner")
+        s"SELECT * FROM (${toSql(l)}) $jl $kw (${toSql(r)}) $jr " +
+          s"ON $jl.${lk.name} = $jr.${rk.name} AND ${pred(jl)}"
+      else {
+        val fA = s"f_$alias"
+        val outCols = (l.schema.map(f => s"$jl.${f.name}") ++
+          r.schema.map(f => s"$jr.${f.name}")).mkString(", ")
+        s"SELECT $outCols FROM (SELECT ${jl}0.*, (${pred(s"${jl}0")}) " +
+          s"AS $fA FROM (${toSql(l)}) ${jl}0) $jl " +
+          s"$kw (${toSql(r)}) $jr " +
+          s"ON $jl.${lk.name} = $jr.${rk.name} AND $jl.$fA"
+      }
+    case LateralTopN(c, key, sub, subKey, subVal, n, desc, nullsLast,
+        outer, alias) =>
+      // the literal lateral text in BOTH dialects — each engine's own
+      // lateral decorrelation (a correlated LIMIT must become a
+      // per-key window) against the hand-built row_number form and
+      // the naive interpreter. Direction AND NULLS placement are
+      // explicit: the engines' ASC defaults differ, and the per-slice
+      // LIMIT keeps different values under each placement.
+      val co = s"lo_$alias"; val cs = s"ls_$alias"; val lx = s"lx_$alias"
+      val dir = (if (desc) "DESC" else "ASC") +
+        (if (nullsLast) " NULLS LAST" else " NULLS FIRST")
+      val body = s"SELECT $cs.${subVal.name} AS $alias " +
+        s"FROM (${toSql(sub)}) $cs " +
+        s"WHERE $cs.${subKey.name} = $co.${key.name} " +
+        s"ORDER BY $cs.${subVal.name} $dir LIMIT $n"
+      if (outer)
+        s"SELECT $co.*, $lx.$alias FROM (${toSql(c)}) $co " +
+          s"LEFT JOIN LATERAL ($body) $lx ON TRUE"
+      else
+        s"SELECT $co.*, $lx.$alias FROM (${toSql(c)}) $co " +
+          s"CROSS JOIN LATERAL ($body) $lx"
     case Join(l, r, jt, lk, rk, res) =>
       // unqualified residual refs resolve uniquely (name-disjoint
       // sides); in the semi/anti EXISTS spelling the outer row's
@@ -1809,6 +2053,104 @@ object Fuzz {
             else slice.exists(_.exists(cmpTrue(v, _)))
         }
       }
+    case JoinOnSub(l, r, jt, lk, rk, sub, subKey, subVal, ck, mode, op,
+        cmpC, _) =>
+      // naive: the per-LEFT-ROW verdict (the subquery references only
+      // left columns), then the Join interpreter's matching with the
+      // verdict as the extra ON conjunct — a failed verdict
+      // null-extends on left/full exactly like a failed residual
+      val (lrows, rrows) = (eval(l, tables), eval(r, tables))
+      val srows = eval(sub, tables)
+      val sindex: Map[Any, Seq[Option[Any]]] =
+        srows.flatMap(sr => sr(subKey.name).map(_ -> sr(subVal.name)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def vCmp(v: Any, c: Any): Boolean = {
+        val r0 = cmpOpt(Some(v), Some(c))
+        op match {
+          case "<" => r0 < 0; case "<=" => r0 <= 0
+          case ">" => r0 > 0; case ">=" => r0 >= 0
+        }
+      }
+      def verdict(lr: Row): Boolean = {
+        val slice = lr(ck.name).toSeq.flatMap(k => sindex.getOrElse(k, Nil))
+        mode match {
+          case "exists" =>
+            lr(cmpC.name).exists(c => slice.exists(_.exists(vCmp(_, c))))
+          case "not_exists" =>
+            // TRUE iff no slice row compares TRUE (a NULL cmp or NULL
+            // value makes a comparison UNKNOWN — never a witness)
+            !lr(cmpC.name).exists(c => slice.exists(_.exists(vCmp(_, c))))
+          case "in" =>
+            lr(cmpC.name).exists(c => slice.contains(Some(c)))
+          case "not_in" =>
+            if (slice.isEmpty) true
+            else lr(cmpC.name) match {
+              case Some(c) =>
+                !slice.contains(Some(c)) && !slice.contains(None)
+              case None => false
+            }
+        }
+      }
+      val rIndexed = rrows.zipWithIndex
+      val idx: Map[Any, Seq[(Row, Int)]] =
+        rIndexed.flatMap { case (rr, i) => rr(rk.name).map(_ -> (rr, i)) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      jt match {
+        case "inner" => lrows.flatMap { lr =>
+          if (!verdict(lr)) Nil
+          else lr(lk.name).toSeq.flatMap(k => idx.getOrElse(k, Nil))
+            .map { case (rr, _) => lr ++ rr }
+        }
+        case "left" => lrows.flatMap { lr =>
+          val ms =
+            if (verdict(lr))
+              lr(lk.name).toSeq.flatMap(k => idx.getOrElse(k, Nil))
+            else Nil
+          if (ms.isEmpty)
+            Seq(lr ++ r.schema.map(f => f.name -> (None: Option[Any])))
+          else ms.map { case (rr, _) => lr ++ rr }
+        }
+        case "full" =>
+          val hit = scala.collection.mutable.BitSet.empty
+          val leftPart = lrows.flatMap { lr =>
+            val ms =
+              if (verdict(lr))
+                lr(lk.name).toSeq.flatMap(k => idx.getOrElse(k, Nil))
+              else Nil
+            if (ms.isEmpty)
+              Seq(lr ++ r.schema.map(f => f.name -> (None: Option[Any])))
+            else ms.map { case (rr, i) => hit += i; lr ++ rr }
+          }
+          val lNulls = l.schema.map(f => f.name -> (None: Option[Any])).toMap
+          leftPart ++ rIndexed.collect {
+            case (rr, i) if !hit.contains(i) => lNulls ++ rr
+          }
+      }
+    case LateralTopN(c, key, sub, subKey, subVal, n, desc, nullsLast,
+        outer, alias) =>
+      // naive per-row top-n: sort each correlated slice (NULL sub keys
+      // never correlate) in the explicit direction + NULLS placement,
+      // take n; empty slice null-extends under LEFT LATERAL and drops
+      // under CROSS
+      val srows = eval(sub, tables)
+      val sindex: Map[Any, Seq[Option[Any]]] =
+        srows.flatMap(sr => sr(subKey.name).map(_ -> sr(subVal.name)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def lt(a: Option[Any], b: Option[Any]): Boolean = (a, b) match {
+        case (None, None) => false
+        case (None, _)    => !nullsLast
+        case (_, None)    => nullsLast
+        case _            =>
+          val c0 = cmpOpt(a, b)
+          if (desc) c0 > 0 else c0 < 0
+      }
+      eval(c, tables).flatMap { r =>
+        val slice = r(key.name).toSeq.flatMap(k => sindex.getOrElse(k, Nil))
+        val taken = slice.sortWith(lt).take(n)
+        if (taken.isEmpty) {
+          if (outer) Seq(r + (alias -> (None: Option[Any]))) else Nil
+        } else taken.map(v => r + (alias -> v))
+      }
     case Join(l, r, jt, lk, rk, res) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
@@ -2035,7 +2377,7 @@ object Fuzz {
   /** The latest grammar revision [[genPlan(seed:Long,rev:Int)*]]
     * accepts. Sweeps and new declared seeds use this; previously
     * declared seeds PIN their revision instead. */
-  val LatestRev = 10
+  val LatestRev = 11
 
   /** REVISION-PINNED generation (round 14): up to revision 5 the
     * grammar grew IN PLACE, so every extension shifted
@@ -2187,7 +2529,8 @@ object Fuzz {
       // then 15 cases); each widened modulus only ever runs for seeds
       // pinned at that rev or later, so older draw streams stay
       // bit-identical (additive growth)
-      val sel = if (rev >= 10) rnd.nextInt(15)
+      val sel = if (rev >= 11) rnd.nextInt(17)
+                else if (rev >= 10) rnd.nextInt(15)
                 else if (rev >= 9) rnd.nextInt(14)
                 else if (rev >= 8) rnd.nextInt(13)
                 else if (rev >= 7) rnd.nextInt(12)
@@ -2601,6 +2944,104 @@ object Fuzz {
               Col(kAlias, LongT), Col(vAlias, LongT), op,
               rnd.nextBoolean(), Col(cmp.name, LongT), s"cq${depth}_0")
           }
+        case 15 =>
+          // correlated subquery predicate inside a JOIN ON clause
+          // (revision 11 — the selector reaches here only for
+          // rev >= 11): base joins a dim through a surviving FK whose
+          // dim columns are name-disjoint from the schema, and the ON
+          // clause carries `[NOT] EXISTS (… WHERE k = corrKey AND
+          // v <op> cmp)` or `cmp [NOT] IN (… WHERE k = corrKey)` —
+          // the verdict deciding JOIN MATCHING under inner/left/full
+          // null-extension. Same dim-restricted sub discipline as
+          // revs 9/10, both sub columns independently null-injected.
+          val keyPool = schema.filter(_.tpe == LongT)
+          val joinable = fkPairs.filter(pr =>
+            schema.exists(_.name == pr._2) &&
+              catalog(pr._3).forall(df => !schema.exists(_.name == df.name)))
+          if (keyPool.isEmpty || joinable.isEmpty)
+            Filter(base, genPred(rnd, schema))
+          else {
+            val (_, fk, dt, pk) = pick(rnd, joinable)
+            val right: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(dt), genPred(rnd, catalog(dt)))
+              else Scan(dt)
+            val jt = pick(rnd, Seq("inner", "left", "full"))
+            val subCols = (for {
+              t <- Vector("region", "nation", "supplier")
+              sf <- catalog(t) if sf.tpe == LongT
+            } yield (t, sf))
+            val (st, sf) = pick(rnd, subCols)
+            val subChild: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(st), genPred(rnd, catalog(st)))
+              else Scan(st)
+            val kAlias = s"jo${depth}_k"
+            val vAlias = s"jo${depth}_v"
+            val kexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(sf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(sf.name, LongT))
+              } else Col(sf.name, LongT)
+            val vf = pick(rnd, catalog(st).filter(_.tpe == LongT))
+            val vexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(vf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(vf.name, LongT))
+              } else Col(vf.name, LongT)
+            val subP = Project(subChild, Seq(
+              kAlias -> kexpr, vAlias -> vexpr))
+            val mode = pick(rnd, Seq("exists", "not_exists", "in", "not_in"))
+            val op = pick(rnd, Seq("<", "<=", ">", ">="))
+            val corrKey = pick(rnd, keyPool)
+            val cmp = pick(rnd, keyPool)
+            JoinOnSub(base, right, jt, Col(fk, LongT), Col(pk, LongT),
+              subP, Col(kAlias, LongT), Col(vAlias, LongT),
+              Col(corrKey.name, LongT), mode, op,
+              Col(cmp.name, LongT), s"jo${depth}_0")
+          }
+        case 16 =>
+          // LATERAL derived table with correlated ORDER BY + LIMIT
+          // (revision 11): the per-row top-n — the one correlation
+          // shape where a LIMIT must be decorrelated. CROSS drops
+          // empty-slice rows, LEFT null-extends; explicit NULLS
+          // placement decides what the per-slice LIMIT keeps (the
+          // sub value null-injects). Fans each row out ≤ n ways.
+          val keyPool = schema.filter(_.tpe == LongT)
+          if (keyPool.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val subCols = (for {
+              t <- Vector("region", "nation", "supplier")
+              sf <- catalog(t) if sf.tpe == LongT
+            } yield (t, sf))
+            val (st, sf) = pick(rnd, subCols)
+            val subChild: Plan =
+              if (rnd.nextBoolean()) Filter(Scan(st), genPred(rnd, catalog(st)))
+              else Scan(st)
+            val kAlias = s"lt${depth}_k"
+            val vAlias = s"lt${depth}_v"
+            val kexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(sf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(sf.name, LongT))
+              } else Col(sf.name, LongT)
+            val vf = pick(rnd, catalog(st).filter(_.tpe == LongT))
+            val vexpr: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(vf.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(vf.name, LongT))
+              } else Col(vf.name, LongT)
+            val subP = Project(subChild, Seq(
+              kAlias -> kexpr, vAlias -> vexpr))
+            val key = pick(rnd, keyPool)
+            LateralTopN(base, Col(key.name, LongT), subP,
+              Col(kAlias, LongT), Col(vAlias, LongT),
+              n = 1 + rnd.nextInt(3), desc = rnd.nextBoolean(),
+              nullsLast = rnd.nextBoolean(), outer = rnd.nextBoolean(),
+              s"lt${depth}_0")
+          }
       }
       genTransforms(rnd, next, depth - 1, rev)
     }
@@ -2646,6 +3087,40 @@ object Fuzz {
     * adjudicates matches of this guard ONLY after re-verifying that
     * the DataFrame rendering agrees with the interpreter, because a
     * wrong-results bug has no error fingerprint to match. */
+  /** True iff the plan contains a [[CorrScalarCmp]] whose correlation
+    * key or comparison operand is an alias produced by a
+    * [[CorrScalar]] somewhere beneath it — the round-16 pinned Spark
+    * 4.1.2 WHERE/HAVING-position decorrelation defect (reachable since
+    * rev 8; the rev-11 selector remap first drew it inside the
+    * 400-seed window, at seed 338). Correlating a predicate-position
+    * scalar subquery ON a SELECT-list correlated-scalar output makes
+    * the engine fail at RUNTIME on valid ANSI SQL, two ways
+    * (hand-minimized, sentinel test pins both): when the same column
+    * is also the comparison operand, `SCALAR_SUBQUERY_TOO_MANY_ROWS`
+    * (the decorrelated "scalar" join produces multiple rows per key);
+    * when only the correlation side, `IllegalArgumentException:
+    * Subquery … has not finished` (the subquery scheduler never
+    * sequences the inner scalar before the outer needs its value).
+    * The SELECT-list spelling of the same composition is fine, as is
+    * EXISTS, as is an uncorrelated inner scalar. DuckDB, the
+    * hand-decorrelated DataFrame rendering, and the reference
+    * interpreter all agree on these plans — engine defect, not a
+    * semantics divergence; adjudicated by this guard + the error
+    * fingerprints in the SQL-frontend sweep, fixed-on-upgrade. */
+  def corrScalarCmpOnCorrScalarOutput(p: Plan): Boolean = {
+    def producesAlias(pl: Plan, name: String): Boolean = pl match {
+      case CorrScalar(c, _, _, _, _, _, a) =>
+        a == name || producesAlias(c, name)
+      case other => shrink(other).exists(producesAlias(_, name))
+    }
+    p match {
+      case CorrScalarCmp(c, key, _, _, _, _, _, cmp, _)
+          if producesAlias(c, key.name) || producesAlias(c, cmp.name) =>
+        true
+      case other => shrink(other).exists(corrScalarCmpOnCorrScalarOutput)
+    }
+  }
+
   def corrScalarOverSortLimit(p: Plan): Boolean = {
     @annotation.tailrec
     def peel(q: Plan): Plan = q match {
@@ -2700,6 +3175,11 @@ object Fuzz {
     // predicate-position correlated subquery through the same
     // framework — same rationale
     case CorrQuantCmp(_, _, _, _, _, _, _, _, _) => true
+    // rev 11's ON-clause subqueries and lateral derived tables both
+    // run through DecorrelateInnerQuery (join-condition and
+    // lateral-join correlation) — same crash-fingerprint rationale
+    case JoinOnSub(_, _, _, _, _, _, _, _, _, _, _, _, _) => true
+    case LateralTopN(_, _, _, _, _, _, _, _, _, _) => true
     case other => shrink(other).exists(containsCorrScalar)
   }
 
@@ -2726,5 +3206,10 @@ object Fuzz {
     case CorrScalarCmp(c, _, sub, _, _, _, _, _, _) => Seq(c, sub)
     case CorrInSub(c, _, sub, _, _, _, _, _) => Seq(c, sub)
     case CorrQuantCmp(c, _, sub, _, _, _, _, _, _) => Seq(c, sub)
+    case JoinOnSub(l, r, jt, lk, rk, _, _, _, _, _, _, _, _) =>
+      // verdict-stripped plain join first: isolates whether the
+      // failure is the ON-subquery or the bare equi-join
+      Seq(Join(l, r, jt, lk, rk, None), l, r)
+    case LateralTopN(c, _, sub, _, _, _, _, _, _, _) => Seq(c, sub)
   }
 }

@@ -289,6 +289,52 @@ object FuzzQueries {
   private val seedsR10: Seq[Long] =
     Seq(81L, 150L, 532L, 791L, 887L, 1197L, 1208L, 1255L)
 
+  /** Revision-11 declared seeds (`fz11_seed*`), chosen from the rev-11
+    * 1500-seed DuckDB sweep (1500/1500 agree) and the 400-seed
+    * three-way (400/400 agree). The NEW nodes came back clean — Spark
+    * 4.1.2's DecorrelateInnerQuery handles ON-clause subqueries and
+    * lateral LIMITs correctly on this window, and DuckDB's non-inner
+    * ON-subquery gap is a clean NotImplemented routed around by the
+    * dialect split — but the revision still caught engine bugs on
+    * debut, keeping the streak: the rev-11 selector REMAP drew a
+    * rev-8-reachable latent composition (seed 338: a WHERE/HAVING
+    * correlated scalar correlated ON a SELECT-list correlated-scalar
+    * output) on which Spark's SQL frontend fails at RUNTIME two ways
+    * (SCALAR_SUBQUERY_TOO_MANY_ROWS / "Subquery has not finished" —
+    * [[Fuzz.corrScalarCmpOnCorrScalarOutput]], sentinel-pinned
+    * fixed-on-upgrade in FuzzQuerySpec). Each pick below exercises a
+    * rev-11 node with non-trivial output at the gate scale (rows at
+    * sf0.01):
+    *
+    *   - 96:   fact-scale LEFT join with a correlated EXISTS in the
+    *           ON clause (14,261 rows) — verdict-failed orders
+    *           null-extend rather than drop;
+    *   - 343:  LEFT LATERAL top-3 DESC **over** a LEFT join whose ON
+    *           carries a correlated NOT IN (15,034 rows) — both
+    *           rev-11 nodes stacked in one plan;
+    *   - 360:  LEFT join with ON-clause correlated IN over a semi-join
+    *           of lineitem⋈orders (49,368 rows) — membership 3VL at
+    *           the match site, fact scale;
+    *   - 620:  1-key CUBE over a FULL join with ON-clause correlated
+    *           IN (1,002 rows) — the grouping lattice consuming
+    *           two-sided null-extension;
+    *   - 690:  LEFT join whose ON-clause IN correlates on a LATERAL
+    *           OUTPUT column — cmp AND correlation key are both the
+    *           lateral top-1's value (8 rows): per-row rebinding
+    *           feeding join matching;
+    *   - 773:  fact-scale INNER join with correlated NOT EXISTS in ON
+    *           (15,000 rows) — the inner form both engines plan as
+    *           literal ON-subquery text;
+    *   - 1088: FULL join with correlated NOT EXISTS in ON over
+    *           filtered lineitem (59,857 rows) — vacuous-truth
+    *           verdicts deciding null-extension on both sides;
+    *   - 1222: LEFT LATERAL top-3 ASC NULLS LAST over the full
+    *           lineitem fact (60,000 rows) — the row-multiplying
+    *           transform at volume, NULLS placement deciding the
+    *           per-slice picks. */
+  private val seedsR11: Seq[Long] =
+    Seq(96L, 343L, 360L, 620L, 690L, 773L, 1088L, 1222L)
+
   private def pinned(s: Long, rev: Int): Seq[(String, Q)] = Seq(
     (if (rev == 5) s"fz_seed$s" else s"fz${rev}_seed$s") ->
       ((spark: SparkSession, d: String) =>
@@ -297,7 +343,8 @@ object FuzzQueries {
   val queries: Map[String, Q] =
     (seeds.flatMap(pinned(_, 5)) ++ seedsR6.flatMap(pinned(_, 6)) ++
       seedsR7.flatMap(pinned(_, 7)) ++ seedsR8.flatMap(pinned(_, 8)) ++
-      seedsR9.flatMap(pinned(_, 9)) ++ seedsR10.flatMap(pinned(_, 10))).toMap
+      seedsR9.flatMap(pinned(_, 9)) ++ seedsR10.flatMap(pinned(_, 10)) ++
+      seedsR11.flatMap(pinned(_, 11))).toMap
 
   val oracle: Map[String, String] =
     (seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 5))) ++
@@ -305,5 +352,6 @@ object FuzzQueries {
       seedsR7.map(s => s"fz7_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 7))) ++
       seedsR8.map(s => s"fz8_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 8))) ++
       seedsR9.map(s => s"fz9_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 9))) ++
-      seedsR10.map(s => s"fz10_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 10)))).toMap
+      seedsR10.map(s => s"fz10_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 10))) ++
+      seedsR11.map(s => s"fz11_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 11)))).toMap
 }

@@ -33,6 +33,11 @@ object FuzzShapes {
           s"CI${if (neg) "!" else ""}-${cmp.name}@${key.name}(${sig(c)},${sig(sub)})"
         case CorrQuantCmp(c, key, sub, _, _, op, all, cmp, _) =>
           s"CQ-${cmp.name}$op${if (all) "ALL" else "ANY"}@${key.name}(${sig(c)},${sig(sub)})"
+        case JoinOnSub(l, r, jt, _, _, sub, _, _, ck, mode, op, cmp, _) =>
+          s"JO-$jt-$mode-${cmp.name}$op@${ck.name}(${sig(l)},${sig(r)},${sig(sub)})"
+        case LateralTopN(c, key, sub, _, _, n, desc, nl, outer, _) =>
+          s"LT${if (outer) "left" else "cross"}$n${if (desc) "d" else "a"}" +
+            s"${if (nl) "nl" else ""}@${key.name}(${sig(c)},${sig(sub)})"
         case WindowOp(c, pb, fn, _, nl) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"

@@ -187,6 +187,30 @@ class FuzzQuerySpec extends SparkSpec {
     }
   }
 
+  test("differential fuzz, grammar revision 11: 400 seeded plans with ON-clause subqueries and LATERAL top-n agree") {
+    // revision 11 adds JoinOnSub — a correlated [NOT] EXISTS / [NOT]
+    // IN inside a JOIN ON clause, whose verdict decides JOIN MATCHING
+    // (a FALSE/UNKNOWN verdict null-extends on LEFT/FULL where the
+    // same predicate in WHERE would drop) — and LateralTopN, the
+    // per-row correlated ORDER BY + LIMIT, the grammar's first
+    // row-multiplying transform. The hand-decorrelated renderings
+    // (per-left-row verdict column carried into the join condition;
+    // row_number window + key join) must agree with the naive
+    // interpreter on every seed.
+    val failures = (1L to 400L).flatMap { seed =>
+      val p = Fuzz.genPlan(seed, 11)
+      check(p).map(msg => (seed, p, msg))
+    }
+    if (failures.nonEmpty) {
+      val (seed, p, msg) = failures.head
+      val m = minimize(p)
+      fail(
+        s"${failures.size} failing rev-11 seed(s); first = $seed\n$msg\n" +
+          s"minimal failing subplan:\n$m\n" +
+          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
+    }
+  }
+
   test("parse-gap sentinel: Spark 4.1.2 cannot parse quantified comparisons (ANY/ALL subqueries)") {
     // The reason toSqlSpark exists: `<op> ANY (subquery)` is ANSI and
     // DuckDB plans it, but Spark's parser rejects it outright. Pinned
@@ -204,6 +228,55 @@ class FuzzQuerySpec extends SparkSpec {
     assert(String.valueOf(e.getMessage).contains("PARSE_SYNTAX_ERROR"),
       s"FIXED ON UPGRADE: Spark now parses quantified comparisons — " +
         s"converge toSqlSpark (got: ${e.getMessage.take(120)})")
+  }
+
+  test("engine-bug sentinel: predicate-position correlated scalar over a correlated-scalar output fails at runtime (Spark 4.1.2)") {
+    // The round-16 pin (found by the rev-11 selector remap at seed
+    // 338, hand-minimized here): a WHERE-position correlated scalar
+    // subquery whose correlation key is ITSELF a SELECT-list
+    // correlated-scalar output makes Spark fail at RUNTIME on valid
+    // ANSI SQL — two distinct ways. When the same column is also the
+    // comparison operand, the decorrelated "scalar" join produces
+    // multiple rows per key and the SCALAR_SUBQUERY_TOO_MANY_ROWS
+    // guard trips; when only the correlation side uses it, the
+    // subquery scheduler never sequences the inner scalar
+    // ("Subquery … has not finished"). The SELECT-list spelling of
+    // the same composition works, as do EXISTS and an uncorrelated
+    // inner scalar — and DuckDB, the hand-decorrelated DataFrame
+    // rendering, and the reference interpreter all agree on these
+    // plans (rev-11 differential + 1500-seed DuckDB sweep cover seed
+    // 338), so the SQL frontend alone is defective. FIXED ON
+    // UPGRADE: when either intercept stops matching, drop the
+    // corrScalarCmpOnCorrScalarOutput adjudication from the frontend
+    // sweep and let the three-way compare results.
+    Fuzz.catalog.keys.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val innerScalar =
+      "(SELECT (SELECT MAX(r_regionkey) FROM region r3 " +
+        "WHERE r3.r_regionkey = co3.s_nationkey) AS cs3, " +
+        "co3.s_suppkey FROM supplier co3) co1"
+    val bothSides =
+      s"SELECT cs3 FROM $innerScalar WHERE co1.cs3 > " +
+        "(SELECT SUM(n_regionkey) FROM nation n1 " +
+        "WHERE n1.n_nationkey = co1.cs3)"
+    val corrSideOnly =
+      s"SELECT cs3 FROM $innerScalar WHERE co1.s_suppkey > " +
+        "(SELECT SUM(n_regionkey) FROM nation n1 " +
+        "WHERE n1.n_nationkey = co1.cs3)"
+    val e1 = intercept[Exception](spark.sql(bothSides).collect())
+    assert(String.valueOf(e1.getMessage)
+        .contains("SCALAR_SUBQUERY_TOO_MANY_ROWS"),
+      s"FIXED ON UPGRADE (multi-row guard): retire the csc " +
+        s"adjudication (got: ${String.valueOf(e1.getMessage).take(120)})")
+    val e2 = intercept[Exception](spark.sql(corrSideOnly).collect())
+    assert(String.valueOf(e2.getMessage).contains("has not finished"),
+      s"FIXED ON UPGRADE (subquery scheduling): retire the csc " +
+        s"adjudication (got: ${String.valueOf(e2.getMessage).take(120)})")
+    // the guard itself recognizes the generated shape that found this
+    assert(Fuzz.corrScalarCmpOnCorrScalarOutput(Fuzz.genPlan(338L, 11)),
+      "shape guard no longer matches seed 338@r11 — the adjudication " +
+        "in the frontend sweep would silently stop applying")
   }
 
   test("three-way differential: the rendered SQL through Spark's OWN parser agrees with the interpreter") {
@@ -240,7 +313,7 @@ class FuzzQuerySpec extends SparkSpec {
     // 3VL-expanded spelling (the one node where the dialects' text
     // diverges — Spark cannot parse the quantifier)
     val adjudicated = scala.collection.mutable.ArrayBuffer.empty[String]
-    val failures = Seq(5, 6, 7, 8, 9, 10).flatMap { rev =>
+    val failures = Seq(5, 6, 7, 8, 9, 10, 11).flatMap { rev =>
       (1L to 400L).flatMap { seed =>
         val p = Fuzz.genPlan(seed, rev)
         val sql = Fuzz.toSqlSpark(p)
@@ -271,6 +344,25 @@ class FuzzQuerySpec extends SparkSpec {
                   String.valueOf(e.getMessage)
                     .contains("RemoveRedundantAliases") =>
               adjudicated += s"$seed@r$rev(rra)"; None
+            // the round-16 pinned WHERE/HAVING-position defect (its
+            // own sentinel below): a predicate-position correlated
+            // scalar whose correlation key or comparison operand is a
+            // SELECT-list correlated-scalar output fails at RUNTIME
+            // two ways — the multi-row guard trips on the
+            // decorrelated join, or the subquery scheduler never
+            // finishes the inner scalar. Reachable since rev 8; the
+            // rev-11 selector remap first drew it in-window
+            // (seed 338@r11). DuckDB + DataFrame + interpreter agree
+            // on these plans (the rev-11 differential and the DuckDB
+            // sweep both cover seed 338), so the SQL frontend alone
+            // is wrong — adjudicated by shape + fingerprint.
+            case e: Throwable
+                if Fuzz.corrScalarCmpOnCorrScalarOutput(p) &&
+                  (String.valueOf(e.getMessage)
+                    .contains("SCALAR_SUBQUERY_TOO_MANY_ROWS") ||
+                   String.valueOf(e.getMessage)
+                    .contains("has not finished")) =>
+              adjudicated += s"$seed@r$rev(csc)"; None
             case scala.util.control.NonFatal(e) =>
               fail(s"seed $seed@r$rev failed to parse/execute via spark.sql: $e\n$sql")
           }
