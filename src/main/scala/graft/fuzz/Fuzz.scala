@@ -270,6 +270,35 @@ import org.apache.spark.sql.{functions => F}
   *     hand-builds the row_number window + join, the interpreter
   *     sorts each slice naively.
   *
+  * A TWELFTH revision (round 16, additive behind `rev >= 12`) adds the
+  * grammar's first ITERATIVE query shape and the last window-frame
+  * zone:
+  *
+  *   - DEPTH-BOUNDED RECURSIVE CTEs ([[Fuzz.RecCte]]): `WITH RECURSIVE
+  *     w(node, d) AS (SELECT seed, 0 UNION ALL SELECT e.dst, w.d + 1
+  *     FROM w JOIN edges e ON e.src = w.node WHERE w.d < k)` — the
+  *     fixpoint walk over a value graph drawn from the FIXED-SIZE dims
+  *     (nation 25 / region 5 rows at every sf, so the closure is
+  *     scale-invariant and cycle-safe under the depth bound). Spark's
+  *     recursion support is NEW in 4.x and UNION-ALL-ONLY
+  *     (`UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE` — parse-gap sentinel in
+  *     FuzzQuerySpec), which is exactly why it's fuzzed: both engines
+  *     take the literal recursive text, the DataFrame rendering
+  *     unrolls the bounded loop (UNION ALL accumulation is exactly
+  *     depth-k unrolling), the interpreter iterates naively. NULL
+  *     seeds surface as NULL nodes at depth 0 that extend nothing
+  *     (NULL src never joins); the closure output feeds the pipeline
+  *     aggregated-on-node (unique key ⇒ bounded join) or as an
+  *     `IN (SELECT node …)` membership slice.
+  *   - NUMERIC RANGE OFFSET FRAMES ([[Fuzz.RangeOffsetSum]]):
+  *     `SUM(x) OVER (PARTITION BY pb ORDER BY oc [DESC] RANGE BETWEEN
+  *     lo PRECEDING AND (CURRENT ROW | hi FOLLOWING))` — value-based
+  *     frames over a possibly null-injected Long order key. ANSI: a
+  *     NULL-ordered row's frame is exactly its NULL peer group
+  *     (engines verified agreeing); DESC flips the offset arithmetic
+  *     (frame = keys in [v−hi, v+lo]) — the classic direction bug
+  *     zone rev 5's ROWS/RANGE defaults could not reach.
+  *
   * The rev-11 debut sweeps came back clean ON THE NEW NODES
   * (1500/1500 DuckDB, 400/400 three-way), but the revision kept the
   * every-debut-catches-a-bug streak anyway: the widened selector's
@@ -728,6 +757,46 @@ object Fuzz {
   final case class LateralTopN(child: Plan, key: Col, sub: Plan,
       subKey: Col, subVal: Col, n: Int, desc: Boolean,
       nullsLast: Boolean, outer: Boolean, alias: String) extends Plan {
+    def schema: Seq[Field] = child.schema :+ Field(alias, LongT)
+  }
+  /** DEPTH-BOUNDED RECURSIVE CTE (round 16, TWELFTH grammar
+    * revision): `WITH RECURSIVE w(node, d) AS (SELECT seedKey, 0 FROM
+    * seed UNION ALL SELECT e.dstKey, w.d + 1 FROM w JOIN edges e ON
+    * e.srcKey = w.node WHERE w.d < maxDepth) SELECT node, d FROM w` —
+    * the grammar's first ITERATIVE shape, over Spark 4.x's brand-new
+    * (UNION-ALL-only) recursion support. Semantics are pure UNION ALL
+    * accumulation, so the bounded recursion is EXACTLY depth-k loop
+    * unrolling — which is what the DataFrame rendering does, while
+    * both SQL engines plan the literal recursive text and the
+    * interpreter iterates row maps. NULL seed keys emit NULL nodes at
+    * depth 0 that extend nothing (a NULL src never joins); NULL edge
+    * dst values propagate one level then die the same way; duplicate
+    * node values multiply frontier rows multiplicatively per level —
+    * the multiset is deterministic because no tie-break exists
+    * anywhere. The generator draws seed and edges only from the
+    * FIXED-CARDINALITY dims (nation 25 / region 5 rows at every sf),
+    * so closure size is scale-invariant and bounded by
+    * 25·(maxDepth+1)·25^maxDepth worst-case with maxDepth ≤ 3. */
+  final case class RecCte(seed: Plan, seedKey: Col, edges: Plan,
+      srcKey: Col, dstKey: Col, maxDepth: Int, alias: String)
+      extends Plan {
+    def schema: Seq[Field] =
+      Seq(Field(s"${alias}_node", LongT), Field(s"${alias}_d", LongT))
+  }
+  /** NUMERIC RANGE OFFSET FRAME (round 16, TWELFTH grammar revision):
+    * `SUM(sumCol) OVER (PARTITION BY partBy ORDER BY orderCol [DESC]
+    * RANGE BETWEEN lo PRECEDING AND (CURRENT ROW | hi FOLLOWING))` —
+    * value-based frames, the window zone revs 4/5's
+    * UNBOUNDED-anchored RANGE frames could not reach. ANSI rules the
+    * interpreter implements (engines verified agreeing, incl. on
+    * null-injected order keys): a NULL-ordered row's frame is exactly
+    * its NULL peer group; a non-NULL row's frame is the non-NULL keys
+    * within [v−lo, v+hi] under ASC and [v−hi, v+lo] under DESC (the
+    * direction flips the offset arithmetic — the classic bug zone);
+    * SUM skips NULL values and is NULL over an all-NULL frame. */
+  final case class RangeOffsetSum(child: Plan, partBy: Col,
+      orderCol: Col, sumCol: Col, lo: Int, hi: Option[Int],
+      desc: Boolean, alias: String) extends Plan {
     def schema: Seq[Field] = child.schema :+ Field(alias, LongT)
   }
   /** Equality join on an FK pair; `right` columns must be disjoint from
@@ -1234,6 +1303,36 @@ object Fuzz {
       val jt = if (outer) "left_outer" else "inner"
       cd.join(top, cd(key.name) === top(kA), jt)
         .select(c.schema.map(f => cd(f.name)) :+ top(alias): _*)
+    case RecCte(seed, seedKey, edges, srcKey, dstKey, maxDepth, alias) =>
+      // bounded UNION ALL recursion IS depth-k loop unrolling: seed at
+      // d = 0, then maxDepth frontier extensions, each accumulated —
+      // the hand-built twin of both engines' literal recursive plans
+      val nodeA = s"${alias}_node"; val dA = s"${alias}_d"
+      val sd = toDF(seed, spark, sfDir)
+        .select(F.col(seedKey.name).as(nodeA), F.lit(0L).as(dA))
+      val ed = toDF(edges, spark, sfDir)
+      var acc = sd
+      var frontier = sd
+      (1 to maxDepth).foreach { i =>
+        // fresh per-level column names: re-joining the same edge
+        // Dataset each level would trip DetectAmbiguousSelfJoin
+        val srcA = s"${alias}_s$i"; val dstA = s"${alias}_t$i"
+        val edi = ed.select(F.col(srcKey.name).as(srcA),
+          F.col(dstKey.name).as(dstA))
+        frontier = frontier
+          .join(edi, F.col(srcA) === frontier(nodeA))
+          .select(F.col(dstA).as(nodeA),
+            (frontier(dA) + F.lit(1L)).as(dA))
+        acc = acc.unionAll(frontier)
+      }
+      acc
+    case RangeOffsetSum(c, pb, oc, sc, lo, hi, desc, alias) =>
+      import org.apache.spark.sql.expressions.Window
+      val df = toDF(c, spark, sfDir)
+      val ord = if (desc) F.col(oc.name).desc else F.col(oc.name).asc
+      val w = Window.partitionBy(F.col(pb.name)).orderBy(ord)
+        .rangeBetween(-lo.toLong, hi.map(_.toLong).getOrElse(0L))
+      df.withColumn(alias, F.sum(F.col(sc.name)).over(w))
     case Join(l, r, jt, lk, rk, res) =>
       val (ld, rd) = (toDF(l, spark, sfDir), toDF(r, spark, sfDir))
       val st = jt match {
@@ -1625,6 +1724,35 @@ object Fuzz {
       else
         s"SELECT $co.*, $lx.$alias FROM (${toSql(c)}) $co " +
           s"CROSS JOIN LATERAL ($body) $lx"
+    case RecCte(seed, seedKey, edges, srcKey, dstKey, maxDepth, alias) =>
+      // the literal recursive text in BOTH dialects (Spark 4.x
+      // recursion is UNION-ALL-only — sentinel-pinned; that is the
+      // semantics the grammar uses anyway). The WITH sits inside a
+      // derived table when composed, which both engines accept.
+      val w = s"w_$alias"; val e = s"e_$alias"; val s0 = s"s_$alias"
+      s"WITH RECURSIVE $w(node, d) AS (" +
+        s"SELECT ${seedKey.name} AS node, CAST(0 AS BIGINT) AS d " +
+        s"FROM (${toSql(seed)}) $s0 " +
+        s"UNION ALL SELECT $e.${dstKey.name}, $w.d + CAST(1 AS BIGINT) " +
+        s"FROM $w JOIN (${toSql(edges)}) $e ON $e.${srcKey.name} = $w.node " +
+        s"WHERE $w.d < $maxDepth) " +
+        s"SELECT node AS ${alias}_node, d AS ${alias}_d FROM $w"
+    case RangeOffsetSum(c, pb, oc, sc, lo, hi, desc, alias) =>
+      // explicit direction; lower/upper bounds spelled CURRENT ROW at
+      // offset 0 (both engines accept "0 PRECEDING" but CURRENT ROW
+      // is the unambiguous ANSI spelling)
+      val dir = if (desc) " DESC" else ""
+      val loB = if (lo == 0) "CURRENT ROW" else s"$lo PRECEDING"
+      val hiB = hi match {
+        case None    => "CURRENT ROW"
+        case Some(0) => "CURRENT ROW"
+        case Some(h) => s"$h FOLLOWING"
+      }
+      // CAST back to BIGINT: DuckDB widens integer SUM to HUGEINT
+      // (the RunSumL discipline)
+      s"SELECT *, CAST(SUM(${sc.name}) OVER (PARTITION BY ${pb.name} " +
+        s"ORDER BY ${oc.name}$dir RANGE BETWEEN $loB AND $hiB) " +
+        s"AS BIGINT) AS $alias FROM (${toSql(c)}) rf_"
     case Join(l, r, jt, lk, rk, res) =>
       // unqualified residual refs resolve uniquely (name-disjoint
       // sides); in the semi/anti EXISTS spelling the outer row's
@@ -2151,6 +2279,53 @@ object Fuzz {
           if (outer) Seq(r + (alias -> (None: Option[Any]))) else Nil
         } else taken.map(v => r + (alias -> v))
       }
+    case RecCte(seed, seedKey, edges, srcKey, dstKey, maxDepth, alias) =>
+      // naive bounded fixpoint: seed at depth 0, then maxDepth
+      // frontier extensions through the (non-NULL-src) edge index,
+      // all levels accumulated (UNION ALL semantics)
+      val nodeA = s"${alias}_node"; val dA = s"${alias}_d"
+      val edgeIdx: Map[Any, Seq[Option[Any]]] =
+        eval(edges, tables)
+          .flatMap(er => er(srcKey.name).map(_ -> er(dstKey.name)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var frontier: Seq[Row] = eval(seed, tables).map(r =>
+        Map(nodeA -> r(seedKey.name), dA -> (Some(0L): Option[Any])))
+      var acc = frontier
+      (1 to maxDepth).foreach { _ =>
+        frontier = frontier.flatMap { r =>
+          r(nodeA).toSeq.flatMap(n => edgeIdx.getOrElse(n, Nil)).map(dst =>
+            Map(nodeA -> dst,
+              dA -> r(dA).map(d => d.asInstanceOf[Long] + 1L)))
+        }
+        acc = acc ++ frontier
+      }
+      acc
+    case RangeOffsetSum(c, pb, oc, sc, lo, hi, desc, alias) =>
+      // ANSI value-range frames: NULL-ordered rows frame exactly
+      // their NULL peer group; non-NULL rows frame the non-NULL keys
+      // in [v−lo, v+hi] (ASC) / [v−hi, v+lo] (DESC); SUM skips NULL
+      // values and is NULL over an all-NULL frame. Partitioning
+      // treats NULL = NULL (grouping equality).
+      val hiOff = hi.getOrElse(0)
+      eval(c, tables).groupBy(_(pb.name)).values.flatMap { part =>
+        part.map { r =>
+          val frame = r(oc.name) match {
+            case None => part.filter(_(oc.name).isEmpty)
+            case Some(v0) =>
+              val v = v0.asInstanceOf[Long]
+              val (loB, hiB) =
+                if (!desc) (v - lo, v + hiOff)
+                else (v - hiOff, v + lo)
+              part.filter(_(oc.name).exists { x =>
+                val xv = x.asInstanceOf[Long]
+                xv >= loB && xv <= hiB
+              })
+          }
+          val vals = frame.flatMap(_(sc.name)).map(_.asInstanceOf[Long])
+          r + (alias ->
+            (if (vals.isEmpty) None else (Some(vals.sum): Option[Any])))
+        }
+      }.toSeq
     case Join(l, r, jt, lk, rk, res) =>
       val (lrows, rrows) = (eval(l, tables), eval(r, tables))
       // NULL keys match nothing (ANSI equality): index only Some keys
@@ -2377,7 +2552,7 @@ object Fuzz {
   /** The latest grammar revision [[genPlan(seed:Long,rev:Int)*]]
     * accepts. Sweeps and new declared seeds use this; previously
     * declared seeds PIN their revision instead. */
-  val LatestRev = 11
+  val LatestRev = 12
 
   /** REVISION-PINNED generation (round 14): up to revision 5 the
     * grammar grew IN PLACE, so every extension shifted
@@ -2529,7 +2704,8 @@ object Fuzz {
       // then 15 cases); each widened modulus only ever runs for seeds
       // pinned at that rev or later, so older draw streams stay
       // bit-identical (additive growth)
-      val sel = if (rev >= 11) rnd.nextInt(17)
+      val sel = if (rev >= 12) rnd.nextInt(19)
+                else if (rev >= 11) rnd.nextInt(17)
                 else if (rev >= 10) rnd.nextInt(15)
                 else if (rev >= 9) rnd.nextInt(14)
                 else if (rev >= 8) rnd.nextInt(13)
@@ -3042,6 +3218,90 @@ object Fuzz {
               nullsLast = rnd.nextBoolean(), outer = rnd.nextBoolean(),
               s"lt${depth}_0")
           }
+        case 17 =>
+          // depth-bounded recursive CTE (revision 12 — the selector
+          // reaches here only for rev >= 12): a closure walk over the
+          // fixed-size dims, consumed either aggregated-on-node
+          // (unique key ⇒ bounded join back into the pipeline) or as
+          // an IN-membership slice. Seed/edge columns null-inject
+          // independently — NULL nodes at depth 0 and NULL dst values
+          // both exercise the "NULL never joins" extension rule.
+          val keyPool = schema.filter(_.tpe == LongT)
+          if (keyPool.isEmpty) Filter(base, genPred(rnd, schema))
+          else {
+            val dims = Vector("nation", "region")
+            def dimPlan(): (String, Plan) = {
+              val t = pick(rnd, dims)
+              val p0: Plan =
+                if (rnd.nextBoolean()) Filter(Scan(t), genPred(rnd, catalog(t)))
+                else Scan(t)
+              (t, p0)
+            }
+            def keyed(t: String, p0: Plan, a: String): (Plan, Col) = {
+              val f = pick(rnd, catalog(t).filter(_.tpe == LongT))
+              val e: Expr =
+                if (rnd.nextBoolean()) {
+                  val k = 2 + rnd.nextInt(5)
+                  NullWhen(Cmp("=", Arith("%", Col(f.name, LongT), LitL(k)),
+                    LitL(rnd.nextInt(k).toLong)), Col(f.name, LongT))
+                } else Col(f.name, LongT)
+              (Project(p0, Seq(a -> e)), Col(a, LongT))
+            }
+            val (st, sp) = dimPlan()
+            val (seedP, seedC) = keyed(st, sp, s"rc${depth}_s")
+            val (et, ep0) = dimPlan()
+            val srcF = pick(rnd, catalog(et).filter(_.tpe == LongT))
+            val dstF = pick(rnd, catalog(et).filter(_.tpe == LongT))
+            val dstE: Expr =
+              if (rnd.nextBoolean()) {
+                val k = 2 + rnd.nextInt(5)
+                NullWhen(Cmp("=", Arith("%", Col(dstF.name, LongT), LitL(k)),
+                  LitL(rnd.nextInt(k).toLong)), Col(dstF.name, LongT))
+              } else Col(dstF.name, LongT)
+            val edgeP = Project(ep0, Seq(
+              s"rc${depth}_src" -> (Col(srcF.name, LongT): Expr),
+              s"rc${depth}_dst" -> dstE))
+            val rec = RecCte(seedP, seedC, edgeP,
+              Col(s"rc${depth}_src", LongT), Col(s"rc${depth}_dst", LongT),
+              maxDepth = 1 + rnd.nextInt(3), s"rc${depth}")
+            val key = pick(rnd, keyPool)
+            if (rnd.nextBoolean()) {
+              // membership: base WHERE key [NOT] IN (SELECT node FROM w)
+              val memb = Project(rec,
+                Seq(s"rc${depth}_m" -> (Col(s"rc${depth}_node", LongT): Expr)))
+              InSub(base, Col(key.name, LongT), memb,
+                Col(s"rc${depth}_m", LongT), rnd.nextBoolean())
+            } else {
+              // aggregated join: closure grouped on node (unique) back
+              // into the pipeline — output stays bounded by base
+              val agg = Agg(rec, Seq(Col(s"rc${depth}_node", LongT)), Seq(
+                s"rc${depth}_cnt" -> CountStar,
+                s"rc${depth}_mind" -> MinA(Col(s"rc${depth}_d", LongT))))
+              Join(base, agg, pick(rnd, Seq("inner", "left")),
+                Col(key.name, LongT), Col(s"rc${depth}_node", LongT))
+            }
+          }
+        case 18 =>
+          // numeric RANGE offset frame (revision 12): value-based
+          // window frames over a possibly null-injected Long order
+          // key, ASC and DESC, CURRENT ROW and FOLLOWING uppers
+          val keyNames = fkPairs.flatMap(pr => Seq(pr._2, pr._4)).toSet
+          val parts = schema.filter(f =>
+            f.tpe == LongT && keyNames.contains(f.name))
+          val longs = schema.filter(_.tpe == LongT)
+          if (parts.isEmpty || longs.isEmpty)
+            Filter(base, genPred(rnd, schema))
+          else {
+            val pb = pick(rnd, parts)
+            val oc = pick(rnd, longs)
+            val sc = pick(rnd, longs)
+            val lo = pick(rnd, Seq(0, 1, 3, 25, 100))
+            val hi = if (rnd.nextBoolean()) None
+                     else Some(pick(rnd, Seq(0, 1, 3, 25)))
+            RangeOffsetSum(base, Col(pb.name, LongT), Col(oc.name, LongT),
+              Col(sc.name, LongT), lo, hi, rnd.nextBoolean(),
+              s"rf${depth}_0")
+          }
       }
       genTransforms(rnd, next, depth - 1, rev)
     }
@@ -3211,5 +3471,7 @@ object Fuzz {
       // failure is the ON-subquery or the bare equi-join
       Seq(Join(l, r, jt, lk, rk, None), l, r)
     case LateralTopN(c, _, sub, _, _, _, _, _, _, _) => Seq(c, sub)
+    case RecCte(seed, _, edges, _, _, _, _) => Seq(seed, edges)
+    case RangeOffsetSum(c, _, _, _, _, _, _, _) => Seq(c)
   }
 }

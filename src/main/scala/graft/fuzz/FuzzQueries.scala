@@ -335,6 +335,54 @@ object FuzzQueries {
   private val seedsR11: Seq[Long] =
     Seq(96L, 343L, 360L, 620L, 690L, 773L, 1088L, 1222L)
 
+  /** Revision-12 declared seeds (`fz12_seed*`), chosen from the rev-12
+    * 1500-seed DuckDB sweep: 1498/1500 agree; the TWO divergences
+    * (seeds 752, 1446 — both carrying a correlated NOT IN in the
+    * retention chain, DuckDB returning 0 rows where Spark's DataFrame
+    * rendering, Spark's OWN SQL frontend on the identical text, and
+    * the reference interpreter all agree on 22 / 726) are fresh
+    * instances of the ALREADY-pinned DuckDB 1.0.0 correlated-NOT-IN
+    * NULL-poisoning root cause (`tools/duckdb_bugpin.py` bug 4 — 1446
+    * is literally bug 4's "ALL-over-NOT-IN" stack under the new map;
+    * `disable_optimizer` does not repair, matching the naive-path
+    * diagnosis). No NEW engine bug from the rev-12 nodes themselves;
+    * the frontend sweep's one rev-12 adjudication (seed 279, a
+    * CorrScalar over a bare UNION ALL whose branches carry a RecCte)
+    * is pinned Spark bug 2's exact fingerprint. Each pick exercises a
+    * rev-12 node with non-trivial output at the gate scale (rows at
+    * sf0.01):
+    *
+    *   - 88:   STACKED range frames — RF(desc, 0 FOLLOWING) over
+    *           RF(desc, CURRENT ROW) over a semi-joined lineitem
+    *           (341 rows): a value-frame ordered by another
+    *           value-frame's input;
+    *   - 92:   RANGE 1 PRECEDING/1 FOLLOWING ordered by a ROW_NUMBER
+    *           window output over a FULL join of lineitem⋈part
+    *           (61,998 rows) — frame offsets over a computed key at
+    *           fact scale;
+    *   - 116:  quantified `> ANY` whose comparison operand AND
+    *           correlation key are both CLOSURE OUTPUTS (rc2_cnt,
+    *           rc2_node) of an aggregated RecCte joined to orders
+    *           (17 rows) — recursion feeding rev-10's quantifier;
+    *   - 150:  RANGE CURRENT-ROW frame over a 2-key CUBE's group-key
+    *           and aggregate outputs (32,400 rows) — value frames
+    *           over the grouping lattice's NULL keys;
+    *   - 203:  scalar-subquery filter comparing `rc2_node` — the
+    *           closure's node column driving a ScalarFilter over a
+    *           LEFT join of lineitem to the aggregated depth-2 walk
+    *           (25,701 rows);
+    *   - 633:  LEFT join of a residual-ON lineitem⋈supplier join to
+    *           an aggregated DEPTH-3 closure (60,000 rows) — the
+    *           deepest recursion at fact scale;
+    *   - 845:  RANGE(desc, 3 PRECEDING → 1 FOLLOWING) over the
+    *           survivors of a correlated NOT IN over a FULL join
+    *           (52,435 rows) — value frames consuming 3VL retention;
+    *   - 887:  membership IN against a depth-2 closure from a
+    *           DISTINCT'd LEFT join (15,125 rows) — rev-3's
+    *           null-aware membership over recursive output. */
+  private val seedsR12: Seq[Long] =
+    Seq(88L, 92L, 116L, 150L, 203L, 633L, 845L, 887L)
+
   private def pinned(s: Long, rev: Int): Seq[(String, Q)] = Seq(
     (if (rev == 5) s"fz_seed$s" else s"fz${rev}_seed$s") ->
       ((spark: SparkSession, d: String) =>
@@ -344,7 +392,8 @@ object FuzzQueries {
     (seeds.flatMap(pinned(_, 5)) ++ seedsR6.flatMap(pinned(_, 6)) ++
       seedsR7.flatMap(pinned(_, 7)) ++ seedsR8.flatMap(pinned(_, 8)) ++
       seedsR9.flatMap(pinned(_, 9)) ++ seedsR10.flatMap(pinned(_, 10)) ++
-      seedsR11.flatMap(pinned(_, 11))).toMap
+      seedsR11.flatMap(pinned(_, 11)) ++
+      seedsR12.flatMap(pinned(_, 12))).toMap
 
   val oracle: Map[String, String] =
     (seeds.map(s => name(s) -> Fuzz.toSqlOut(Fuzz.genPlan(s, 5))) ++
@@ -353,5 +402,6 @@ object FuzzQueries {
       seedsR8.map(s => s"fz8_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 8))) ++
       seedsR9.map(s => s"fz9_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 9))) ++
       seedsR10.map(s => s"fz10_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 10))) ++
-      seedsR11.map(s => s"fz11_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 11)))).toMap
+      seedsR11.map(s => s"fz11_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 11))) ++
+      seedsR12.map(s => s"fz12_seed$s" -> Fuzz.toSqlOut(Fuzz.genPlan(s, 12)))).toMap
 }

@@ -38,6 +38,11 @@ object FuzzShapes {
         case LateralTopN(c, key, sub, _, _, n, desc, nl, outer, _) =>
           s"LT${if (outer) "left" else "cross"}$n${if (desc) "d" else "a"}" +
             s"${if (nl) "nl" else ""}@${key.name}(${sig(c)},${sig(sub)})"
+        case RecCte(seed, sk, edges, src, dst, md, _) =>
+          s"RC$md-${sk.name}>${src.name}->${dst.name}(${sig(seed)},${sig(edges)})"
+        case RangeOffsetSum(c, pb, oc, sc, lo, hi, desc, _) =>
+          s"RF${lo}p${hi.map(h => s"${h}f").getOrElse("c")}" +
+            s"${if (desc) "d" else "a"}-${sc.name}@${oc.name}/${pb.name}(${sig(c)})"
         case WindowOp(c, pb, fn, _, nl) =>
           val f = fn match {
             case RowNum => "rownum"; case RankW => "rank"

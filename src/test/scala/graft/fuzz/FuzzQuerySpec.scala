@@ -211,6 +211,46 @@ class FuzzQuerySpec extends SparkSpec {
     }
   }
 
+  test("differential fuzz, grammar revision 12: 400 seeded plans with recursive CTEs and RANGE offset frames agree") {
+    // revision 12 adds RecCte — the depth-bounded UNION ALL recursive
+    // walk, whose DataFrame rendering is exact loop unrolling — and
+    // RangeOffsetSum, the value-based window frame with ASC/DESC
+    // offset arithmetic and the NULL-peer-group rule. Both
+    // hand-built renderings must agree with the naive interpreter on
+    // every seed.
+    val failures = (1L to 400L).flatMap { seed =>
+      val p = Fuzz.genPlan(seed, 12)
+      check(p).map(msg => (seed, p, msg))
+    }
+    if (failures.nonEmpty) {
+      val (seed, p, msg) = failures.head
+      val m = minimize(p)
+      fail(
+        s"${failures.size} failing rev-12 seed(s); first = $seed\n$msg\n" +
+          s"minimal failing subplan:\n$m\n" +
+          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
+    }
+  }
+
+  test("parse-gap sentinel: Spark 4.1.2 recursion is UNION-ALL-only") {
+    // Why RecCte generates only the UNION ALL form: Spark 4.x's new
+    // recursive-CTE support rejects the UNION (distinct) fixpoint
+    // outright. FIXED ON UPGRADE: when this intercept fails, Spark
+    // has gained distinct recursion — add a distinct-closure variant
+    // to RecCte (termination without a depth bound) and fuzz it.
+    Fuzz.catalog.keys.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val e = intercept[Exception](spark.sql(
+      "WITH RECURSIVE w(node) AS (SELECT n_nationkey FROM nation " +
+        "WHERE n_nationkey < 3 UNION SELECT n.n_regionkey FROM nation n " +
+        "JOIN w ON n.n_nationkey = w.node) SELECT * FROM w").collect())
+    assert(String.valueOf(e.getMessage)
+        .contains("UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"),
+      s"FIXED ON UPGRADE: Spark now supports UNION recursion — extend " +
+        s"RecCte (got: ${String.valueOf(e.getMessage).take(120)})")
+  }
+
   test("parse-gap sentinel: Spark 4.1.2 cannot parse quantified comparisons (ANY/ALL subqueries)") {
     // The reason toSqlSpark exists: `<op> ANY (subquery)` is ANSI and
     // DuckDB plans it, but Spark's parser rejects it outright. Pinned
@@ -313,7 +353,7 @@ class FuzzQuerySpec extends SparkSpec {
     // 3VL-expanded spelling (the one node where the dialects' text
     // diverges — Spark cannot parse the quantifier)
     val adjudicated = scala.collection.mutable.ArrayBuffer.empty[String]
-    val failures = Seq(5, 6, 7, 8, 9, 10, 11).flatMap { rev =>
+    val failures = Seq(5, 6, 7, 8, 9, 10, 11, 12).flatMap { rev =>
       (1L to 400L).flatMap { seed =>
         val p = Fuzz.genPlan(seed, rev)
         val sql = Fuzz.toSqlSpark(p)
