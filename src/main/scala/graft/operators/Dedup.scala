@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -43,8 +44,19 @@ object Dedup {
     * which is what makes this run at 100 TB. Candidates then get exact
     * verification — completeness from the prefix lemma, precision from
     * the verify. */
-  private val ngramJaccard: Q = (s, d) =>
-    jaccardVerify(prefixFilteredPairs(s, d, 0.8), s, d)
+  private val ngramJaccard: Q = (s, d) => {
+    // OPTIMIZATION r16 (guide §2.4, §5): the shingle table fed SEVEN
+    // plan references (the exploded index twice, the prefix self-join
+    // twice through it, the verify joins twice more) and Spark reuses
+    // only identical exchanges, so `word_shingles` re-tokenized the
+    // corpus ~6× per run (15 parquet scans in the committed plan).
+    // Materialize it ONCE (the recallReport/triangles discipline) and
+    // every consumer replans from the in-memory blocks: scans 15 → 1.
+    // At 100 TB this is the standard write-once shingle intermediate —
+    // O(corpus tokens) blocks, vs 6 corpus re-tokenizations.
+    val sets = shingleSets(s, d).checkpointFresh()
+    jaccardVerify(prefixFilteredPairs(sets, 0.8), sets)
+  }
 
   /** Candidate pairs via prefix filtering + size-ratio pruning
     * (jac ≥ τ ⇒ τ·|B| ≤ |A| ≤ |B|/τ). Exact-complete for jac ≥ τ.
@@ -62,9 +74,9 @@ object Dedup {
     * list (group count is huge, group size is small), and the
     * partition-wide sort is a spillable external sort like any shuffle —
     * no single hot key ever concentrates work. */
-  private def prefixFilteredPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+  private def prefixFilteredPairs(sets: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ex = shingleSets(s, d)
+    val ex = sets
       .where(col("set_size") > 0)
       .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
     val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -84,8 +96,7 @@ object Dedup {
 
   /** Exact Jaccard for candidate (doc_a, doc_b) pairs; keeps τ ≥ 0.8.
     * One int division → bit-deterministic vs the oracle. */
-  private def jaccardVerify(pairs: DataFrame, s: SparkSession, d: String): DataFrame = {
-    val sets = shingleSets(s, d)
+  private def jaccardVerify(pairs: DataFrame, sets: DataFrame): DataFrame = {
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("set_size").as("size_a")), "doc_a")
@@ -114,8 +125,11 @@ object Dedup {
 
   /** (doc_id, minhash: array[64]) via explode + 64 codegen'd min-aggs
     * (no higher-order functions in the hot path). */
-  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingleSets(s, d)
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesFrom(shingleSets(s, d))
+
+  private def minhashSignaturesFrom(sets: DataFrame): DataFrame = {
+    val hashed = sets
       .where(col("set_size") > 0)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("h"))
@@ -137,14 +151,20 @@ object Dedup {
       .toDF("doc_id", "band_id", "band_hash")
 
   private val minhashLsh: Q = (s, d) => {
-    val bands = bandTable(minhashSignatures(s, d))
+    // OPTIMIZATION r16: sets feed the signature scan AND both verify
+    // joins; the 64-agg signature table feeds BOTH sides of the band
+    // self-join. Materialize each once (10 parquet scans → 1) — see
+    // the ngramJaccard note for the 100 TB rationale.
+    val sets = shingleSets(s, d).checkpointFresh()
+    val sig = minhashSignaturesFrom(sets).checkpointFresh()
+    val bands = bandTable(sig)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(cand, s, d)
+    jaccardVerify(cand, sets)
   }
 
   /** Cross-corpus NEAR-dup flagging — the MinHash twin of
@@ -164,7 +184,10 @@ object Dedup {
     * self-contained); each incoming doc then probes 16 bucket keys —
     * no corpus rescan per feed. */
   private val crossLsh: Q = (s, d) => {
-    val bands = bandTable(minhashSignatures(s, d))
+    // OPTIMIZATION r16: same materialization as [[minhashLsh]]
+    val sets = shingleSets(s, d).checkpointFresh()
+    val sig = minhashSignaturesFrom(sets).checkpointFresh()
+    val bands = bandTable(sig)
     val inc = bands.where(col("doc_id") % 5 === 4)
       .toDF("doc_a", "band_id_a", "band_hash_a")
     val corp = bands.where(col("doc_id") % 5 =!= 4)
@@ -173,7 +196,7 @@ object Dedup {
         col("band_id_a") === col("band_id_b") &&
         col("band_hash_a") === col("band_hash_b"))
       .select("doc_a", "doc_b").distinct()
-    jaccardVerify(cand, s, d)
+    jaccardVerify(cand, sets)
       .groupBy("doc_a")
       .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jac"))
       .withColumnRenamed("doc_a", "batch_doc")
@@ -252,8 +275,13 @@ object Dedup {
     * [[minhashLsh]] (whose banding bounds fan-out by construction) — the
     * guaranteed-recall path with the same output contract. */
   private val winnowDedup: Q = (s, d) => {
+    // OPTIMIZATION r16: the fingerprint explode fed the df census AND
+    // the rare join (2 corpus winnowing passes), rare fed both
+    // self-join sides through it, and verify re-shingled twice more —
+    // materialize the winnowed index and the shingle table once each.
     val fps = Tables.documents(s, d)
       .selectExpr("doc_id", "explode(winnow_fingerprints(text, 5, 4)) AS fp")
+      .checkpointFresh()
     val df = fps.groupBy("fp").agg(count(lit(1)).as("fp_df"))
     val rare = fps.join(df.where(col("fp_df") <= WinnowDfCap), "fp")
       .select("doc_id", "fp")
@@ -261,7 +289,7 @@ object Dedup {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(cand, s, d)
+    jaccardVerify(cand, shingleSets(s, d).checkpointFresh())
   }
 
   /** Overlap-coefficient (containment) near-dup pairs at c ≥ 0.9, where
@@ -285,7 +313,11 @@ object Dedup {
   private val ContainTau = 0.9
   private val containment: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ex = shingleSets(s, d)
+    // OPTIMIZATION r16: one shingle materialization feeds the index,
+    // the probe side AND both verify joins (13 parquet scans → 1);
+    // see the ngramJaccard note.
+    val sets = shingleSets(s, d).checkpointFresh()
+    val ex = sets
       .where(col("set_size") > 0)
       .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
     val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -304,7 +336,6 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    val sets = shingleSets(s, d)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("set_size").as("size_a")), "doc_a")

@@ -46,26 +46,33 @@ object Graph {
     // static per-round build side: (src, dst, deg-of-src), partitioned on
     // the join key and pinned
     val edges = und.join(deg, "src").repartition(col("src")).checkpointFresh()
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
-      .checkpointFresh()
-    // residency tracking is by the checkpointed frame itself
-    // ([[graft.Checkpoints]]) — never a diff of the session-global
-    // persistent-RDD registry, which races with concurrent queries on
-    // the shared session
-    var prevRound = ranks
+    // OPTIMIZATION r16 (guide §1.2 "the distributed algorithm" + §2.4):
+    //   (a) rank₀ derives from the EDGES CHECKPOINT (distinct src over
+    //       the pinned blocks — the key set of deg by construction)
+    //       instead of re-running the whole und→deg corpus pass a
+    //       second time just to initialize a constant column;
+    //   (b) the FIXED-iteration loop is unrolled LAZILY — no per-round
+    //       checkpoint. With a bounded round count the per-round
+    //       materialization bought nothing (the convergence-stop
+    //       variant below still checkpoints: its per-round isEmpty scan
+    //       needs the blocks): the whole 3-round chain now runs as ONE
+    //       job — same joins, same aggregates, same integer arithmetic,
+    //       minus 3 block-manager materializations + 3 job schedulings.
+    //       Plan depth is O(iters) but iters is a small constant; every
+    //       round's agg re-partitions ranks on `id`, so each
+    //       edges⋈ranks join still reuses the pinned `src` partitioning
+    //       with zero extra exchange (verified in plans/r16).
+    var ranks = edges.select(col("src").as("id")).distinct()
+      .withColumn("rank", lit(1000000L))
     (1 to iters).foreach { _ =>
       // SHUFFLE_HASH on the rank side: a sort-merge join would re-SORT
       // the full edge list every round (the pinned partitioning spares
       // the exchange, not the sort); hash-building the |nodes|-sized
       // rank partitions keeps each round sort-free on the big side
-      val next = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
+      ranks = edges.join(ranks.hint("shuffle_hash"), edges("src") === ranks("id"))
         .select(col("dst"), expr("rank DIV deg").as("contrib"))
         .groupBy(col("dst").as("id"))
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("rank"))
-        .checkpointFresh()
-      ranks = next
-      graft.Checkpoints.drop(prevRound)
-      prevRound = next
     }
     ranks
       .select(
@@ -110,7 +117,11 @@ object Graph {
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
     val edges = und.join(deg, "src").repartition(col("src")).checkpointFresh()
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+    // rank₀ from the edges checkpoint, not a second corpus pass — see
+    // the [[pageRank]] optimization note (identical id set: deg's keys
+    // are exactly the distinct src values)
+    var ranks = edges.select(col("src").as("id")).distinct()
+      .withColumn("rank", lit(1000000L))
       .checkpointFresh()
     var prevRound = ranks
     var rounds = 0

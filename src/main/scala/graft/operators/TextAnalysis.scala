@@ -457,18 +457,29 @@ object TextAnalysis {
         .groupBy("w")
         .agg(min(struct(col("merge_rank"), col("left_sym"),
           col("right_sym"))).as("m"))
-      val next = ckpt.join(lowest, Seq("w"), "left")
-        .select(col("w"),
-          expr("""CASE WHEN m IS NULL THEN seq ELSE
-                    replace(seq, ' ' || m.left_sym || ' ' || m.right_sym || ' ',
-                            ' ' || m.left_sym || m.right_sym || ' ') END""").as("seq"),
-          expr("CASE WHEN m IS NULL THEN cur ELSE m.merge_rank END").as("cur"),
-          col("m").isNotNull.as("applied"))
-        .checkpointFresh()
-      // count from the checkpoint: no recomputation, blocks already hot
-      remaining = next.where(col("applied")).count()
-      graft.Checkpoints.drop(ckpt)
-      ckpt = next
+      // OPTIMIZATION r16: materialize the (small) argmin table FIRST
+      // and stop BEFORE the apply join when it is empty — the old form
+      // learned the loop was done only by running one extra full
+      // join + census checkpoint whose every row came out unchanged
+      // (lowest empty ⇒ every m NULL ⇒ seq/cur identical), i.e. the
+      // final round was provably a no-op. Same rounds otherwise: the
+      // old `remaining` (words that just applied) equals the new one
+      // (words with an applicable merge) — both are |lowest|.
+      val lw = lowest.checkpointFresh()
+      remaining = lw.count()
+      if (remaining == 0L) graft.Checkpoints.drop(lw)
+      else {
+        val next = ckpt.join(lw, Seq("w"), "left")
+          .select(col("w"),
+            expr("""CASE WHEN m IS NULL THEN seq ELSE
+                      replace(seq, ' ' || m.left_sym || ' ' || m.right_sym || ' ',
+                              ' ' || m.left_sym || m.right_sym || ' ') END""").as("seq"),
+            expr("CASE WHEN m IS NULL THEN cur ELSE m.merge_rank END").as("cur"))
+          .checkpointFresh()
+        graft.Checkpoints.drop(ckpt)
+        graft.Checkpoints.drop(lw)
+        ckpt = next
+      }
     }
     ckpt.select(col("w"),
       expr("size(split(trim(seq), ' '))").cast("long").as("n_syms"))

@@ -36,6 +36,21 @@ object CensusProbe {
     time("full census")(full.count())
     time("full census (rep2)")(full.count())
 
+    // A/B (optimization r16): ObjectHashAggregate falls back to
+    // sort-based aggregation once a partition's hash map passes
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    // (default 128 keys) — the census groups by ~20k parts, so the
+    // UDAF leg may be running as a de-facto sort aggregate.
+    for (thr <- Seq("128", "1024", "131072")) {
+      spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", thr)
+      time(s"census thr=$thr")(census.count())
+      time(s"census thr=$thr (rep2)")(census.count())
+      time(s"full thr=$thr")(full.count())
+    }
+    spark.conf.unset(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+
     // alternative A: collect_set + sort instead of the UDAF
     val censusB = e.groupBy("pk").agg(array_sort(collect_set(col("sk"))).as("sks"))
       .where(size(col("sks")) <= 256)
