@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector for a batch engine (optimization r16): an
+  // isolated A/B on the GC-heavy bench subset read ParallelGC -8.5%
+  // vs G1 at the same 8g heap (sim_recall_report 3.94->2.94,
+  // st_asof_join_late 5.65->4.96; controls flat), while 16g-vs-8g G1
+  // read neutral-to-negative. Batch jobs care about GC throughput,
+  // not pause latency; override for latency-sensitive deployments.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "ParallelGC")}",
 )
