@@ -19,10 +19,20 @@ object PlanDump {
     val spark = graft.GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    // SPARK_GRAFT_PLAN_EXEC=1: execute the query through the noop sink
+    // first and dump the FINAL adaptive plan (isFinalPlan=true) — the
+    // only place AQE's runtime join-strategy flips (e.g. a
+    // SortMergeJoin rewritten to BroadcastHashJoin under the session
+    // broadcast threshold) are visible; the pre-execution dump shows
+    // the initial plan for both sides of such an A/B.
+    val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     names.foreach { n =>
       try {
         val df = graft.SparkEntry.queries(n)(spark, d)
-        val plan = df.queryExecution.explainString(
+        val plan = if (exec) {
+          df.write.format("noop").mode("overwrite").save()
+          df.queryExecution.executedPlan.toString
+        } else df.queryExecution.explainString(
           ExplainMode.fromString("formatted"))
         Files.write(Paths.get(outDir, s"${n}_$tag.txt"),
           plan.getBytes("UTF-8"))
