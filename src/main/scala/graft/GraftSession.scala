@@ -32,14 +32,31 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // autoBroadcastJoinThreshold stays at the Spark default. A
-      // round-16 subset A/B initially read 64 MB as −5%, but the
-      // executed plans (plans/r16/*_bcast*.txt, PlanDump exec mode)
-      // are BYTE-IDENTICAL under 10 MB and 64 MB for every credited
-      // query — at this corpus size nothing is estimated between the
-      // two thresholds, so the reading was window noise and the
-      // setting was reverted. Env override retained for dumps/A-Bs.
+      // round-16 subset A/B initially read 64 MB as −5% and was
+      // reverted; the r16 plan evidence was initial plans only
+      // (isFinalPlan=false — the old PlanDump exec mode never ran the
+      // dumped QueryExecution, r16 advice), so r17 re-ran the dump
+      // with the FIXED exec mode: the EXECUTED final adaptive plans
+      // (plans/r17/*_bcast{10,64}.txt, isFinalPlan=true) are
+      // structurally identical at 10 vs 64 MB on all nine join-heavy
+      // queries (only plan_id counters differ) — no AQE runtime flip
+      // either, so the retraction stands on real evidence. Env
+      // override retained for dumps/A-Bs.
       .config("spark.sql.autoBroadcastJoinThreshold",
         (sys.env.getOrElse("SPARK_GRAFT_BCAST_MB", "10").toLong << 20).toString)
+      // AQE post-shuffle coalescing A/B knobs (optimization r17, 32-core
+      // anti-scaler triage — q18_except_cust ran 4.3x FASTER on 8 cores
+      // in BENCH_r16_c8): with parallelismFirst=true (Spark default)
+      // AQE coalesces only down to minPartitionSize (1 MB) to maximize
+      // parallelism, so a KB-sized shuffle still fans out to ~cores
+      // partitions and sub-second queries pay 32-way task overhead.
+      // Spark's own docs recommend setting it false so the advisory
+      // size governs. Defaults here stay the Spark defaults; the env
+      // overrides exist for the measured A/B (see OPTIMIZATION_r17.md).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PFIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64").toLong << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")

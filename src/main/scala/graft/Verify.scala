@@ -31,6 +31,23 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Per-query block hygiene (r16 advice): query functions may pin
+      // blocks for their own lifetime — the dd_* shared-subtree
+      // materializations localCheckpoint O(corpus tokens) per query,
+      // and the streaming parity queries register their memory sink as
+      // a temp view whose plan pins the sink rows. Verify runs all 269
+      // queries in ONE session, so without an explicit release the
+      // residency grows with every query visited (Bench's per-rep
+      // sessions release implicitly; this is the same dropBlocks
+      // discipline). The result is already committed to parquet above,
+      // so nothing downstream depends on the blocks.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      try spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      catch { case scala.util.control.NonFatal(_) => }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -19,19 +19,30 @@ object PlanDump {
     val spark = graft.GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    // SPARK_GRAFT_PLAN_EXEC=1: execute the query through the noop sink
-    // first and dump the FINAL adaptive plan (isFinalPlan=true) — the
-    // only place AQE's runtime join-strategy flips (e.g. a
-    // SortMergeJoin rewritten to BroadcastHashJoin under the session
-    // broadcast threshold) are visible; the pre-execution dump shows
-    // the initial plan for both sides of such an A/B.
+    // SPARK_GRAFT_PLAN_EXEC=1: execute the query and dump the FINAL
+    // adaptive plan (isFinalPlan=true) — the only place AQE's runtime
+    // join-strategy flips (e.g. a SortMergeJoin rewritten to
+    // BroadcastHashJoin under the session broadcast threshold) are
+    // visible; the pre-execution dump shows the initial plan for both
+    // sides of such an A/B.
+    //
+    // r16 ADVICE fix: the old exec mode ran `df.write.format("noop")`,
+    // which builds a SEPARATE QueryExecution — `df.queryExecution`
+    // itself never executed, so the "final" dump was still the initial
+    // plan (every r16 bcast artifact shows isFinalPlan=false). Drive
+    // the df's OWN QueryExecution to completion instead, and fail
+    // loudly if the dumped adaptive plan is not final.
     val exec = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     names.foreach { n =>
       try {
         val df = graft.SparkEntry.queries(n)(spark, d)
         val plan = if (exec) {
-          df.write.format("noop").mode("overwrite").save()
-          df.queryExecution.executedPlan.toString
+          df.queryExecution.toRdd.foreach(_ => ())
+          val p = df.queryExecution.executedPlan.toString
+          require(!p.contains("isFinalPlan=false"),
+            s"$n: executed-plan dump still carries isFinalPlan=false — " +
+              "the dumped QueryExecution did not run")
+          p
         } else df.queryExecution.explainString(
           ExplainMode.fromString("formatted"))
         Files.write(Paths.get(outDir, s"${n}_$tag.txt"),

@@ -9,7 +9,12 @@ import graft.SparkSpec
   * re-checked) to a minimal failing node and prints it with its
   * DuckDB-runnable SQL, so a semantics corner reproduces outside the
   * test too. Seeds are fixed — the sweep is deterministic and a
-  * regression names the exact seed. */
+  * regression names the exact seed.
+  *
+  * r17: the 400-seed sweeps (8 differential revisions + 8 three-way
+  * revisions) moved to [[FuzzDifferentialBase]]'s per-revision shard
+  * classes so the parallel forked test groups can spread them; THIS
+  * suite keeps the sentinels, self-checks, and adjudicated-bug pins. */
 class FuzzQuerySpec extends SparkSpec {
 
   private lazy val tables = Fuzz.loadTables(spark, sfDir)
@@ -61,175 +66,6 @@ class FuzzQuerySpec extends SparkSpec {
       }
     }
     cur
-  }
-
-  test("differential fuzz: 400 seeded plans agree between Spark and the reference interpreter") {
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed)
-      check(p).map(msg => (seed, p, msg))
-    }
-    if (failures.nonEmpty) {
-      val (seed, p, msg) = failures.head
-      val m = minimize(p)
-      fail(
-        s"${failures.size} failing seed(s); first = $seed\n$msg\n" +
-          s"minimal failing subplan:\n$m\n" +
-          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
-    }
-  }
-
-  test("differential fuzz, grammar revision 6: 400 seeded plans with residual ON predicates agree") {
-    // revision 6 is ADDITIVE (Fuzz.genPlan(seed, rev)): the rev-5 map
-    // above stays pinned; this sweep draws the NEW map, where half the
-    // joins carry a residual ON predicate over the combined schema —
-    // outer-join ON-vs-WHERE null-extension, correlated EXISTS with
-    // non-equi conjuncts, and per-pair 3VL at the match site
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed, 6)
-      check(p).map(msg => (seed, p, msg))
-    }
-    if (failures.nonEmpty) {
-      val (seed, p, msg) = failures.head
-      val m = minimize(p)
-      fail(
-        s"${failures.size} failing rev-6 seed(s); first = $seed\n$msg\n" +
-          s"minimal failing subplan:\n$m\n" +
-          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
-    }
-  }
-
-  test("differential fuzz, grammar revision 7: 400 seeded plans with correlated scalar subqueries agree") {
-    // revision 7 adds CorrScalar — correlated scalar subqueries in
-    // the SELECT list, where the DataFrame rendering is the
-    // HAND-DECORRELATED form (key-grouped aggregate + left outer join
-    // + the COUNT-bug coalesce repair) and must agree with the naive
-    // per-row interpreter on every seed, including the per-row
-    // empty-slice COUNT-0-vs-SUM-NULL split
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed, 7)
-      check(p).map(msg => (seed, p, msg))
-    }
-    if (failures.nonEmpty) {
-      val (seed, p, msg) = failures.head
-      val m = minimize(p)
-      fail(
-        s"${failures.size} failing rev-7 seed(s); first = $seed\n$msg\n" +
-          s"minimal failing subplan:\n$m\n" +
-          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
-    }
-  }
-
-  test("differential fuzz, grammar revision 8: 400 seeded plans with correlated scalars in WHERE/HAVING agree") {
-    // revision 8 adds CorrScalarCmp — the correlated scalar COMPARED
-    // in WHERE or in a real HAVING, where the count-bug zone decides
-    // row RETENTION (COUNT over an empty slice is 0 and compares;
-    // SUM/MIN/MAX go NULL and the UNKNOWN comparison drops the row).
-    // The hand-decorrelated DataFrame rendering must agree with the
-    // naive per-row interpreter on every seed.
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed, 8)
-      check(p).map(msg => (seed, p, msg))
-    }
-    if (failures.nonEmpty) {
-      val (seed, p, msg) = failures.head
-      val m = minimize(p)
-      fail(
-        s"${failures.size} failing rev-8 seed(s); first = $seed\n$msg\n" +
-          s"minimal failing subplan:\n$m\n" +
-          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
-    }
-  }
-
-  test("differential fuzz, grammar revision 9: 400 seeded plans with correlated [NOT] IN agree") {
-    // revision 9 adds CorrInSub — correlated [NOT] IN membership,
-    // where InSub's null-aware 3VL rule runs over a PER-ROW correlated
-    // slice: the empty slice is FALSE (NOT IN keeps the row, NULL cmp
-    // included) while a NULL cmp or a miss against a NULL-bearing
-    // slice is UNKNOWN (drops). The hand-decorrelated two-join
-    // DataFrame rendering must agree with the naive per-row
-    // interpreter on every seed.
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed, 9)
-      check(p).map(msg => (seed, p, msg))
-    }
-    if (failures.nonEmpty) {
-      val (seed, p, msg) = failures.head
-      val m = minimize(p)
-      fail(
-        s"${failures.size} failing rev-9 seed(s); first = $seed\n$msg\n" +
-          s"minimal failing subplan:\n$m\n" +
-          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
-    }
-    if (crashAdjudicated.nonEmpty)
-      info(s"${crashAdjudicated.size} plan(s) adjudicated under the " +
-        "pinned RemoveRedundantAliases fingerprint")
-  }
-
-  test("differential fuzz, grammar revision 10: 400 seeded plans with quantified ANY/ALL comparisons agree") {
-    // revision 10 adds CorrQuantCmp — `cmp <op> ANY|ALL` over a
-    // per-row correlated slice, op from the four inequalities. The
-    // hand-decorrelated census rendering (size / non-null count /
-    // min / max + extreme comparison) must agree with the naive
-    // per-row quantifier on every seed, including the mirrored
-    // empty-slice asymmetry (ALL keeps, ANY drops) and the
-    // slice-NULL UNKNOWN blocking ALL but not a satisfied ANY.
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed, 10)
-      check(p).map(msg => (seed, p, msg))
-    }
-    if (failures.nonEmpty) {
-      val (seed, p, msg) = failures.head
-      val m = minimize(p)
-      fail(
-        s"${failures.size} failing rev-10 seed(s); first = $seed\n$msg\n" +
-          s"minimal failing subplan:\n$m\n" +
-          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
-    }
-  }
-
-  test("differential fuzz, grammar revision 11: 400 seeded plans with ON-clause subqueries and LATERAL top-n agree") {
-    // revision 11 adds JoinOnSub — a correlated [NOT] EXISTS / [NOT]
-    // IN inside a JOIN ON clause, whose verdict decides JOIN MATCHING
-    // (a FALSE/UNKNOWN verdict null-extends on LEFT/FULL where the
-    // same predicate in WHERE would drop) — and LateralTopN, the
-    // per-row correlated ORDER BY + LIMIT, the grammar's first
-    // row-multiplying transform. The hand-decorrelated renderings
-    // (per-left-row verdict column carried into the join condition;
-    // row_number window + key join) must agree with the naive
-    // interpreter on every seed.
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed, 11)
-      check(p).map(msg => (seed, p, msg))
-    }
-    if (failures.nonEmpty) {
-      val (seed, p, msg) = failures.head
-      val m = minimize(p)
-      fail(
-        s"${failures.size} failing rev-11 seed(s); first = $seed\n$msg\n" +
-          s"minimal failing subplan:\n$m\n" +
-          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
-    }
-  }
-
-  test("differential fuzz, grammar revision 12: 400 seeded plans with recursive CTEs and RANGE offset frames agree") {
-    // revision 12 adds RecCte — the depth-bounded UNION ALL recursive
-    // walk, whose DataFrame rendering is exact loop unrolling — and
-    // RangeOffsetSum, the value-based window frame with ASC/DESC
-    // offset arithmetic and the NULL-peer-group rule. Both
-    // hand-built renderings must agree with the naive interpreter on
-    // every seed.
-    val failures = (1L to 400L).flatMap { seed =>
-      val p = Fuzz.genPlan(seed, 12)
-      check(p).map(msg => (seed, p, msg))
-    }
-    if (failures.nonEmpty) {
-      val (seed, p, msg) = failures.head
-      val m = minimize(p)
-      fail(
-        s"${failures.size} failing rev-12 seed(s); first = $seed\n$msg\n" +
-          s"minimal failing subplan:\n$m\n" +
-          s"as DuckDB SQL:\n${Fuzz.toSql(m)}")
-    }
   }
 
   test("parse-gap sentinel: Spark 4.1.2 recursion is UNION-ALL-only") {
@@ -317,116 +153,6 @@ class FuzzQuerySpec extends SparkSpec {
     assert(Fuzz.corrScalarCmpOnCorrScalarOutput(Fuzz.genPlan(338L, 11)),
       "shape guard no longer matches seed 338@r11 — the adjudication " +
         "in the frontend sweep would silently stop applying")
-  }
-
-  test("three-way differential: the rendered SQL through Spark's OWN parser agrees with the interpreter") {
-    // Round 13 (r12 verdict item 3): toSql was written for DuckDB, and
-    // the DataFrame rendering is what the driver gate executes — so the
-    // DataFrame-API-vs-SQL-frontend consistency of Spark itself was
-    // exercised only by q35 and the view-pushdown spec. Running the
-    // IDENTICAL SQL text through spark.sql over raw views (the
-    // rendering casts its own columns) closes that gap for every plan
-    // the grammar can express. Dialect shims needed: two — sqlType
-    // renders STRING, not VARCHAR (DuckDB aliases STRING to VARCHAR;
-    // Spark rejects bare VARCHAR without a length), and rev 10's
-    // quantified comparisons render through toSqlSpark's EXISTS
-    // spelling because Spark has no ANY/ALL-subquery syntax at all
-    // (the parse-gap sentinel above). Everything else (FULL JOIN,
-    // EXCEPT/INTERSECT ALL, correlated EXISTS, ||, NULLIF, TIMESTAMP
-    // literals, NULLS FIRST, ROUND, window frames) parses identically
-    // on both frontends.
-    Fuzz.catalog.keys.foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
-    }
-    // every grammar map through the SQL frontend: the pinned rev-5
-    // stream, the rev-6 stream with residual ON predicates (the
-    // correlated-EXISTS spelling must decorrelate identically), and
-    // the rev-7 stream whose correlated scalar subqueries run through
-    // Spark's OWN RewriteCorrelatedScalarSubquery — the engine
-    // decorrelator vs the hand-decorrelated DataFrame form — and the
-    // rev-8 stream whose correlated scalars sit in WHERE/HAVING
-    // predicates, and the rev-9 stream whose correlated [NOT] IN
-    // membership runs Spark's null-aware predicate-subquery
-    // decorrelation against the hand-built two-join form (round 15),
-    // and the rev-10 stream whose quantified ANY/ALL comparisons run
-    // Spark's correlated-EXISTS decorrelation via toSqlSpark's
-    // 3VL-expanded spelling (the one node where the dialects' text
-    // diverges — Spark cannot parse the quantifier)
-    val adjudicated = scala.collection.mutable.ArrayBuffer.empty[String]
-    val failures = Seq(5, 6, 7, 8, 9, 10, 11, 12).flatMap { rev =>
-      (1L to 400L).flatMap { seed =>
-        val p = Fuzz.genPlan(seed, rev)
-        val sql = Fuzz.toSqlSpark(p)
-        val got =
-          try Some(Fuzz.canonSpark(spark.sql(sql)))
-          catch {
-            // the pinned Spark 4.1.2 decorrelation crash (sentinel
-            // test below — two known trigger shapes: a correlated
-            // scalar subquery over a bare UNION ALL, and one inside
-            // an INTERSECT ALL / EXCEPT ALL branch): the engine dies
-            // on its OWN frontend with this exact internal-error
-            // fingerprint; the DataFrame rendering of the same plan
-            // is covered by the rev-7 differential above, so the
-            // seed is adjudicated, not skipped silently
-            case e: java.util.NoSuchElementException
-                if Fuzz.containsCorrScalar(p) &&
-                  String.valueOf(e.getMessage).startsWith("key not found") =>
-              adjudicated += s"$seed@r$rev"; None
-            // the pinned RemoveRedundantAliases crash (its own
-            // sentinel below): the SQL frontend hits the same
-            // optimizer-batch validation failure as the DataFrame
-            // path — rev 9's seed map is the first to draw the
-            // ROLLUP/CUBE-over-UNION shape inside the 400-seed window
-            case e: Throwable
-                if Fuzz.rollupOverUnion(p) &&
-                  String.valueOf(e.getMessage)
-                    .contains("PLAN_VALIDATION_FAILED_RULE_IN_BATCH") &&
-                  String.valueOf(e.getMessage)
-                    .contains("RemoveRedundantAliases") =>
-              adjudicated += s"$seed@r$rev(rra)"; None
-            // the round-16 pinned WHERE/HAVING-position defect (its
-            // own sentinel below): a predicate-position correlated
-            // scalar whose correlation key or comparison operand is a
-            // SELECT-list correlated-scalar output fails at RUNTIME
-            // two ways — the multi-row guard trips on the
-            // decorrelated join, or the subquery scheduler never
-            // finishes the inner scalar. Reachable since rev 8; the
-            // rev-11 selector remap first drew it in-window
-            // (seed 338@r11). DuckDB + DataFrame + interpreter agree
-            // on these plans (the rev-11 differential and the DuckDB
-            // sweep both cover seed 338), so the SQL frontend alone
-            // is wrong — adjudicated by shape + fingerprint.
-            case e: Throwable
-                if Fuzz.corrScalarCmpOnCorrScalarOutput(p) &&
-                  (String.valueOf(e.getMessage)
-                    .contains("SCALAR_SUBQUERY_TOO_MANY_ROWS") ||
-                   String.valueOf(e.getMessage)
-                    .contains("has not finished")) =>
-              adjudicated += s"$seed@r$rev(csc)"; None
-            case scala.util.control.NonFatal(e) =>
-              fail(s"seed $seed@r$rev failed to parse/execute via spark.sql: $e\n$sql")
-          }
-        got.flatMap { g =>
-          val exp = Fuzz.canonRef(Fuzz.eval(p, tables), p.schema)
-          if (g == exp) None
-          else if (Fuzz.corrScalarOverSortLimit(p) &&
-              Fuzz.canonSpark(Fuzz.toDF(p, spark, sfDir)) == exp) {
-            // the pinned EliminateSorts WRONG-RESULTS bug (sentinel
-            // test below): a correlated SELECT-list scalar over an
-            // ORDER BY … LIMIT child makes spark.sql keep arbitrary
-            // rows. No error fingerprint exists for a wrong answer,
-            // so the honest guard is the shape predicate PLUS a
-            // re-verification that the DataFrame rendering of the
-            // SAME plan agrees with the interpreter — the engine's
-            // own two frontends disagreeing is the adjudication.
-            adjudicated += s"$seed@r$rev(sort)"; None
-          } else Some((s"$seed@r$rev", sql, g.size, exp.size))
-        }
-      }
-    }
-    info(s"adjudicated decorrelation-crash seeds: ${adjudicated.toList}")
-    if (failures.nonEmpty)
-      fail(s"${failures.size} SQL-frontend disagreement(s); first: ${failures.head}")
   }
 
   test("interpreter self-checks: 3VL, null groups, empty-input aggregates") {
