@@ -1380,7 +1380,17 @@ object StreamParity {
     val confs = Seq(
       "spark.sql.shuffle.partitions" -> StatePartitions.toString,
       "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // A/B knob (optimization r17): RocksDB's documented write-path
+      // tune — tracking numTotalStateRows costs a get-before-every-put
+      // in the hot write path and is a METRICS feature, not a
+      // semantics one (Spark's own structured-streaming guide
+      // recommends disabling it for write-heavy state when the metric
+      // isn't consumed; no parity guard reads it — the provider
+      // engagement check keys on customMetrics presence). Default
+      // stays Spark's (true) unless the measured A/B adopts false.
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" ->
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "true")
     ) ++ extraConfs
     withEphemeralCkpt(qn) { ckpt =>
       val q = withStreamConfs(s, confs: _*) {
