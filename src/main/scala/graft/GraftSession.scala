@@ -73,6 +73,15 @@ object GraftSession {
       // the as-of merge exec plan with ZERO Exchange and ZERO Sort over
       // them (adv_asof_join_bucketed asserts that plan in-query).
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // Scheme alias for CHECKSUM-FREE local file access (optimization
+      // r17, guide §6): Hadoop's default file:// is ChecksumFileSystem,
+      // so every tiny streaming-checkpoint write (offset log, commit
+      // log, state-store delta) also creates+writes a .crc twin —
+      // pure overhead on the THROWAWAY tmpfs checkpoints the parity
+      // harness uses (StreamParity.ckptRoot). Registering the scheme
+      // is inert by itself; StreamParity opts in per checkpoint path.
+      .config("spark.hadoop.fs.rawlocal.impl",
+        "graft.sources.RawLocalCkptFs")
       .config("spark.ui.enabled", "false")
   }
 

@@ -163,14 +163,29 @@ object StreamParity {
     p.delete(); ()
   }
 
+  /** Hand the throwaway checkpoints to the CHECKSUM-FREE local FS
+    * ([[graft.sources.RawLocalCkptFs]], scheme registered in
+    * GraftSession): the default `file://` is ChecksumFileSystem, so
+    * every offset-log, commit-log and state-delta write pays a `.crc`
+    * twin (create + write + rename doubled) — pure overhead on a
+    * tmpfs tree that lives for one query and is deleted on completion
+    * (see the class doc for why production durable checkpoints are a
+    * different story). Env override runs the checksummed default for
+    * A/Bs. */
+  private val ckptScheme =
+    if (sys.env.getOrElse("SPARK_GRAFT_CKPT_FS", "raw") == "raw") "rawlocal://"
+    else ""
+
   /** Run `f` with a fresh per-query checkpoint dir under [[ckptRoot]],
     * deleting it afterwards (success or failure) so tmpfs never
     * accumulates sweep debris. The query name is already uniqued per
-    * run ([[runSeq]]), so concurrent declared queries never collide. */
+    * run ([[runSeq]]), so concurrent declared queries never collide.
+    * `f` receives the dir as a [[ckptScheme]]-qualified URI; cleanup
+    * always runs on the plain local path. */
   private def withEphemeralCkpt[T](qn: String)(f: String => T): T = {
     val dir = s"$ckptRoot/$qn"
     rmTree(new java.io.File(dir))
-    try f(dir) finally rmTree(new java.io.File(dir))
+    try f(s"$ckptScheme$dir") finally rmTree(new java.io.File(dir))
   }
 
   /** documents.parquet as a STREAM: the file source (the continuous-
@@ -1422,16 +1437,18 @@ object StreamParity {
       "spark.sql.shuffle.partitions" -> StatePartitions.toString,
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      // A/B knob (optimization r17): RocksDB's documented write-path
-      // tune — tracking numTotalStateRows costs a get-before-every-put
+      // RocksDB's documented write-path tune (optimization r17, guide
+      // §5): tracking numTotalStateRows costs a get-before-every-put
       // in the hot write path and is a METRICS feature, not a
       // semantics one (Spark's own structured-streaming guide
       // recommends disabling it for write-heavy state when the metric
       // isn't consumed; no parity guard reads it — the provider
-      // engagement check keys on customMetrics presence). Default
-      // stays Spark's (true) unless the measured A/B adopts false.
+      // engagement check keys on customMetrics presence). ADOPTED
+      // false on two isolated A/B pairs (plans/r17/ab_rocksdb_track_
+      // {true,false}{1,2}.json): all 5 provider queries faster in both
+      // runs, ×0.92–0.97 best-of-two, controls flat; oracle 5/5 after.
       "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" ->
-        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "true")
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "false")
     ) ++ extraConfs
     withEphemeralCkpt(qn) { ckpt =>
       val q = withStreamConfs(s, confs: _*) {
