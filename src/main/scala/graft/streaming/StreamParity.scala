@@ -772,19 +772,31 @@ object StreamParity {
     *    slices whose watermark jumps fire the timeouts mid-run (the
     *    engagement requirement [[runEvicting]] asserts);
     *  - file 3: the last 30 minutes — after it the eviction watermark
-    *    is `mx − 10 min`, while the LATE-ROW filter for the next batch
-    *    can read one batch behind (SPARK-40925; see
-    *    [[streamEventsWithLatePlant]]): `(mx − 30 min) − 10 min`. The
-    *    plant is constructed valid under BOTH readings;
-    *  - file 4: the LATE batch, all rows for three FRESH users (uids
+    *    is `mx − 10 min`;
+    *  - file 4: a WATERMARK-AGING row (user −999 at `mx`, the sibling
+    *    plants' discipline — [[streamEventsWithLatePlant]]'s file 1,
+    *    the join plant's `aging` row): the LATE-ROW filter reads the
+    *    watermark one batch behind (SPARK-40925), and the original
+    *    5-file layout read it as "the watermark after file 2" = `max(ts
+    *    in file 2) − 10 min` — which the v1 plant approximated as
+    *    `(mx − 30 min) − 10 min`, silently assuming the corpus is DENSE
+    *    just below the `mx − 30 min` cut. At sf0.001 the last file-2
+    *    event sits 65 min before `mx`, the filter read `mx − 75 min`,
+    *    and the planted `mx − 50 min` view was wrongly ADMITTED
+    *    (st_{funnel,ewma}_ttl_late failed the sf0.001 oracle; sf0.01/
+    *    sf0.1 are dense enough that v1 held). The aging batch pins the
+    *    filter watermark for the late batch at `mx − 10 min` for ANY
+    *    corpus shape; the row itself is answer-invisible (negative
+    *    user, dropped by [[runEvicting]]'s guard and absent from the
+    *    oracle's source);
+    *  - file 5: the LATE batch, all rows for three FRESH users (uids
     *    offset to 10^10 — fresh state, so machine-vs-oracle equality
     *    never depends on arrival order against already-folded corpus
     *    events):
-    *      - a `view` at `mx − 50 min` per user — behind both candidate
-    *        watermarks (≥ 10 min margin), must be DROPPED;
+    *      - a `view` at `mx − 50 min` per user — 40 min behind the
+    *        `mx − 10 min` filter watermark, must be DROPPED;
     *      - a `click` at `mx − 5 min` + a `purchase` at `mx − 4 min`
-    *        per user — past both candidates (≥ 5 min margin), must be
-    *        ADMITTED.
+    *        per user — past it (≥ 5 min margin), must be ADMITTED.
     *    The dropped view sits WITHIN the 2 h state TTL of the admitted
     *    rows (45 min gap) — deliberately: the TTL gap rule neutralizes
     *    any OLDER leak (a reset makes a wrongly-admitted ancient row
@@ -798,7 +810,7 @@ object StreamParity {
     *    Every planted row is a pure function of the corpus (`max(ts)`
     *    minus fixed intervals), so the DuckDB oracle replays plant,
     *    drop rule, and admit rule exactly;
-    *  - file 5: the flush sentinel.
+    *  - file 6: the flush sentinel.
     *
     * Slice membership is a function of the ts VALUE alone (equal-ts
     * ties can never split across batches), same property as
@@ -811,7 +823,7 @@ object StreamParity {
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-result-cache"
     val MinUs = 60L * 1000000
     val (dir, _) = graft.ResultCache.materializeKeyedOrdered(
-      "eventsTtlLatePlant/v1", Seq(base), cacheDir) {
+      "eventsTtlLatePlant/v2", Seq(base), cacheDir) {
       val mm = base.agg(
         min(unix_micros(col("ts"))).as("mn"),
         max(unix_micros(col("ts"))).as("mx")).head
@@ -844,6 +856,7 @@ object StreamParity {
         base.where(us >= c1 && us < c2),
         base.where(us >= c2 && us < c3),
         base.where(us >= c3),
+        plant(-999L, mx, -999L, "view", 0.0),
         lateFile,
         sentinel)
     }
