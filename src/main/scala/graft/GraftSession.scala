@@ -121,5 +121,10 @@ object GraftSession {
       // cluster is where the ingest-once zero-exchange/zero-sort as-of
       // layout actually pays
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // same rawlocal:// registration as builder(): inert unless a
+      // path opts into the scheme (StreamParity's ephemeral
+      // checkpoints do; durable checkpoints never should)
+      .config("spark.hadoop.fs.rawlocal.impl",
+        "graft.sources.RawLocalCkptFs")
       .config("spark.sql.session.timeZone", "UTC")
 }
